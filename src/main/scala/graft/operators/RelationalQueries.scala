@@ -1,0 +1,378 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Relational operator surface of the engine, exercised over the driver
+  * testdata. Covers every relational category from SURVEY.md §2.2: scans,
+  * projection, filter, joins (broadcast/semi/anti), aggregation (partial +
+  * final via Catalyst), distinct, rollup, window functions, sort/top-k,
+  * set operations, scalar/date/array/JSON functions, and global sort (the
+  * reference's sample-sort path, /root/reference/samplesort.cpp:21-191 —
+  * Spark's orderBy IS a sample sort via RangePartitioner).
+  *
+  * Every query has a DuckDB oracle in [[oracle]] with identical column
+  * names/aliases; aggregate doubles are rounded so FP summation order
+  * can't flip the hash compare; every output is deterministically ordered.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style scan → filter → grouped aggregation. The filter and
+    * the 7-column projection are pushed into the parquet scan; Catalyst
+    * plans partial+final HashAggregate (map-side combine the reference
+    * lacks, SURVEY.md §2.2 "Aggregations"). */
+  def q1ShippingSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= to_timestamp(lit("2000-06-01")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q5-style 6-table join. Dimension tables (region, nation,
+    * supplier) are explicitly broadcast — only the two fact tables shuffle,
+    * and only on the join keys they already need. */
+  def q2RevenueByNation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
+              $"o_orderdate" <  to_timestamp(lit("1999-01-01")))
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Top-k by aggregate: Spark plans TakeOrderedAndProject (no global
+    * materialized sort). Rounded sort key + key tiebreak keeps the order
+    * engine-independent. */
+  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  /** Window functions: row_number, running sum, lag — one shuffle on the
+    * partition key serves all three frames. */
+  def q4WindowRunning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_spend",
+        round(sum($"o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("delta_prev",
+        round($"o_totalprice" - lag($"o_totalprice", 1, 0.0).over(w), 2))
+      .select($"o_custkey", $"o_orderkey", $"rn", $"running_spend", $"delta_prev")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Distinct aggregation (count distinct expands to two-phase agg). */
+  def q5DistinctParts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_suppkey")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+           countDistinct($"l_orderkey").as("n_orders"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"l_suppkey")
+  }
+
+  /** Set operations: INTERSECT / EXCEPT / UNION ALL over nation keys. */
+  def q6SetOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).select($"c_nationkey".as("nationkey")).distinct()
+    val p = Tables.supplier(s, d).select($"s_nationkey".as("nationkey")).distinct()
+    c.intersect(p).withColumn("tag", lit("both"))
+      .unionAll(c.except(p).withColumn("tag", lit("cust_only")))
+      .unionAll(p.except(c).withColumn("tag", lit("supp_only")))
+      .select($"nationkey", $"tag")
+      .orderBy($"tag", $"nationkey")
+  }
+
+  /** ROLLUP grouping sets (region → nation → grand total). */
+  def q7RollupSales(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(round(sum($"o_totalprice"), 2).as("sales"), count(lit(1)).as("n_orders"))
+      .select(coalesce($"r_name", lit("ALL")).as("region_name"),
+              coalesce($"n_name", lit("ALL")).as("nation_name"),
+              $"sales", $"n_orders")
+      .orderBy($"region_name", $"nation_name")
+  }
+
+  /** Left-semi join (EXISTS): customers with an open order. */
+  def q8SemiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val open = Tables.orders(s, d).filter($"o_orderstatus" === "O")
+    Tables.customer(s, d)
+      .join(open, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no in-progress order. */
+  def q9AntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inProgress = Tables.orders(s, d).filter($"o_orderstatus" === "P")
+    Tables.customer(s, d)
+      .join(inProgress, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+
+  /** Scalar string/math function projection (all codegen'd built-ins). */
+  def q10ScalarFns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d)
+      .filter($"p_partkey" % 10 === 0)
+      .select(
+        $"p_partkey",
+        upper($"p_brand").as("brand_u"),
+        substring($"p_name", 1, 8).as("name8"),
+        length($"p_name").as("name_len"),
+        concat($"p_brand", lit(":"), $"p_type").as("brand_type"),
+        round(sqrt($"p_retailprice"), 4).as("price_sqrt"),
+        abs($"p_size" - lit(25)).as("size_dev"),
+        ($"p_size" % 7).as("size_mod"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Date/time function projection. */
+  def q11DateFns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter($"o_orderkey" % 50 === 0)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("oy"),
+        month($"o_orderdate").as("om"),
+        dayofmonth($"o_orderdate").as("od"),
+        $"o_orderdate".cast("date").as("odate"),
+        datediff(to_date(lit("2002-01-01")), $"o_orderdate".cast("date")).as("days_to_2002"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Array functions over tokenized document text. */
+  def q12ArrayFns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter($"doc_id" % 5 === 0)
+      .withColumn("words", split($"text", " "))
+      .select(
+        $"doc_id",
+        size($"words").as("n_words"),
+        size(array_distinct($"words")).as("n_distinct"),
+        array_contains($"words", "spark").as("has_spark"),
+        array_join(slice(sort_array($"words"), 1, 3), ",").as("first3_sorted"))
+      .orderBy($"doc_id")
+  }
+
+  /** JSON extraction from the events.props string column. */
+  def q13Json(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"event_id" % 20 === 0)
+      .select(
+        $"event_id",
+        $"event_type",
+        get_json_object($"props", "$.k").cast("int").as("k_val"))
+      .orderBy($"event_id")
+  }
+
+  /** Global sort — the Spark equivalent of the reference's sample sort
+    * (samplesort.cpp): orderBy = sample → range-partition → local sort. */
+  def q14GlobalSort(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"value".desc, $"event_id")
+  }
+
+  /** Time-bucketed aggregation over the event stream table (batch form of
+    * the streaming windowed agg in graft.streaming). */
+  def q15TimeWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+               $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+      .orderBy($"hour_ts", $"event_type")
+  }
+
+  /** Statistical aggregates (min/max/avg/stddev). */
+  def q16Stats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(min($"l_quantity"), 2).as("min_qty"),
+        round(max($"l_quantity"), 2).as("max_qty"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(stddev_samp($"l_quantity"), 4).as("std_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_shipping_summary" -> q1ShippingSummary,
+    "q2_revenue_by_nation" -> q2RevenueByNation,
+    "q3_top_orders" -> q3TopOrders,
+    "q4_window_running" -> q4WindowRunning,
+    "q5_distinct_parts" -> q5DistinctParts,
+    "q6_setops" -> q6SetOps,
+    "q7_rollup_sales" -> q7RollupSales,
+    "q8_semi_join" -> q8SemiJoin,
+    "q9_anti_join" -> q9AntiJoin,
+    "q10_scalar_fns" -> q10ScalarFns,
+    "q11_date_fns" -> q11DateFns,
+    "q12_array_fns" -> q12ArrayFns,
+    "q13_json" -> q13Json,
+    "q14_global_sort" -> q14GlobalSort,
+    "q15_time_window" -> q15TimeWindow,
+    "q16_stats" -> q16Stats)
+
+  val oracle: Map[String, String] = Map(
+    "q1_shipping_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-06-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1999-01-01'
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem GROUP BY l_orderkey
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q4_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         row_number() OVER w AS rn,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+         round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2) AS delta_prev
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, rn""",
+    "q5_distinct_parts" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_items
+         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q6_setops" ->
+      """SELECT nationkey, 'both' AS tag FROM
+           (SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier) t1
+         UNION ALL
+         SELECT nationkey, 'cust_only' AS tag FROM
+           (SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier) t2
+         UNION ALL
+         SELECT nationkey, 'supp_only' AS tag FROM
+           (SELECT s_nationkey AS nationkey FROM supplier
+            EXCEPT SELECT c_nationkey FROM customer) t3
+         ORDER BY tag, nationkey""",
+    "q7_rollup_sales" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+         coalesce(n_name, 'ALL') AS nation_name,
+         round(sum(o_totalprice), 2) AS sales, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY region_name, nation_name""",
+    "q8_semi_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         ORDER BY c_custkey""",
+    "q9_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+    "q10_scalar_fns" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+         substring(p_name, 1, 8) AS name8, length(p_name) AS name_len,
+         concat(p_brand, ':', p_type) AS brand_type,
+         round(sqrt(p_retailprice), 4) AS price_sqrt,
+         abs(p_size - 25) AS size_dev, p_size % 7 AS size_mod
+         FROM part WHERE p_partkey % 10 = 0 ORDER BY p_partkey""",
+    "q11_date_fns" ->
+      """SELECT o_orderkey, year(o_orderdate) AS oy, month(o_orderdate) AS om,
+         day(o_orderdate) AS od, CAST(o_orderdate AS DATE) AS odate,
+         datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+         FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""",
+    "q12_array_fns" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         list_contains(string_split(text, ' '), 'spark') AS has_spark,
+         array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted
+         FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""",
+    "q13_json" ->
+      """SELECT event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+         FROM events WHERE event_id % 20 = 0 ORDER BY event_id""",
+    "q14_global_sort" ->
+      """SELECT event_id, user_id, value FROM events
+         ORDER BY value DESC, event_id""",
+    "q15_time_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
+         count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q16_stats" ->
+      """SELECT l_returnflag,
+         round(min(l_quantity), 2) AS min_qty,
+         round(max(l_quantity), 2) AS max_qty,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(stddev_samp(l_quantity), 4) AS std_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+}
