@@ -1,0 +1,115 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PageRank — re-expression of `/root/reference/algorithms.h:4-37`.
+  *
+  * map: each vertex sends `value/out_degree` to every neighbor
+  * (`algorithms.h:12-18`); reduce: sum (`algorithms.h:24-33`); cover-mode
+  * update `(1-d)/n + d*sum`.
+  *
+  * Reference quirks (SURVEY.md §2.1 "notable semantic quirks"):
+  * damping d=0.5 and a per-*partition* vertex count in the redistribution
+  * term (`algorithms.h:30` uses the local `ntxs` — a bug vs. the README's
+  * global-n formula, `README.md:120-121`). The mathematically standard
+  * d=0.85/global-n is the default; `compat = true` reproduces d=0.5 with
+  * global n (per-partition n is placement-dependent and thus unreproducible
+  * by design in Spark — documented divergence).
+  */
+final class PageRank(n: Long, damping: Double = 0.85) extends VertexProgram {
+  override def initial(vertices: DataFrame): DataFrame = {
+    val degs = vertices // expects (id, deg) from PropertyGraph.degrees
+    degs.select(col("id"), lit(1.0 / n).as("value"), col("deg"))
+  }
+  override def messages(v: DataFrame, e: DataFrame): DataFrame =
+    e.join(v, e("src") === v("id"))
+      .select(e("dst").as("id"), (v("value") / v("deg")).as("msg"))
+  override def combiner: Column = sum(col("msg"))
+  override def updated(old: Column, agg: Column): Column =
+    lit((1.0 - damping) / n) + lit(damping) * coalesce(agg, lit(0.0))
+}
+
+object PageRank {
+  def apply(graph: PropertyGraph, damping: Double = 0.85): PageRankRun = {
+    val degs = graph.degrees
+    val n = degs.count()
+    PageRankRun(PropertyGraph(degs, graph.edges), new PageRank(n, damping))
+  }
+  /** Reference-compat damping (d=0.5, `/root/reference/algorithms.h:30`). */
+  def compat(graph: PropertyGraph): PageRankRun = apply(graph, damping = 0.5)
+}
+final case class PageRankRun(graph: PropertyGraph, program: VertexProgram) {
+  def fixed(iterations: Int): DataFrame =
+    GmrRunner.runFixed(graph, program, iterations).select("id", "value")
+  def converged(): GmrRunner.RunResult = GmrRunner.run(graph, program)
+}
+
+/** Single-source shortest paths, Bellman-Ford relaxation —
+  * `/root/reference/algorithms.h:42-92`. Unreached = NULL (the reference
+  * uses FLT_MAX, `algorithms.h:52`); `least` skips nulls in both Spark and
+  * the DuckDB oracle. map emits `dist+w` to each neighbor plus self-dist
+  * (`algorithms.h:57-67` — the self-message keeps the reduce total; the
+  * outer-join update makes it redundant here); reduce: min
+  * (`algorithms.h:73-85`); cover-mode. */
+class Sssp(source: Long) extends VertexProgram {
+  override def initial(vertices: DataFrame): DataFrame =
+    vertices.select(col("id"),
+      when(col("id") === source, lit(0.0)).otherwise(lit(null)).cast("double").as("value"))
+  override def messages(v: DataFrame, e: DataFrame): DataFrame =
+    e.join(v, e("src") === v("id"))
+      .where(v("value").isNotNull)
+      .select(e("dst").as("id"), (v("value") + e("weight")).as("msg"))
+  override def combiner: Column = min(col("msg"))
+  override def updated(old: Column, agg: Column): Column = least(old, agg)
+}
+
+/** BFS hop distance = SSSP over unit weights (reference stub
+  * `/root/reference/algorithms.h:190` made real, SURVEY.md §2.1 O21). */
+final class Bfs(source: Long) extends Sssp(source) {
+  override def messages(v: DataFrame, e: DataFrame): DataFrame =
+    e.join(v, e("src") === v("id"))
+      .where(v("value").isNotNull)
+      .select(e("dst").as("id"), (v("value") + lit(1.0)).as("msg"))
+}
+
+/** Connected components by min-label propagation (reference stub
+  * `/root/reference/algorithms.h:195` made real). value = smallest vertex
+  * id seen; converges when labels stabilize. */
+object ConnectedComponentsProgram extends VertexProgram {
+  override def initial(vertices: DataFrame): DataFrame =
+    vertices.select(col("id"), col("id").cast("double").as("value"))
+  override def messages(v: DataFrame, e: DataFrame): DataFrame =
+    e.join(v, e("src") === v("id"))
+      .select(e("dst").as("id"), v("value").as("msg"))
+  override def combiner: Column = min(col("msg"))
+  override def updated(old: Column, agg: Column): Column = least(old, agg)
+}
+
+/** Non-iterative whole-graph operators. */
+object GraphOps {
+
+  /** Global triangle count — re-expression of TriangleCount
+    * (`/root/reference/algorithms.h:97-180`). The reference emits each
+    * canonical edge `(min,max)` as a composite key with the full neighbor
+    * list as value and intersects the two lists that meet (`:138-155`);
+    * relationally that is the classic 3-way self-join on canonical edges
+    * a<b<c (each triangle counted exactly once — same invariant as the
+    * reference's `c > skey` guard at `algorithms.h:147`). */
+  def triangles(canonicalEdges: DataFrame): DataFrame = {
+    val e = canonicalEdges.select("src", "dst")
+    val ab = e.as("ab"); val bc = e.as("bc"); val ac = e.as("ac")
+    ab.join(bc, col("ab.dst") === col("bc.src"))
+      .join(ac, col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))
+  }
+
+  def triangleCount(canonicalEdges: DataFrame): Long = triangles(canonicalEdges).count()
+
+  /** Per-vertex triangle participation (each triangle credited to all 3
+    * corners). */
+  def triangleCounts(canonicalEdges: DataFrame): DataFrame =
+    triangles(canonicalEdges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+}

@@ -1,0 +1,126 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A vertex-centric program: the Spark-native form of the reference's
+  * extension API (subclass `GMR` with `initGraph`/`map`/`sort`/`reduce`/
+  * `keyComp`, `/root/reference/gmr.h:77-108`).
+  *
+  * The mapping (SURVEY.md §2.1 O13–O16):
+  *  - `map`    → [[messages]]: a declarative join/project emitting
+  *    `(id, msg)` rows — one per message, keyed by the *destination* vertex.
+  *  - `sort` + `reduce` → [[combiner]]: `groupBy(id).agg(combiner)`. The
+  *    reference sorts then group-reduces consecutive keys (`gmr.h:344-361`);
+  *    Catalyst plans the same semantics as a hash (or sort) aggregate with
+  *    map-side partial aggregation the reference lacks.
+  *  - `updateGraph` → [[updated]]: the reference's two-pointer sort-merge
+  *    join of reduce results against the vertex array (`gmr.h:155-194`)
+  *    is a `left_outer` join; `accu`/`cover` mode (`gmr.h:10`) is the
+  *    expression returned here.
+  */
+trait VertexProgram {
+
+  /** Initial vertex state: must return `(id, value, ...static)` — extra
+    * columns (e.g. degree) are carried through unchanged each superstep.
+    * ← `initGraph` (`/root/reference/gmr.h:81`). */
+  def initial(vertices: DataFrame): DataFrame
+
+  /** Message generation: `(id, msg)` rows keyed by destination vertex.
+    * ← `map` (`/root/reference/gmr.h:82`). */
+  def messages(vertices: DataFrame, edges: DataFrame): DataFrame
+
+  /** Aggregate over the `msg` column of one destination's messages.
+    * ← `reduce` (`/root/reference/gmr.h:84`). */
+  def combiner: Column
+
+  /** New value from (old value, aggregated message — null when the vertex
+    * received no messages). ← `updateGraph` accu/cover
+    * (`/root/reference/gmr.h:182-185`). */
+  def updated(old: Column, agg: Column): Column
+
+  /** Per-vertex change magnitude for convergence; null values (SSSP's
+    * "infinity") are treated as no change when both sides are null. */
+  def delta(old: Column, next: Column): Column = {
+    val sentinel = lit(Double.MaxValue)
+    abs(coalesce(next, sentinel) - coalesce(old, sentinel))
+  }
+
+  def maxIterations: Int = 10000 // ← MAX_ITERATION, /root/reference/gmr.h:28
+  def tolerance: Double = 1e-4   // ← threshold,     /root/reference/gmr.h:25
+}
+
+/** Bulk-synchronous superstep driver — the Spark-native form of the
+  * reference's iteration loop (`/root/reference/gmr.cpp:202-317`).
+  *
+  * Per superstep: one shuffle to group messages by destination and one
+  * join back to vertex state. The ghost-exchange machinery (O10–O12,
+  * `graph.h:755-921`, `MPI_Alltoallv` at `gmr.cpp:267`) has no analog —
+  * the message `groupBy` IS the exchange, sized and routed by Spark's
+  * shuffle service. Termination consensus (`gmr.cpp:222-232` piggybacks
+  * convergence on an `MPI_Allgather`) is the driver-side `max(delta)`
+  * aggregate that also materializes the superstep.
+  *
+  * Scale notes (100 TB design):
+  *  - callers should persist `edges` (it is re-joined every superstep);
+  *    [[run]] repartitions it once by `src` so the per-superstep join
+  *    co-locates without re-shuffling the static side.
+  *  - vertex state is checkpointed (`localCheckpoint`) every
+  *    `checkpointInterval` supersteps to truncate lineage — unbounded
+  *    lineage is the classic iterative-Spark failure mode.
+  *  - convergence mode runs one action per superstep (inherent: BSP);
+  *    fixed-iteration mode runs one action per checkpoint interval only.
+  */
+object GmrRunner {
+
+  final case class RunResult(vertices: DataFrame, iterations: Int, lastDelta: Double)
+
+  /** Run to convergence (max-abs-delta < tolerance, `gmr.h:125`) or the
+    * iteration cap. */
+  def run(graph: PropertyGraph, program: VertexProgram,
+          checkpointInterval: Int = 5): RunResult =
+    loop(graph, program, program.maxIterations, convergenceCheck = true, checkpointInterval)
+
+  /** Run exactly `iterations` supersteps — deterministic mode for
+    * oracle-checked queries (SURVEY.md §7.3 "fixed iteration counts"). */
+  def runFixed(graph: PropertyGraph, program: VertexProgram, iterations: Int,
+               checkpointInterval: Int = 5): DataFrame =
+    loop(graph, program, iterations, convergenceCheck = false, checkpointInterval).vertices
+
+  private def loop(graph: PropertyGraph, program: VertexProgram, maxIter: Int,
+                   convergenceCheck: Boolean, checkpointInterval: Int): RunResult = {
+    val nShuffle = graph.edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Static side of every superstep join: partition once by src, keep hot.
+    val edges = graph.edges.repartition(nShuffle, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Break lineage into the (possibly self-referential) source plan so the
+    // edges-derived vertex set can be re-joined against edges without
+    // ambiguous-self-join resolution issues.
+    var state = program.initial(graph.vertices).localCheckpoint(true)
+    val staticCols = state.columns.filterNot(c => c == "id" || c == "value")
+
+    var iter = 0
+    var lastDelta = Double.MaxValue
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = program.messages(state, edges)
+      val agg = msgs.groupBy("id").agg(program.combiner.as("_agg"))
+      val stepped = state.join(agg, Seq("id"), "left_outer")
+        .select(
+          col("id") +:
+          program.updated(col("value"), col("_agg")).as("value") +:
+          program.delta(col("value"), program.updated(col("value"), col("_agg"))).as("_delta") +:
+          staticCols.map(col): _*)
+      iter += 1
+      val checkpointNow = convergenceCheck || iter % checkpointInterval == 0 || iter == maxIter
+      val next = if (checkpointNow) stepped.localCheckpoint(true) else stepped
+      if (convergenceCheck) {
+        lastDelta = next.agg(max(col("_delta"))).first().getDouble(0)
+        converged = lastDelta < program.tolerance
+      }
+      state = next
+    }
+    edges.unpersist(blocking = false)
+    RunResult(state.drop("_delta"), iter, lastDelta)
+  }
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.graph._
+
+/** Graph-analytics query surface over the driver testdata.
+  *
+  * The graph is derived deterministically from relational data
+  * (FIXTURES.md §B): vertices = parts, undirected edge (p1, p2) iff both
+  * parts appear in the same order, weight = number of co-occurring orders.
+  * This makes every graph query DuckDB-expressible: the oracle SQL derives
+  * the identical edge set with plain joins, then unrolls the fixed number
+  * of supersteps as a CTE chain — same relaxation the Spark side runs via
+  * [[graft.graph.GmrRunner.runFixed]].
+  *
+  * Determinism rules: fixed iteration counts, integer-valued weights
+  * (count-based, so min/+ arithmetic is exact), ROUND(...,8) only on
+  * PageRank's float ranks, ORDER BY id everywhere.
+  */
+object GraphQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- graph derivation (Spark side) ----
+
+  /** Canonical co-occurrence pairs (src < dst, weight = shared orders).
+    * One shuffle on l_orderkey for the self-join (AQE handles the skew of
+    * popular orders); the pair aggregation shuffles on (src, dst). */
+  def partPairs(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val a = op.as("a"); val b = op.as("b")
+    a.join(b, col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+  }
+
+  def partGraph(s: SparkSession, d: String): PropertyGraph =
+    PropertyGraph.fromEdges(PropertyGraph.symmetrize(partPairs(s, d)))
+
+  // ---- oracle SQL derivation (shared CTE prefix) ----
+
+  private val edgeCtes: String =
+    """op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |cpairs AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
+      |           FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+      |           GROUP BY a.p, b.p),
+      |edges AS (SELECT src, dst, w FROM cpairs
+      |          UNION ALL SELECT dst, src, w FROM cpairs),
+      |verts AS (SELECT DISTINCT src AS id FROM edges),
+      |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)""".stripMargin
+
+  /** Unrolled PageRank supersteps (damping 0.85, global n — the standard
+    * variant; reference-compat d=0.5 lives in [[graft.graph.PageRank.compat]]). */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT t.id, 0.15/(SELECT n FROM nn) + 0.85*coalesce(m.s, 0) AS v
+         |  FROM verts t LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.v / d.deg) AS s
+         |    FROM edges e JOIN pr${k - 1} p ON e.src = p.id
+         |                 JOIN deg d ON d.id = e.src
+         |    GROUP BY e.dst) m ON t.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |nn AS (SELECT count(*) AS n FROM verts),
+       |pr0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS v FROM verts),
+       |$steps
+       |SELECT id, round(v, 8) AS rank FROM pr$iters ORDER BY id""".stripMargin
+  }
+
+  /** Unrolled Bellman-Ford supersteps; `stepExpr` is the relaxation edge
+    * message (`p.v + e.w` for weighted SSSP, `p.v + 1` for BFS hops).
+    * NULL = unreached (least() skips NULLs in Spark and DuckDB alike). */
+  private def relaxSql(iters: Int, stepExpr: String, outName: String): String = {
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS (
+         |  SELECT t.id, least(t.v, m.mv) AS v
+         |  FROM d${k - 1} t LEFT JOIN (
+         |    SELECT e.dst AS id, min($stepExpr) AS mv
+         |    FROM edges e JOIN d${k - 1} p ON e.src = p.id
+         |    WHERE p.v IS NOT NULL GROUP BY e.dst) m ON t.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |s0 AS (SELECT min(id) AS s FROM verts),
+       |d0 AS (SELECT id, CASE WHEN id = (SELECT s FROM s0) THEN CAST(0 AS DOUBLE) END AS v
+       |       FROM verts),
+       |$steps
+       |SELECT id, CAST(v AS BIGINT) AS $outName FROM d$iters ORDER BY id""".stripMargin
+  }
+
+  /** Unrolled min-label propagation for connected components. */
+  private def componentsSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT t.id, least(t.v, m.mv) AS v
+         |  FROM c${k - 1} t LEFT JOIN (
+         |    SELECT e.dst AS id, min(p.v) AS mv
+         |    FROM edges e JOIN c${k - 1} p ON e.src = p.id
+         |    GROUP BY e.dst) m ON t.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |c0 AS (SELECT id, CAST(id AS DOUBLE) AS v FROM verts),
+       |$steps
+       |SELECT id, CAST(v AS BIGINT) AS component FROM c$iters ORDER BY id""".stripMargin
+  }
+
+  // ---- fixed superstep counts (must match between Spark and oracle) ----
+  private val PrIters = 5
+  private val SsspIters = 6
+  private val BfsIters = 6
+  private val CcIters = 8
+
+  // ---- queries ----
+
+  def g1Pagerank(s: SparkSession, d: String): DataFrame = {
+    val pr = PageRank(partGraph(s, d)).fixed(PrIters)
+    pr.select(col("id"), round(col("value"), 8).as("rank")).orderBy("id")
+  }
+
+  private def sourceVertex(g: PropertyGraph): Long =
+    g.vertices.agg(min(col("id"))).first().getLong(0)
+
+  def g2Sssp(s: SparkSession, d: String): DataFrame = {
+    val g = partGraph(s, d)
+    GmrRunner.runFixed(g, new Sssp(sourceVertex(g)), SsspIters)
+      .select(col("id"), col("value").cast("long").as("dist")).orderBy("id")
+  }
+
+  def g3Bfs(s: SparkSession, d: String): DataFrame = {
+    val g = partGraph(s, d)
+    GmrRunner.runFixed(g, new Bfs(sourceVertex(g)), BfsIters)
+      .select(col("id"), col("value").cast("long").as("hops")).orderBy("id")
+  }
+
+  def g4Components(s: SparkSession, d: String): DataFrame =
+    GmrRunner.runFixed(partGraph(s, d), ConnectedComponentsProgram, CcIters)
+      .select(col("id"), col("value").cast("long").as("component")).orderBy("id")
+
+  def g5TriangleCount(s: SparkSession, d: String): DataFrame =
+    GraphOps.triangles(partPairs(s, d)).agg(count(lit(1)).as("n_triangles"))
+
+  def g6DegreeHistogram(s: SparkSession, d: String): DataFrame =
+    partGraph(s, d).degrees
+      .groupBy("deg").agg(count(lit(1)).as("n_vertices")).orderBy("deg")
+
+  val queries: Map[String, Q] = Map(
+    "g1_pagerank" -> g1Pagerank,
+    "g2_sssp" -> g2Sssp,
+    "g3_bfs" -> g3Bfs,
+    "g4_components" -> g4Components,
+    "g5_triangle_count" -> g5TriangleCount,
+    "g6_degree_histogram" -> g6DegreeHistogram)
+
+  val oracle: Map[String, String] = Map(
+    "g1_pagerank" -> pagerankSql(PrIters),
+    "g2_sssp" -> relaxSql(SsspIters, "p.v + e.w", "dist"),
+    "g3_bfs" -> relaxSql(BfsIters, "p.v + 1", "hops"),
+    "g4_components" -> componentsSql(CcIters),
+    "g5_triangle_count" ->
+      s"""WITH $edgeCtes
+         |SELECT count(*) AS n_triangles
+         |FROM cpairs ab JOIN cpairs bc ON ab.dst = bc.src
+         |               JOIN cpairs ac ON ac.src = ab.src AND ac.dst = bc.dst""".stripMargin,
+    "g6_degree_histogram" ->
+      s"""WITH $edgeCtes
+         |SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg ORDER BY deg""".stripMargin)
+}

@@ -1,0 +1,111 @@
+package graft.graph
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests from FIXTURES.md §A5: hand-computed expectations on tiny
+  * graphs (the reference ships no tests, SURVEY.md §5 — these fixtures
+  * mirror its known-answer micro-graphs `3line.graph`/`small.graph`). */
+class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.core.GraftSession.builder("4").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.jdk.CollectionConverters._
+  private def edgeDf(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  /** 3line.graph analog: path 1 → 2 → 3 (undirected). */
+  private def lineGraph = PropertyGraph.fromEdges(
+    PropertyGraph.symmetrize(edgeDf(1L -> 2L, 2L -> 3L)))
+
+  test("SSSP on a 3-vertex line: dist = 0,1,2 (FIXTURES.md §A5)") {
+    val r = GmrRunner.run(lineGraph, new Sssp(1L))
+    val dist = r.vertices.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(dist === Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0))
+    assert(r.iterations <= 4)
+  }
+
+  test("BFS hops equal SSSP on unit weights") {
+    val r = GmrRunner.run(lineGraph, new Bfs(1L))
+    val hops = r.vertices.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(hops === Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0))
+  }
+
+  test("SSSP respects weights (shorter heavy path loses)") {
+    import spark.implicits._
+    // 1→2 (w=10), 1→3 (w=1), 3→2 (w=1): best dist(2) = 2 via 3.
+    val e = Seq((1L, 2L, 10.0), (1L, 3L, 1.0), (3L, 2L, 1.0)).toDF("src", "dst", "weight")
+    val r = GmrRunner.run(PropertyGraph.fromEdges(e), new Sssp(1L))
+    val dist = r.vertices.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(dist(2L) === 2.0)
+  }
+
+  test("unreached vertices stay null") {
+    val g = PropertyGraph.fromEdges(edgeDf(1L -> 2L, 3L -> 4L))
+    val r = GmrRunner.run(g, new Sssp(1L))
+    val rows = r.vertices.collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(rows(2L) === Some(1.0))
+    assert(rows(3L) === None)
+    assert(rows(4L) === None)
+  }
+
+  test("connected components: two components get min labels") {
+    val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(
+      edgeDf(1L -> 2L, 2L -> 3L, 10L -> 11L)))
+    val r = GmrRunner.run(g, ConnectedComponentsProgram)
+    val comp = r.vertices.collect().map(x => x.getLong(0) -> x.getDouble(1).toLong).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("triangle count: one triangle + a tail") {
+    // canonical pairs: triangle (1,2,3) + edge 3-4
+    val tris = GraphOps.triangleCount(edgeDf(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L))
+    assert(tris === 1L)
+  }
+
+  test("per-vertex triangle counts credit all corners") {
+    val per = GraphOps.triangleCounts(edgeDf(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(per === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("PageRank: ranks sum to ~1 and hub outranks leaves (star graph)") {
+    // star: center 1 connected to 2,3,4,5 (undirected)
+    val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(
+      edgeDf(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L)))
+    val pr = PageRank(g).fixed(20).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(pr(1L) > pr(2L) * 2)
+    // leaves symmetric
+    assert(math.abs(pr(2L) - pr(5L)) < 1e-12)
+  }
+
+  test("PageRank convergence mode stops under the iteration cap") {
+    val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(
+      edgeDf(1L -> 2L, 2L -> 3L, 3L -> 1L)))
+    val run = PageRank(g).converged()
+    // 3-cycle is regular: uniform ranks from iteration 1, converges fast
+    assert(run.iterations < 10)
+    val pr = run.vertices.select("id", "value").collect().map(x => x.getDouble(1))
+    pr.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-4))
+  }
+
+  test("partition invariance: same SSSP result with 1 and 4 shuffle partitions") {
+    // the property GMR's partitioning machinery was meant to preserve (SURVEY §5)
+    val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(
+      edgeDf(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L)))
+    def distsWith(parts: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try GmrRunner.run(g, new Sssp(1L)).vertices.collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(distsWith("1") === distsWith("4"))
+  }
+}
