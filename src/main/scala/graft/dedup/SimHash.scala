@@ -1,0 +1,76 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** SimHash document fingerprinting for near-duplicate detection.
+  *
+  * Per document: tokenize to words, hash each word with the portable
+  * polynomial hash, and for each of the 30 low bits of the word hash add
+  * `+tf` when the bit is set, `-tf` when clear; the fingerprint sets bit j
+  * iff the accumulated weight is positive. Near-dups differ in few bits →
+  * hamming distance (bit_count of xor) is the similarity measure.
+  *
+  * Fully relational: explode(words) × broadcast(bit table) → two-level
+  * aggregation; partial aggregation collapses per (doc, bit) map-side.
+  * Bit tests use `h & 2^j` / `DIV` arithmetic (not shiftright) so the
+  * identical expressions run in the DuckDB oracle.
+  *
+  * 30 bits (not 64) because the portable hash lives in [0, 1e9+7) —
+  * every bit is honest entropy, nothing above bit 29 is populated.
+  */
+object SimHash {
+
+  val Bits = 30
+
+  /** (id, simhash) — one BIGINT fingerprint per document. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(col("id"), explode(Portable.words(col("text"))).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+      .select(col("id"), Portable.charHash(col("w")).as("h"), col("tf"))
+    val bits = broadcast(
+      (0 until Bits).map(j => (j, 1L << j)).toDF("j", "bitval"))
+    tf.crossJoin(bits)
+      .select(col("id"), col("j"), col("bitval"),
+        (col("tf") * when(col("h").bitwiseAND(col("bitval")) =!= 0L, lit(1L))
+          .otherwise(lit(-1L))).as("wgt"))
+      .groupBy(col("id"), col("j"), col("bitval"))
+      .agg(sum(col("wgt")).as("s"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") > 0, col("bitval")).otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Pairs with hamming distance ≤ maxHamming, blocked by a caller-chosen
+    * key column (cheap at test scale; the 100 TB path is [[bandedPairs]]). */
+  def pairsWithin(fps: DataFrame, blockCol: String, maxHamming: Int): DataFrame = {
+    val a = fps.as("a"); val b = fps.as("b")
+    a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Scale path: candidates = docs sharing any contiguous bit slice of the
+    * fingerprint (pigeonhole: hamming ≤ bands-1 guarantees a shared band).
+    * Join key is (band, slice) — no cross join, no blocking column needed. */
+  def bandedPairs(fps: DataFrame, bands: Int, maxHamming: Int): DataFrame = {
+    val spark = fps.sparkSession
+    import spark.implicits._
+    val width = Bits / bands
+    val bandTbl = broadcast(
+      (0 until bands).map(b => (b, 1L << (b * width))).toDF("band", "divisor"))
+    val sliced = fps.crossJoin(bandTbl).select(
+      col("id"), col("simhash"), col("band"),
+      expr(s"(simhash DIV divisor) % ${1L << width}").as("slice"))
+    val x = sliced.as("x"); val y = sliced.as("y")
+    x.join(y, col("x.band") === col("y.band") && col("x.slice") === col("y.slice") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

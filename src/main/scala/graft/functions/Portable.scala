@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable deterministic primitives.
+  *
+  * Every hash/tokenize/shingle operation here is defined purely in terms of
+  * operations that exist with identical semantics in Spark SQL and ANSI-ish
+  * SQL engines (the DuckDB oracle), so each operator built on them can be
+  * verified by the driver's hash-match gate. That rules out engine-native
+  * hashes (Spark murmur3 vs DuckDB's hash()) — instead: explicit polynomial
+  * rolling hashes in BIGINT arithmetic, left-folded in deterministic order.
+  *
+  * All codegen-friendly: built-in higher-order functions, no UDFs
+  * (SURVEY.md "Functions, not UDFs").
+  */
+object Portable {
+
+  /** Modulus for all rolling hashes (fits 31*p in a long with headroom). */
+  val P: Long = 1000000007L
+
+  /** Characters of a string, excluding the trailing empty token Java's
+    * split("") emits (DuckDB's string_split(s,'') has no such token). */
+  def chars(s: Column): Column = filter(split(s, ""), c => c =!= "")
+
+  /** Left-fold polynomial hash over the characters of a string:
+    * `acc = (acc*31 + ascii(char)) % P`. DuckDB equivalent:
+    * `list_reduce(list_prepend(0::BIGINT, list_transform(string_split(s,''),
+    *  c -> ascii(c)::BIGINT)), (a,b) -> (a*31+b) % P)`. */
+  def charHash(s: Column): Column =
+    aggregate(chars(s), lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(P))
+
+  /** Left-fold polynomial hash over a BIGINT array. */
+  def longFold(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(P))
+
+  /** Whitespace word tokens. */
+  def words(s: Column): Column = split(s, " ")
+
+  /** k-word shingles joined by single spaces; empty array when the doc has
+    * fewer than k words (guard needed: Spark's sequence(1,0) would count
+    * DOWN). DuckDB equivalent: list_transform(range(1, len-k+2), i -> ...). */
+  def shingles(wordsCol: Column, k: Int): Column = {
+    val n = size(wordsCol) - (k - 1)
+    when(n >= 1,
+      transform(sequence(lit(1), n), i =>
+        concat_ws(" ", (0 until k).map(o => element_at(wordsCol, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle hashes of a document — the set representation used
+    * by jaccard / MinHash dedup. */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(words(text), k), s => charHash(s)))
+
+  /** Exact jaccard similarity of two BIGINT-array sets (inputs must be
+    * distinct); integer counts divided in double — exact in both engines. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+}

@@ -1,0 +1,133 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** Loaders for the reference's three text graph formats (SURVEY.md §2.1
+  * O1/O4/O5/O6, FIXTURES.md §A). All are thin declarative pipelines over
+  * `spark.read.text` — Spark's FileScan already does byte-range parallel
+  * ingestion with line realignment, which is the entire point of the
+  * reference's 275-line manual reader (`/root/reference/graph.h:274-549`);
+  * none of its separator-discovery/owner-lookup machinery is needed.
+  */
+object GraphLoaders {
+
+  /** Comment prefixes the reference skips: `#`, `%`, `c`
+    * (`/root/reference/partition.h:368-396`). */
+  private def isComment(c: org.apache.spark.sql.Column) =
+    c.startsWith("#") || c.startsWith("%") || c.startsWith("c") || trim(c) === ""
+
+  /** A1: edge-list format — one `src dst [weight]` pair per line; optional
+    * header lines carry a single count token each and are dropped; a
+    * 0-based file is renumbered +1 like the reference
+    * (`/root/reference/partition.h:435-437`). */
+  def edgeList(spark: SparkSession, path: String,
+               renumberZeroBased: Boolean = true): PropertyGraph = {
+    val toks = spark.read.text(path)
+      .where(!isComment(col("value")))
+      .select(split(trim(col("value")), "\\s+").as("t"))
+      .where(size(col("t")) >= 2) // single-token lines = header counts
+      .select(
+        element_at(col("t"), 1).cast("long").as("src"),
+        element_at(col("t"), 2).cast("long").as("dst"),
+        coalesce(try_element_at(col("t"), lit(3)).cast("double"), lit(1.0)).as("weight"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val edges =
+      if (renumberZeroBased) {
+        val minId = toks.agg(least(min(col("src")), min(col("dst")))).first().getLong(0)
+        if (minId == 0L)
+          toks.select((col("src") + 1).as("src"), (col("dst") + 1).as("dst"), col("weight"))
+        else toks
+      } else toks
+    PropertyGraph.fromEdges(edges)
+  }
+
+  /** A2: METIS adjacency format — header `nvtxs nedges`, line i (1-based)
+    * lists the neighbors of vertex i. Line position IS the vertex id, so
+    * this needs an order-preserving indexed read: the one genuinely
+    * imperative per-partition step in the loaders (RDD zipWithIndex —
+    * constant extra pass, preserves scale-out). */
+  def metisAdjacency(spark: SparkSession, path: String): PropertyGraph = {
+    import spark.implicits._
+    val indexed = spark.sparkContext.textFile(path)
+      .zipWithIndex()
+      .filter { case (line, _) =>
+        val t = line.trim
+        t.nonEmpty && !t.startsWith("#") && !t.startsWith("%")
+      }
+      .map { case (line, idx) => (idx, line.trim) }
+      .toDF("lineno", "line")
+    // lineno 0 = header; vertex id = lineno (1-based line = vertex 1).
+    val edges = indexed.where(col("lineno") > 0)
+      .select(col("lineno").as("src"),
+        explode(split(col("line"), "\\s+")).as("nbr"))
+      .where(col("nbr") =!= "")
+      .select(col("src"), col("nbr").cast("long").as("dst"), lit(1.0).as("weight"))
+    // vertex set from the header's nvtxs (isolated vertices included — the
+    // reference's gap-fill behavior, partition.h:628-642)
+    val nvtxs = indexed.where(col("lineno") === 0)
+      .select(split(col("line"), "\\s+").getItem(0).cast("long")).first().getLong(0)
+    val vertices = spark.range(1, nvtxs + 1).select(col("id"))
+    PropertyGraph(vertices, edges)
+  }
+
+  /** A3: pre-partitioned METIS subgraph format (`*.subgraph.N`) — header
+    * `nvtxs nedges fmt [ncon]`; row = `vid [vwgt] (nbr [nbrloc] [ewgt])*`
+    * with the 4-digit fmt mask declaring optional columns
+    * (`/root/reference/graph.h:592-597`; column order `graph.h:677-698`).
+    * The per-edge owner partition (`nbrloc`) is parsed and surfaced as
+    * `dst_part` for inspection but plays no role in placement — Spark's
+    * shuffle owns that (SURVEY.md §1.2). */
+  def metisSubgraph(spark: SparkSession, path: String,
+                    hasVertexWeight: Boolean = true,
+                    hasEdgeLoc: Boolean = true,
+                    hasEdgeWeight: Boolean = true): PropertyGraph = {
+    val stride = 1 + (if (hasEdgeLoc) 1 else 0) + (if (hasEdgeWeight) 1 else 0)
+    val vOff = if (hasVertexWeight) 2 else 1 // tokens before the edge groups
+    // The header is line 1 (the reference reads it first, graph.h:569-599);
+    // line order must survive the read → indexed RDD pass.
+    import spark.implicits._
+    val indexed = spark.sparkContext.textFile(path)
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("%"))
+      .zipWithIndex()
+      .map { case (l, i) => (i, l.split("\\s+").toSeq) }
+      .toDF("lineno", "t")
+    val data = indexed.where(col("lineno") > 0)
+    val vertices = data.select(
+      element_at(col("t"), 1).cast("long").as("id"),
+      (if (hasVertexWeight) element_at(col("t"), 2).cast("double")
+       else lit(1.0)).as("vweight"))
+    val wSlot = if (hasEdgeLoc) 3 else 2
+    val edges = data.select(
+        element_at(col("t"), 1).cast("long").as("src"),
+        slice(col("t"), lit(vOff + 1), greatest(size(col("t")) - vOff, lit(0))).as("rest"))
+      .where(size(col("rest")) >= stride)
+      .select(col("src"), explode(transform(
+        sequence(lit(0), (size(col("rest")) / stride).cast("int") - 1), g => struct(
+          element_at(col("rest"), g * stride + 1).cast("long").as("dst"),
+          (if (hasEdgeLoc) element_at(col("rest"), g * stride + 2).cast("int")
+           else lit(null).cast("int")).as("dst_part"),
+          (if (hasEdgeWeight) element_at(col("rest"), g * stride + wSlot).cast("double")
+           else lit(1.0)).as("weight")))).as("e"))
+      .select(col("src"), col("e.dst").as("dst"), col("e.weight").as("weight"),
+        col("e.dst_part").as("dst_part"))
+    PropertyGraph(vertices, edges)
+  }
+
+  /** A4: whitespace-separated integer files (the reference's sample-sort
+    * inputs, `/root/reference/samplesort.cpp:41-58`). */
+  def integers(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.text(pathGlob)
+      .select(explode(split(trim(col("value")), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("tok").cast("long").as("n"))
+}
+
+/** The reference's global sample sort (`/root/reference/samplesort.cpp`,
+  * SURVEY.md §2.1 O22) is exactly Spark's `orderBy`: sample → range
+  * bounds → shuffle → per-partition sort (RangePartitioner). This wrapper
+  * exists to make that equivalence explicit and testable. */
+object SampleSort {
+  def sort(df: DataFrame, column: String): DataFrame = df.orderBy(col(column))
+}

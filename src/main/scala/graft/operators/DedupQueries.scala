@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dedup.{MinHashLsh, SimHash}
+import graft.functions.Portable
+
+/** Deduplication operator surface over the `documents` and `embeddings`
+  * tables: exact hash, n-gram jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup — the dedup toolbox of a training-data
+  * pipeline (each also usable as a library via graft.dedup).
+  *
+  * Every oracle replicates the *full pipeline* (including LSH banding),
+  * not just the intended answer — so the hash-match gate is exact and not
+  * recall-dependent.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val cfg = MinHashLsh.Config(shingleWords = 3, numPerms = 32,
+    bands = 8, threshold = 0.6)
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id").as("id"), col("lang"), col("text"))
+
+  /** d1: exact duplicate groups by SHA-256 of the raw text. */
+  def d1Exact(s: SparkSession, d: String): DataFrame = {
+    val h = docs(s, d).select(col("id"), sha2(col("text"), 256).as("text_sha"))
+    val canon = h.groupBy("text_sha").agg(min(col("id")).as("canonical_id"))
+    h.join(canon, "text_sha")
+      .select(col("id").as("doc_id"), col("text_sha"), col("canonical_id"),
+        (col("id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** d2: n-gram (3-word shingle) jaccard near-dup pairs, blocked by
+    * language (blocking keeps the pair space linear-ish at scale). */
+  def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sets = docs(s, d).select(col("id"), col("lang"),
+        Portable.shingleHashes(col("text"), cfg.shingleWords).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = sets.as("a"); val b = sets.as("b")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        Portable.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .where(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d3: MinHash+LSH near-dup pairs (banded candidate generation +
+    * exact-jaccard verification — see [[graft.dedup.MinHashLsh]]). */
+  def d3MinhashLsh(s: SparkSession, d: String): DataFrame =
+    MinHashLsh.nearDuplicates(docs(s, d), cfg)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** d4: SimHash fingerprint pairs with hamming ≤ 8, blocked by language. */
+  def d4Simhash(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val fps = SimHash.fingerprints(dd)
+      .join(dd.select(col("id"), col("lang")), "id")
+    SimHash.pairsWithin(fps, "lang", maxHamming = 8)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d5: embedding-cosine near-dup pairs (cos ≥ 0.4), blocked by label. */
+  def d5EmbeddingCosine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = e.select(col("vec_id"), col("label"), col("v"),
+      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)).as("nrm"))
+    val a = n.as("a"); val b = n.as("b")
+    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val cosSim = dot / (col("a.nrm") * col("b.nrm"))
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cosSim.as("c"))
+      .where(col("c") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d1_exact_dedup" -> d1Exact,
+    "d2_ngram_jaccard" -> d2NgramJaccard,
+    "d3_minhash_lsh" -> d3MinhashLsh,
+    "d4_simhash" -> d4Simhash,
+    "d5_embedding_cosine" -> d5EmbeddingCosine)
+
+  // ---- DuckDB oracles ----
+
+  private def sqlCharHash(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a*31 + b) % ${Portable.P})""".stripMargin
+
+  /** Shared shingle-set CTE: (id, lang, sh: BIGINT list, distinct). */
+  private val setsCte: String =
+    s"""wd AS (SELECT doc_id AS id, lang, string_split(text, ' ') AS words FROM documents),
+       |sets AS (SELECT id, lang, list_distinct(list_transform(
+       |  list_transform(range(1, greatest(len(words)-2, 0)+1),
+       |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]),
+       |  s -> ${sqlCharHash("s")})) AS sh FROM wd),
+       |ne AS (SELECT * FROM sets WHERE len(sh) > 0)""".stripMargin
+
+  private val jaccardExpr =
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))"
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT doc_id, sha256(text) AS text_sha,
+        |  min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,
+        |  doc_id != min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d2_ngram_jaccard" ->
+      s"""WITH $setsCte
+         |SELECT a.id AS doc_a, b.id AS doc_b, round($jaccardExpr, 6) AS jaccard
+         |FROM ne a JOIN ne b ON a.lang = b.lang AND a.id < b.id
+         |WHERE $jaccardExpr >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""WITH $setsCte,
+         |ex AS (SELECT id, unnest(sh) AS h FROM ne),
+         |perms AS (SELECT range AS perm,
+         |  ((range+1)*${MinHashLsh.PermA} + 7) % ${Portable.P} AS a,
+         |  ((range+1)*${MinHashLsh.PermB} + 3) % ${Portable.P} AS b
+         |  FROM range(0, ${cfg.numPerms})),
+         |mins AS (SELECT id, perm, min((a*h + b) % ${Portable.P}) AS minv
+         |  FROM ex, perms GROUP BY id, perm),
+         |bands AS (SELECT id, perm // ${cfg.rowsPerBand} AS band,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(minv ORDER BY perm)),
+         |    (x, y) -> (x*31 + y) % ${Portable.P}) AS sig
+         |  FROM mins GROUP BY id, perm // ${cfg.rowsPerBand}),
+         |cand AS (SELECT DISTINCT x.id AS ida, y.id AS idb
+         |  FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
+         |pairs AS (SELECT ida, idb, $jaccardExpr AS j
+         |  FROM cand JOIN ne a ON ida = a.id JOIN ne b ON idb = b.id)
+         |SELECT ida AS doc_a, idb AS doc_b, round(j, 6) AS jaccard
+         |FROM pairs WHERE j >= ${cfg.threshold}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d4_simhash" ->
+      s"""WITH docs AS (SELECT doc_id AS id, lang, text FROM documents),
+         |tf AS (SELECT id, w, count(*) AS tf FROM
+         |  (SELECT id, unnest(string_split(text, ' ')) AS w FROM docs) GROUP BY id, w),
+         |th AS (SELECT id, ${sqlCharHash("w")} AS h, tf FROM tf),
+         |bits AS (SELECT range AS j, (CAST(1 AS BIGINT) << range) AS bitval
+         |  FROM range(0, ${SimHash.Bits})),
+         |wb AS (SELECT id, j, bitval,
+         |  tf * (CASE WHEN (h & bitval) != 0 THEN 1 ELSE -1 END) AS wgt FROM th, bits),
+         |sb AS (SELECT id, j, bitval, sum(wgt) AS s FROM wb GROUP BY id, j, bitval),
+         |fp AS (SELECT id, CAST(sum(CASE WHEN s > 0 THEN bitval ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM sb GROUP BY id),
+         |fpl AS (SELECT f.id, f.simhash, d.lang FROM fp f JOIN docs d ON f.id = d.id)
+         |SELECT a.id AS doc_a, b.id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fpl a JOIN fpl b ON a.lang = b.lang AND a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d5_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(v, x -> x*x)), (a, b) -> a + b)) AS nrm FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(a.v, b.v), s -> s[1]*s[2])),
+        |      (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_zip(a.v, b.v), s -> s[1]*s[2])),
+        |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.multimodal.Media
+
+/** Multimodal-column query surface: the documents table's text re-encoded
+  * as opaque binary payloads and pushed through the typed
+  * mapPartitions feature-extraction pipeline (stub codec — see
+  * [[graft.multimodal.Media.FakeCodec]]).
+  *
+  * The oracle reproduces the byte-fold checksum with the char-fold SQL
+  * (identical for ASCII payloads — the testdata is ASCII; a real binary
+  * table would get a rows-only check instead). */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def m1MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromText(Tables.documents(s, d), "doc_id", "text")
+    Media.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("first_byte"), col("checksum"), round(col("feature"), 6).as("feature"))
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, Q] = Map("m1_media_features" -> m1MediaFeatures)
+
+  private def sqlCharHash(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a*31 + b) % ${Media.FakeCodec.P})""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "m1_media_features" ->
+      s"""SELECT doc_id AS media_id, 'text/plain' AS kind,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+         |  ${sqlCharHash("text")} AS checksum,
+         |  round((${sqlCharHash("text")} % 1000) / 1000.0, 6) AS feature
+         |FROM documents ORDER BY media_id""".stripMargin)
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - s1: brute-force cosine top-k — the exactness baseline. Query side is
+  *    tiny → broadcast; the scan side streams; ranking is a per-query
+  *    window (TakeOrdered semantics).
+  *  - s2: hyperplane-LSH bucketed top-k — the 100 TB path: a 6-bit
+  *    random-hyperplane signature per vector; candidates = same-bucket
+  *    vectors only, so the join is equi-key (no cross product). The
+  *    hyperplanes come from an explicit LCG formula evaluated identically
+  *    in Spark and the DuckDB oracle — bit-exact, so even the approximate
+  *    variant hash-matches.
+  *
+  * All dot products / norms are left-folds over the array in element
+  * order (`aggregate`/`zip_with`, DuckDB `list_reduce`) — never a groupBy
+  * SUM over exploded elements, whose accumulation order is
+  * nondeterministic in a distributed engine.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TopK = 10
+  private val NQueryVecs = 5
+  private val NPlanes = 6
+  private val Dim = 64
+
+  /** LCG hyperplane component (j,d) ∈ [-0.5, 0.5): exactly representable
+    * and reproducible in any engine with BIGINT + DOUBLE. */
+  private def planeComponent(j: Int, d: Int): Double =
+    ((1103515245L * (j * Dim + d) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+
+  private def vecsWithNorm(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    e.select(col("vec_id"), col("label"), col("v"),
+      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+  }
+
+  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (a, x) => a + x) / (na * nb)
+
+  /** s1: exact cosine top-10 for the first 5 vectors. */
+  def s1AnnBruteforce(s: SparkSession, d: String): DataFrame = {
+    val n = vecsWithNorm(s, d)
+    val q = broadcast(n.where(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val scored = q.crossJoin(n)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Signature column: 6-bit hyperplane sign pattern of `v`. */
+  private def signature(v: Column): Column =
+    (0 until NPlanes).map { j =>
+      val plane = array((0 until Dim).map(dd => lit(planeComponent(j, dd))): _*)
+      val proj = aggregate(zip_with(v, plane, (x, p) => x * p), lit(0.0), (a, x) => a + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** s2: LSH-bucketed cosine top-10 — candidates share the full 6-bit
+    * signature with the query. */
+  def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val n = vecsWithNorm(s, d).withColumn("sig", signature(col("v")))
+    val q = broadcast(n.where(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("sig").as("qsig")))
+    val scored = q.join(n, col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s1_ann_bruteforce" -> s1AnnBruteforce,
+    "s2_ann_lsh" -> s2AnnLsh)
+
+  // ---- DuckDB oracles ----
+
+  private val sqlNorm =
+    """sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |  list_transform(v, x -> x*x)), (a, b) -> a + b))""".stripMargin
+
+  private val sqlCos =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |  list_transform(list_zip(q.qv, n.v), s -> s[1]*s[2])),
+      |  (a, b) -> a + b) / (q.qn * n.nrm)""".stripMargin
+
+  /** The same 6-bit signature as [[signature]], from the same LCG. */
+  private val sqlSignature: String =
+    (0 until NPlanes).map { j =>
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(list_zip(v, list_transform(range(0, $Dim),
+         |    d -> CAST((1103515245*($j*$Dim + d) + 12345) % 2147483648 AS DOUBLE)
+         |         / 2147483648.0 - 0.5)),
+         |  s -> s[1]*s[2])), (a, b) -> a + b) > 0
+         | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" + ")
+
+  private val baseCte =
+    s"""e AS (SELECT vec_id, label,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, v, $sqlNorm AS nrm FROM e)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s1_ann_bruteforce" ->
+      s"""WITH $baseCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NQueryVecs),
+         |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |  round($sqlCos, 6) AS cos_sim
+         |  FROM q CROSS JOIN n WHERE n.vec_id != q.query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "s2_ann_lsh" ->
+      s"""WITH $baseCte,
+         |sigs AS (SELECT vec_id, v, nrm, $sqlSignature AS sig FROM n),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, sig AS qsig
+         |  FROM sigs WHERE vec_id < $NQueryVecs),
+         |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |  round($sqlCos, 6) AS cos_sim
+         |  FROM q JOIN (SELECT vec_id, v, nrm, sig FROM sigs) n
+         |  ON n.sig = q.qsig AND n.vec_id != q.query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Portable
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * heuristic language ID, quality scoring, and rolling-hash document
+  * fingerprinting — the text half of a training-data pipeline. Everything
+  * is built from codegen'd built-ins (no UDFs) with a DuckDB-equivalent
+  * oracle per query.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation. */
+  private val TokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Stopword lists per language for the n-gram/stopword language
+    * heuristic. Candidate langs checked in fixed alphabetical order so
+    * ties resolve identically in both engines. */
+  private val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"))
+
+  private def stopwordCount(wordsCol: Column, sw: Seq[String]): Column =
+    size(filter(wordsCol, w => w.isInCollection(sw)))
+
+  /** t1: token statistics — whitespace tokens, regex (BPE-ish) tokens,
+    * distinct word count, character length. */
+  def t1TokenStats(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.words(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(w).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit(TokRe)).cast("long").as("n_re_tokens"),
+      size(array_distinct(w)).cast("long").as("n_distinct_words"),
+      length(col("text")).cast("long").as("len_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** t2: stopword-profile language ID. Predicts the alphabetically-first
+    * language with the maximal stopword count (0 everywhere → "und",
+    * undetermined). */
+  def t2LangId(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.words(col("text"))
+    val scored = Tables.documents(s, d).select(
+      (col("doc_id") +: col("lang").as("labeled_lang") +:
+        Stopwords.map { case (l, sw) => stopwordCount(w, sw).as(s"s_$l") }): _*)
+    val best = Stopwords.map { case (l, _) => col(s"s_$l") }
+      .reduce((a, b) => greatest(a, b))
+    // when-chain checks langs in alphabetical order: first maximal score wins,
+    // mirroring the oracle's CASE chain exactly.
+    val predOrdered = Stopwords.foldLeft(Option.empty[Column]) {
+      case (None, (l, _)) => Some(when(col(s"s_$l") === best && best > 0, lit(l)))
+      case (Some(c), (l, _)) => Some(c.when(col(s"s_$l") === best && best > 0, lit(l)))
+    }.get.otherwise(lit("und"))
+    scored.select(col("doc_id"), col("labeled_lang"), predOrdered.as("pred_lang"),
+        (predOrdered === col("labeled_lang")).as("agree"))
+      .orderBy("doc_id")
+  }
+
+  /** t3: quality scoring — length, punctuation density, stopword ratio,
+    * mean token length; composite score in [0,1]-ish. */
+  def t3Quality(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.words(col("text"))
+    val nw = size(w).cast("double")
+    val allSw = Stopwords.flatMap(_._2).distinct
+    val swRatio = stopwordCount(w, allSw).cast("double") / nw
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("double")
+    val punctRatio = punct / length(col("text")).cast("double")
+    val meanLen = (length(col("text")) - (nw - 1)) / nw // chars net of spaces
+    val score =
+      least(nw / lit(100.0), lit(1.0)) * lit(0.4) +
+        least(swRatio * lit(5.0), lit(1.0)) * lit(0.3) +
+        (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.3)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(w).cast("long").as("n_words"),
+      round(swRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(score, 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** t4: rolling-hash document fingerprint (order-sensitive char fold) +
+    * an order-insensitive variant (fold over sorted distinct word hashes). */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.words(col("text"))
+    val wordHashes = sort_array(array_distinct(transform(w, x => Portable.charHash(x))))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Portable.charHash(col("text")).as("fp_rolling"),
+      Portable.longFold(wordHashes).as("fp_bag"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t1_token_stats" -> t1TokenStats,
+    "t2_langid" -> t2LangId,
+    "t3_quality" -> t3Quality,
+    "t4_fingerprint" -> t4Fingerprint)
+
+  // ---- DuckDB oracles ----
+
+  private val sqlWords = "string_split(text, ' ')"
+
+  private def sqlStopCount(sw: Seq[String]): String =
+    s"len(list_filter($sqlWords, w -> w IN (${sw.map(x => s"'$x'").mkString(",")})))"
+
+  /** DuckDB twin of [[Portable.charHash]]. */
+  private def sqlCharHash(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a*31 + b) % ${Portable.P})""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""SELECT doc_id,
+         |  len($sqlWords) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_re_tokens,
+         |  len(list_distinct($sqlWords)) AS n_distinct_words,
+         |  length(text) AS len_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_langid" -> {
+      val scores = Stopwords.map { case (l, sw) => s"${sqlStopCount(sw)} AS s_$l" }
+      val best = s"greatest(${Stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+      val chain = Stopwords.map { case (l, _) =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, lang AS labeled_lang, ${scores.mkString(", ")} FROM documents),
+         |b AS (SELECT *, $best AS best FROM scored)
+         |SELECT doc_id, labeled_lang,
+         |  CASE $chain ELSE 'und' END AS pred_lang,
+         |  (CASE $chain ELSE 'und' END) = labeled_lang AS agree
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "t3_quality" -> {
+      val allSw = Stopwords.flatMap(_._2).distinct
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(len($sqlWords) AS DOUBLE) AS nw,
+         |  CAST(${sqlStopCount(allSw)} AS DOUBLE) AS nsw,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+         |  CAST(length(text) AS DOUBLE) AS nc
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(nw AS BIGINT) AS n_words,
+         |  round(nsw/nw, 6) AS stopword_ratio,
+         |  round(np/nc, 6) AS punct_ratio,
+         |  round((nc - (nw - 1))/nw, 6) AS mean_word_len,
+         |  round(least(nw/100.0, 1.0)*0.4 + least(nsw/nw*5.0, 1.0)*0.3
+         |        + (1.0 - least(np/nc*10.0, 1.0))*0.3, 6) AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "t4_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${sqlCharHash("text")} AS fp_rolling,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_sort(list_distinct(list_transform($sqlWords, w -> ${sqlCharHash("w")})))),
+         |    (a, b) -> (a*31 + b) % ${Portable.P}) AS fp_bag
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

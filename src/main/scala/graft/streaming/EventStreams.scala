@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface of the engine (SURVEY.md §2.2: the
+  * reference is strictly batch-iterative — this is additive capability).
+  * All transforms are expressed once and run identically in batch and
+  * streaming mode; streaming adds watermarks and state.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * late-data cutoff. Works on a batch DataFrame (window agg) or a
+    * readStream source unchanged. */
+  def windowedStats(events: DataFrame,
+                    windowLen: String = "1 hour",
+                    watermarkDelay: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total"))
+  }
+
+  /** Gap-based sessionization with the built-in session_window (batch and
+    * streaming; streaming requires the watermark). */
+  def sessions(events: DataFrame,
+               gap: String = "30 minutes",
+               watermarkDelay: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
+
+  // ---- custom state: flatMapGroupsWithState sessionization ----
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              n_events: Long, total_value: Double)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * `KeyValueGroupedDataset` state API the built-in session_window can't
+    * express arbitrary variants of (e.g. value-capped sessions). Emits a
+    * session when the event-time gap exceeds `gapMs` within a batch, and
+    * on state timeout across batches. */
+  def sessionizeWithState(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, new Timestamp(s.start), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out += SessionOut(user, new Timestamp(s.start), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // batch mode has no watermark — getCurrentWatermarkMs throws
+              if (scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L) > 0)
+                state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.dedup
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Portable
+
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.core.GraftSession.builder("4").getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("charHash matches the DuckDB-oracle fold for 'hello world'") {
+    // Reference value computed independently with the same recurrence
+    // acc = (acc*31 + ascii) % 1e9+7 → 204910434 (verified in DuckDB).
+    val got = docsDf(1L -> "hello world")
+      .select(Portable.charHash(col("text"))).first().getLong(0)
+    assert(got === 204910434L)
+  }
+
+  test("shingles: guard for docs shorter than k") {
+    val d = docsDf(1L -> "one two", 2L -> "a b c d")
+    val n = d.select(col("id"), size(Portable.shingles(Portable.words(col("text")), 3)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(n === Map(1L -> 0, 2L -> 2))
+  }
+
+  test("MinHashLsh finds a planted near-duplicate and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i word$i").mkString(" ")
+    val pairs = MinHashLsh.nearDuplicates(
+        docsDf(1L -> base, 2L -> nearDup, 3L -> unrelated),
+        MinHashLsh.Config(threshold = 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("MinHash signature of identical docs is identical (jaccard 1.0)") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val out = MinHashLsh.nearDuplicates(docsDf(1L -> text, 2L -> text))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(2) === 1.0)
+  }
+
+  test("SimHash: identical docs hamming 0, near-dup small, unrelated large") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i % 29 == 0) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (1 to 60).map(i => s"zzz$i qqq$i").mkString(" ")
+    val fps = SimHash.fingerprints(docsDf(1L -> base, 2L -> base, 3L -> near, 4L -> other))
+      .withColumn("blk", lit(1))
+    val ham = SimHash.pairsWithin(fps, "blk", maxHamming = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ham((1L, 2L)) === 0L)
+    assert(ham((1L, 3L)) < ham((1L, 4L)))
+    assert(ham((1L, 3L)) <= 8L)
+  }
+
+  test("SimHash banded candidates find what the blocked path finds") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 7) "CHANGED" else s"tok$i").mkString(" ")
+    val fps = SimHash.fingerprints(docsDf(1L -> base, 2L -> near))
+    val banded = SimHash.bandedPairs(fps, bands = 6, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(banded.toSeq === Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.core.GraftSession.builder("4").getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private def res(name: String): String =
+    getClass.getResource(s"/graphs/$name").getPath
+
+  test("edge-list: header and comment lines skipped, 5 edges, 4 vertices") {
+    val g = GraphLoaders.edgeList(spark, res("edgelist.graph"))
+    assert(g.edges.count() === 5)
+    assert(g.vertices.count() === 4)
+    val e = g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e === Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 1L)))
+  }
+
+  test("edge-list: 0-based file renumbered +1 like the reference") {
+    val g = GraphLoaders.edgeList(spark, res("edgelist0.graph"))
+    val e = g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e === Set((1L, 2L), (2L, 3L), (3L, 1L)))
+  }
+
+  test("METIS adjacency: line number is the vertex id") {
+    val g = GraphLoaders.metisAdjacency(spark, res("metis.graph"))
+    assert(g.vertices.count() === 4)
+    val e = g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e === Set(
+      (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 3L)))
+  }
+
+  test("METIS subgraph fmt=1111: vid/vwgt + (nbr, part, ewgt) triples") {
+    val g = GraphLoaders.metisSubgraph(spark, res("subgraph.0"))
+    assert(g.vertices.count() === 4)
+    val vw = g.vertices.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vw === Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.5, 4L -> 1.0))
+    val e = g.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(e === Set(
+      (1L, 2L, 1.5, 0), (1L, 3L, 2.0, 1),
+      (2L, 1L, 1.5, 0), (2L, 4L, 1.0, 1),
+      (3L, 1L, 2.0, 0),
+      (4L, 2L, 1.0, 0)))
+  }
+
+  test("integer files + SampleSort ≡ sorted concatenation (O22)") {
+    val df = GraphLoaders.integers(spark, res("numbers.part.0").stripSuffix(".0") + ".*")
+    val sorted = SampleSort.sort(df, "n").collect().map(_.getLong(0)).toSeq
+    assert(sorted === Seq(1L, 3L, 6L, 7L, 19L, 42L, 55L, 88L, 100L))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.core.GraftSession.builder("4").getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+
+  test("windowedStats over a MemoryStream: counts land in their hour window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedStats(df, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0), (ts(70), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("event_type", "n", "total").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessions (session_window) over a MemoryStream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val q = EventStreams.sessions(df, "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      // user 7: events at minute 0, 10 (one session), 100 (new session)
+      mem.addData((ts(0), 7L, 1.0), (ts(10), 7L, 2.0), (ts(100), 7L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows === Set((7L, 2L, 3.0), (7L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizeWithState: in-batch gap splitting matches expectations") {
+    import spark.implicits._
+    val events = Seq(
+      EventStreams.Event(1L, ts(0), 1.0),
+      EventStreams.Event(1L, ts(5), 2.0),
+      EventStreams.Event(1L, ts(90), 7.0),
+      EventStreams.Event(2L, ts(0), 4.0)).toDS()
+    // batch mode: flatMapGroupsWithState emits closed sessions; the last
+    // open session per key stays in (never-timed-out) state, so only the
+    // session closed by the in-batch gap appears.
+    val out = EventStreams.sessionizeWithState(events, gapMs = 30 * 60000L)
+      .collect().map(s => (s.user_id, s.n_events, s.total_value)).toSet
+    assert(out === Set((1L, 2L, 3.0)))
+  }
+
+  test("batch and streaming sessions agree on the same data") {
+    import spark.implicits._
+    val batch = Seq((ts(0), 7L, 1.0), (ts(10), 7L, 2.0), (ts(100), 7L, 4.0))
+      .toDF("ts", "user_id", "value")
+    val rows = EventStreams.sessions(batch, "30 minutes")
+      .select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows === Set((7L, 2L, 3.0), (7L, 1L, 4.0)))
+  }
+}
