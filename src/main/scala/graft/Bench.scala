@@ -18,7 +18,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop caches/checkpoint blocks between queries (not billed to the
+      // query) so block-manager pressure from iterative queries doesn't
+      // poison later measurements in the shared local-mode JVM.
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

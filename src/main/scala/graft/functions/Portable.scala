@@ -51,7 +51,16 @@ object Portable {
   }
 
   /** Distinct shingle hashes of a document — the set representation used
-    * by jaccard / MinHash dedup. */
+    * by jaccard / MinHash dedup.
+    *
+    * Deliberately the direct form (char-fold each joined shingle string):
+    * a "smarter" compositional variant (hash each word once, combine per
+    * shingle arithmetically) is mathematically identical but catastrophic
+    * in practice — Catalyst inlines the word-hash array expression at
+    * every element_at inside the nested lambda, re-hashing all words per
+    * shingle (O(words²), measured 18s → 650s on the sf0.1 dedup query).
+    * Callers must fan out single-file scans before this projection (the
+    * per-row work is the expensive part). */
   def shingleHashes(text: Column, k: Int): Column =
     array_distinct(transform(shingles(words(text), k), s => charHash(s)))
 

@@ -73,18 +73,30 @@ trait VertexProgram {
   */
 object GmrRunner {
 
-  final case class RunResult(vertices: DataFrame, iterations: Int, lastDelta: Double)
+  /** `supersteps(i)` = wall-clock seconds of superstep i+1 — the engine's
+    * analog of the reference's per-phase timing report
+    * (`/root/reference/gmr.h:369-380`); here one superstep is one fused
+    * Catalyst plan, so per-phase (map/sort/reduce/update) splits don't
+    * exist separately. */
+  final case class RunResult(vertices: DataFrame, iterations: Int, lastDelta: Double,
+                             supersteps: Seq[Double] = Nil)
 
   /** Run to convergence (max-abs-delta < tolerance, `gmr.h:125`) or the
     * iteration cap. */
   def run(graph: PropertyGraph, program: VertexProgram,
-          checkpointInterval: Int = 5): RunResult =
+          checkpointInterval: Int = 1): RunResult =
     loop(graph, program, program.maxIterations, convergenceCheck = true, checkpointInterval)
 
   /** Run exactly `iterations` supersteps — deterministic mode for
-    * oracle-checked queries (SURVEY.md §7.3 "fixed iteration counts"). */
+    * oracle-checked queries (SURVEY.md §7.3 "fixed iteration counts").
+    *
+    * checkpointInterval defaults to 1: each superstep references the
+    * previous vertex state twice (message join + update join), so a lazy
+    * k-superstep plan is a ~2^k recompute tree — materializing the small
+    * vertex state every superstep is far cheaper than ever evaluating
+    * that tree (measured 239s → seconds on the sf0.1 SSSP query). */
   def runFixed(graph: PropertyGraph, program: VertexProgram, iterations: Int,
-               checkpointInterval: Int = 5): DataFrame =
+               checkpointInterval: Int = 1): DataFrame =
     loop(graph, program, iterations, convergenceCheck = false, checkpointInterval).vertices
 
   private def loop(graph: PropertyGraph, program: VertexProgram, maxIter: Int,
@@ -102,7 +114,9 @@ object GmrRunner {
     var iter = 0
     var lastDelta = Double.MaxValue
     var converged = false
+    val timings = Seq.newBuilder[Double]
     while (iter < maxIter && !converged) {
+      val tickStart = System.nanoTime()
       val msgs = program.messages(state, edges)
       val agg = msgs.groupBy("id").agg(program.combiner.as("_agg"))
       val stepped = state.join(agg, Seq("id"), "left_outer")
@@ -119,8 +133,9 @@ object GmrRunner {
         converged = lastDelta < program.tolerance
       }
       state = next
+      timings += (System.nanoTime() - tickStart) / 1e9
     }
     edges.unpersist(blocking = false)
-    RunResult(state.drop("_delta"), iter, lastDelta)
+    RunResult(state.drop("_delta"), iter, lastDelta, timings.result())
   }
 }

@@ -22,8 +22,14 @@ object DedupQueries {
   private val cfg = MinHashLsh.Config(shingleWords = 3, numPerms = 32,
     bands = 8, threshold = 0.6)
 
+  /** Documents with the scan fanned out: the testdata is one parquet file
+    * (one FileScan partition), and the shingle/word hashing downstream is
+    * the expensive part — without the repartition it all runs in a single
+    * task (measured: 1000+ s of one-core time at sf0.1). At real scale the
+    * scan has many splits and this is a near-no-op safety net. */
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id").as("id"), col("lang"), col("text"))
+      .repartition(col("id"))
 
   /** d1: exact duplicate groups by SHA-256 of the raw text. */
   def d1Exact(s: SparkSession, d: String): DataFrame = {
@@ -36,15 +42,34 @@ object DedupQueries {
   }
 
   /** d2: n-gram (3-word shingle) jaccard near-dup pairs, blocked by
-    * language (blocking keeps the pair space linear-ish at scale). */
+    * language.
+    *
+    * Engine side uses the inverted-index formulation (provably lossless vs
+    * the oracle's all-pairs SQL: a pair with no common shingle has jaccard
+    * 0 and can never reach the 0.5 threshold): explode shingle sets,
+    * self-join on the shingle hash — a high-cardinality, well-distributed
+    * key, unlike a (lang) block join whose handful of key groups serialize
+    * into a few tasks — count common shingles per pair, and derive
+    * jaccard = c / (|A| + |B| - c) from exact integer counts. Pair volume
+    * is Σ_shingle k² (k = docs per shingle), which stays near-linear
+    * because long shingles are nearly unique; a frequency cap would bound
+    * the worst case at true web scale. */
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sets = docs(s, d).select(col("id"), col("lang"),
         Portable.shingleHashes(col("text"), cfg.shingleWords).as("sh"))
       .where(size(col("sh")) > 0)
-    val a = sets.as("a"); val b = sets.as("b")
-    a.join(b, col("a.lang") === col("b.lang") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        Portable.jaccard(col("a.sh"), col("b.sh")).as("j"))
+    val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("nsh"))
+    val ex = sets.select(col("id"), col("lang"), explode(col("sh")).as("h"))
+    val a = ex.as("a"); val b = ex.as("b")
+    val common = a.join(b, col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")).as("j"))
       .where(col("j") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")

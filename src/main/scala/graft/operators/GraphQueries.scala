@@ -37,8 +37,16 @@ object GraphQueries {
       .agg(count(lit(1)).cast("double").as("weight"))
   }
 
-  def partGraph(s: SparkSession, d: String): PropertyGraph =
-    PropertyGraph.fromEdges(PropertyGraph.symmetrize(partPairs(s, d)))
+  /** Derived graph with the canonical pair set persisted: degrees, the
+    * source-vertex lookup, and the runner's own edge materialization all
+    * re-derive from the cached pairs instead of re-running the lineitem
+    * self-join (2-3 extra scans otherwise). Bench/Verify clear caches
+    * between queries. */
+  def partGraph(s: SparkSession, d: String): PropertyGraph = {
+    val pairs = partPairs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PropertyGraph.fromEdges(PropertyGraph.symmetrize(pairs))
+  }
 
   // ---- oracle SQL derivation (shared CTE prefix) ----
 
@@ -140,7 +148,8 @@ object GraphQueries {
       .select(col("id"), col("value").cast("long").as("component")).orderBy("id")
 
   def g5TriangleCount(s: SparkSession, d: String): DataFrame =
-    GraphOps.triangles(partPairs(s, d)).agg(count(lit(1)).as("n_triangles"))
+    GraphOps.triangleCountViaIntersect(
+      partPairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def g6DegreeHistogram(s: SparkSession, d: String): DataFrame =
     partGraph(s, d).degrees

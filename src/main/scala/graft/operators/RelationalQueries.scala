@@ -128,6 +128,18 @@ object RelationalQueries {
       .orderBy($"region_name", $"nation_name")
   }
 
+  /** CUBE grouping sets over two independent dimensions. */
+  def q19CubeSales(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 2).as("sales"), count(lit(1)).as("n_orders"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+              coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+              $"sales", $"n_orders")
+      .orderBy($"status", $"priority")
+  }
+
   /** Left-semi join (EXISTS): customers with an open order. */
   def q8SemiJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -256,7 +268,8 @@ object RelationalQueries {
     "q13_json" -> q13Json,
     "q14_global_sort" -> q14GlobalSort,
     "q15_time_window" -> q15TimeWindow,
-    "q16_stats" -> q16Stats)
+    "q16_stats" -> q16Stats,
+    "q19_cube_sales" -> q19CubeSales)
 
   val oracle: Map[String, String] = Map(
     "q1_shipping_summary" ->
@@ -374,5 +387,11 @@ object RelationalQueries {
          round(max(l_quantity), 2) AS max_qty,
          round(avg(l_quantity), 4) AS avg_qty,
          round(stddev_samp(l_quantity), 4) AS std_qty
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q19_cube_sales" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         round(sum(o_totalprice), 2) AS sales, count(*) AS n_orders
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""")
 }

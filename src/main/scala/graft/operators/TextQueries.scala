@@ -30,11 +30,16 @@ object TextQueries {
   private def stopwordCount(wordsCol: Column, sw: Seq[String]): Column =
     size(filter(wordsCol, w => w.isInCollection(sw)))
 
+  /** Single-file scan fanned out before the per-row text crunching (see
+    * DedupQueries.docs for the measured single-task pathology). */
+  private def docs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).repartition(col("doc_id"))
+
   /** t1: token statistics — whitespace tokens, regex (BPE-ish) tokens,
     * distinct word count, character length. */
   def t1TokenStats(s: SparkSession, d: String): DataFrame = {
     val w = Portable.words(col("text"))
-    Tables.documents(s, d).select(
+    docs(s, d).select(
       col("doc_id"),
       size(w).cast("long").as("n_ws_tokens"),
       regexp_count(col("text"), lit(TokRe)).cast("long").as("n_re_tokens"),
@@ -48,7 +53,7 @@ object TextQueries {
     * undetermined). */
   def t2LangId(s: SparkSession, d: String): DataFrame = {
     val w = Portable.words(col("text"))
-    val scored = Tables.documents(s, d).select(
+    val scored = docs(s, d).select(
       (col("doc_id") +: col("lang").as("labeled_lang") +:
         Stopwords.map { case (l, sw) => stopwordCount(w, sw).as(s"s_$l") }): _*)
     val best = Stopwords.map { case (l, _) => col(s"s_$l") }
@@ -79,7 +84,7 @@ object TextQueries {
       least(nw / lit(100.0), lit(1.0)) * lit(0.4) +
         least(swRatio * lit(5.0), lit(1.0)) * lit(0.3) +
         (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.3)
-    Tables.documents(s, d).select(
+    docs(s, d).select(
       col("doc_id"),
       size(w).cast("long").as("n_words"),
       round(swRatio, 6).as("stopword_ratio"),
@@ -94,7 +99,7 @@ object TextQueries {
   def t4Fingerprint(s: SparkSession, d: String): DataFrame = {
     val w = Portable.words(col("text"))
     val wordHashes = sort_array(array_distinct(transform(w, x => Portable.charHash(x))))
-    Tables.documents(s, d).select(
+    docs(s, d).select(
       col("doc_id"),
       Portable.charHash(col("text")).as("fp_rolling"),
       Portable.longFold(wordHashes).as("fp_bag"))

@@ -69,6 +69,19 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tris === 1L)
   }
 
+  test("oriented and intersect triangle counts equal the naive 3-way join count") {
+    // two triangles sharing edge 2-3, plus a tail
+    val e = edgeDf(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L)
+    assert(GraphOps.orientedTriangleCountDF(e).first().getLong(0) ===
+      GraphOps.triangleCount(e))
+    assert(GraphOps.triangleCountViaIntersect(e).first().getLong(0) ===
+      GraphOps.triangleCount(e))
+    assert(GraphOps.triangleCount(e) === 2L)
+    // triangle-free graph → 0 (coalesce guard on the empty sum)
+    val tf = edgeDf(1L -> 2L, 2L -> 3L)
+    assert(GraphOps.triangleCountViaIntersect(tf).first().getLong(0) === 0L)
+  }
+
   test("per-vertex triangle counts credit all corners") {
     val per = GraphOps.triangleCounts(edgeDf(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L))
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
@@ -84,6 +97,16 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pr(1L) > pr(2L) * 2)
     // leaves symmetric
     assert(math.abs(pr(2L) - pr(5L)) < 1e-12)
+  }
+
+  test("PageRank.compat uses the reference's d=0.5 damping (algorithms.h:30)") {
+    val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(
+      edgeDf(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L)))
+    val std = PageRank(g).fixed(10).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val compat = PageRank.compat(g).fixed(10).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // lower damping → flatter distribution: hub rank shrinks toward 1/n
+    assert(compat(1L) < std(1L))
+    assert(math.abs(compat.values.sum - 1.0) < 1e-6)
   }
 
   test("PageRank convergence mode stops under the iteration cap") {
