@@ -252,6 +252,41 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Generator / lateral view: tokenize documents with positions
+    * (posexplode ≡ UNNEST WITH ORDINALITY; 0-based → +1 to match SQL). */
+  def q20Explode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter($"doc_id" % 100 === 0)
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("word"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** Exact interpolated percentiles (median / p90). */
+  def q21Percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(round(percentile($"l_quantity", lit(0.5)), 4).as("med_qty"),
+           round(percentile($"l_quantity", lit(0.9)), 4).as("p90_qty"),
+           round(percentile($"l_extendedprice", lit(0.25)), 4).as("p25_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a join):
+    * customers above their nation's average balance. */
+  def q22AboveAvgCustomers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val nationAvg = c.groupBy($"c_nationkey".as("nk"))
+      .agg(avg($"c_acctbal").as("nation_avg"))
+    c.join(broadcast(nationAvg), $"c_nationkey" === $"nk")
+      .filter($"c_acctbal" > $"nation_avg")
+      .select($"c_custkey", $"c_nationkey", round($"c_acctbal", 2).as("acctbal"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_shipping_summary" -> q1ShippingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
@@ -269,7 +304,10 @@ object RelationalQueries {
     "q14_global_sort" -> q14GlobalSort,
     "q15_time_window" -> q15TimeWindow,
     "q16_stats" -> q16Stats,
-    "q19_cube_sales" -> q19CubeSales)
+    "q19_cube_sales" -> q19CubeSales,
+    "q20_explode" -> q20Explode,
+    "q21_percentiles" -> q21Percentiles,
+    "q22_above_avg_customers" -> q22AboveAvgCustomers)
 
   val oracle: Map[String, String] = Map(
     "q1_shipping_summary" ->
@@ -393,5 +431,24 @@ object RelationalQueries {
          coalesce(o_orderpriority, 'ALL') AS priority,
          round(sum(o_totalprice), 2) AS sales, count(*) AS n_orders
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-         ORDER BY status, priority""")
+         ORDER BY status, priority""",
+    "q20_explode" ->
+      """SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.word
+         FROM (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents WHERE doc_id % 100 = 0) t,
+         LATERAL (SELECT unnest(words) AS word,
+                         generate_subscripts(words, 1) AS pos) u
+         ORDER BY doc_id, pos""",
+    "q21_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+         round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q22_above_avg_customers" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""")
 }
