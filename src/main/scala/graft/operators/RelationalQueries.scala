@@ -287,6 +287,21 @@ object RelationalQueries {
       .orderBy($"c_custkey")
   }
 
+  /** Pivot (wide aggregation): quantity sums by returnflag × linestatus.
+    * Pivot column values are fixed so the output schema is static and the
+    * oracle is a plain CASE aggregation. */
+  def q23Pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum($"l_quantity"), 2))
+      .select($"l_returnflag",
+        coalesce($"F", lit(0.0)).as("qty_f"),
+        coalesce($"O", lit(0.0)).as("qty_o"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_shipping_summary" -> q1ShippingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
@@ -307,7 +322,8 @@ object RelationalQueries {
     "q19_cube_sales" -> q19CubeSales,
     "q20_explode" -> q20Explode,
     "q21_percentiles" -> q21Percentiles,
-    "q22_above_avg_customers" -> q22AboveAvgCustomers)
+    "q22_above_avg_customers" -> q22AboveAvgCustomers,
+    "q23_pivot" -> q23Pivot)
 
   val oracle: Map[String, String] = Map(
     "q1_shipping_summary" ->
@@ -450,5 +466,10 @@ object RelationalQueries {
          FROM customer c
          WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                             WHERE c2.c_nationkey = c.c_nationkey)
-         ORDER BY c_custkey""")
+         ORDER BY c_custkey""",
+    "q23_pivot" ->
+      """SELECT l_returnflag,
+         coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2), 0.0) AS qty_f,
+         coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2), 0.0) AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }
