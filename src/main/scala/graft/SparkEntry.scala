@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{DedupQueries, GraphQueries, MultimodalQueries,
-  RelationalQueries, SimilarityQueries, StreamingQueries, TextQueries}
+  RelationalQueries, SimilarityQueries, StreamingQueries, TemporalQueries,
+  TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the query surface of every engine module; each entry has a
@@ -18,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      StreamingQueries.queries ++ MultimodalQueries.queries
+      StreamingQueries.queries ++ MultimodalQueries.queries ++
+      TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ GraphQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++ SimilarityQueries.oracle ++
-      StreamingQueries.oracle ++ MultimodalQueries.oracle
+      StreamingQueries.oracle ++ MultimodalQueries.oracle ++
+      TemporalQueries.oracle
 }

@@ -16,6 +16,7 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .withExtensions(new graft.functions.GraftExtensions())
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

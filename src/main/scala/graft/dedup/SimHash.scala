@@ -12,36 +12,22 @@ import graft.functions.Portable
   * iff the accumulated weight is positive. Near-dups differ in few bits →
   * hamming distance (bit_count of xor) is the similarity measure.
   *
-  * Fully relational: explode(words) × broadcast(bit table) → two-level
-  * aggregation; partial aggregation collapses per (doc, bit) map-side.
-  * Bit tests use `h & 2^j` / `DIV` arithmetic (not shiftright) so the
-  * identical expressions run in the DuckDB oracle.
+  * The fingerprint is one per-row native kernel
+  * ([[graft.functions.HashUtil.simHashFp]]) — tokenize, tf-count, and
+  * 30-bit weight accumulation in a single pass, no explode and no
+  * aggregate shuffle (the DuckDB oracle computes the identical
+  * fingerprint relationally: unnest → tf → bit table → two aggregations).
   *
   * 30 bits (not 64) because the portable hash lives in [0, 1e9+7) —
   * every bit is honest entropy, nothing above bit 29 is populated.
   */
 object SimHash {
 
-  val Bits = 30
+  val Bits: Int = graft.functions.HashUtil.SimHashBits
 
   /** (id, simhash) — one BIGINT fingerprint per document. */
-  def fingerprints(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val tf = docs.select(col("id"), explode(Portable.words(col("text"))).as("w"))
-      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
-      .select(col("id"), Portable.charHash(col("w")).as("h"), col("tf"))
-    val bits = broadcast(
-      (0 until Bits).map(j => (j, 1L << j)).toDF("j", "bitval"))
-    tf.crossJoin(bits)
-      .select(col("id"), col("j"), col("bitval"),
-        (col("tf") * when(col("h").bitwiseAND(col("bitval")) =!= 0L, lit(1L))
-          .otherwise(lit(-1L))).as("wgt"))
-      .groupBy(col("id"), col("j"), col("bitval"))
-      .agg(sum(col("wgt")).as("s"))
-      .groupBy(col("id"))
-      .agg(sum(when(col("s") > 0, col("bitval")).otherwise(lit(0L))).as("simhash"))
-  }
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("id"), call_function("graft_simhash", col("text")).as("simhash"))
 
   /** Pairs with hamming distance ≤ maxHamming, blocked by a caller-chosen
     * key column (cheap at test scale; the 100 TB path is [[bandedPairs]]). */

@@ -27,10 +27,11 @@ object Portable {
   /** Left-fold polynomial hash over the characters of a string:
     * `acc = (acc*31 + ascii(char)) % P`. DuckDB equivalent:
     * `list_reduce(list_prepend(0::BIGINT, list_transform(string_split(s,''),
-    *  c -> ascii(c)::BIGINT)), (a,b) -> (a*31+b) % P)`. */
-  def charHash(s: Column): Column =
-    aggregate(chars(s), lit(0L),
-      (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(P))
+    *  c -> ascii(c)::BIGINT)), (a,b) -> (a*31+b) % P)`. Native codegen'd
+    * kernel ([[CharPolyHash]]/[[HashUtil.charPolyHash]]); the equivalent
+    * HOF fold (`aggregate(chars(s), ...)`) is CodegenFallback and ~50x
+    * slower per row. */
+  def charHash(s: Column): Column = call_function("graft_char_hash", s)
 
   /** Left-fold polynomial hash over a BIGINT array. */
   def longFold(arr: Column): Column =
@@ -51,18 +52,26 @@ object Portable {
   }
 
   /** Distinct shingle hashes of a document — the set representation used
-    * by jaccard / MinHash dedup.
-    *
-    * Deliberately the direct form (char-fold each joined shingle string):
-    * a "smarter" compositional variant (hash each word once, combine per
-    * shingle arithmetically) is mathematically identical but catastrophic
-    * in practice — Catalyst inlines the word-hash array expression at
-    * every element_at inside the nested lambda, re-hashing all words per
-    * shingle (O(words²), measured 18s → 650s on the sf0.1 dedup query).
-    * Callers must fan out single-file scans before this projection (the
-    * per-row work is the expensive part). */
+    * by jaccard / MinHash dedup. Semantics:
+    * `array_distinct(transform(shingles(words(text), k), charHash))`,
+    * executed by the one-pass native kernel [[HashUtil.shingleHashes]]
+    * (each shingle is a verbatim substring of the text, so the hash folds
+    * straight over the text bytes — no intermediate shingle strings, no
+    * interpreted HOF tree). Callers should still fan out single-file
+    * scans before heavy per-row projections. */
   def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(words(text), k), s => charHash(s)))
+    call_function("graft_shingle_hashes", text, lit(k))
+
+  /** Per-word hashes (document order, not distinct) — native kernel. */
+  def wordHashes(text: Column): Column = call_function("graft_word_hashes", text)
+
+  /** Left-to-right dot product of two DOUBLE arrays — native kernel with
+    * the same float addition order as `aggregate(zip_with(a,b,*),0.0,+)`
+    * and DuckDB's `list_reduce(list_prepend(0.0, ...), +)`. */
+  def vecDot(a: Column, b: Column): Column = call_function("graft_vec_dot", a, b)
+
+  /** Euclidean norm via [[vecDot]] (fold order matches the oracle). */
+  def vecNorm(v: Column): Column = sqrt(vecDot(v, v))
 
   /** Exact jaccard similarity of two BIGINT-array sets (inputs must be
     * distinct); integer counts divided in double — exact in both engines. */

@@ -124,7 +124,10 @@ object GraphOps {
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val withA = e.join(adj.select(col("id").as("src"), col("nbrs").as("asrc")), "src")
       .join(adj.select(col("id").as("dst"), col("nbrs").as("adst")), "dst")
-    withA.agg(coalesce(sum(size(array_intersect(col("asrc"), col("adst")))), lit(0))
+    // native merge-scan intersect (arrays are sorted + distinct by
+    // construction) — array_intersect builds a hash set per edge.
+    withA.agg(coalesce(sum(call_function("graft_sorted_intersect_count",
+        col("asrc"), col("adst"))), lit(0L))
       .cast("long").as("n_triangles"))
   }
 

@@ -99,11 +99,9 @@ object DedupQueries {
       col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val n = e.select(col("vec_id"), col("label"), col("v"),
-      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)).as("nrm"))
+      Portable.vecNorm(col("v")).as("nrm"))
     val a = n.as("a"); val b = n.as("b")
-    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val cosSim = dot / (col("a.nrm") * col("b.nrm"))
+    val cosSim = Portable.vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cosSim.as("c"))
       .where(col("c") >= 0.4)

@@ -302,6 +302,29 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Deterministic stratified sampling: a ~10% hash sample of lineitem
+    * with per-stratum (returnflag) sample/population accounting. The
+    * sampling predicate is the reference's own Knuth multiplicative hash
+    * (`simple_hash`, `/root/reference/partition.h:831-858`) over the row
+    * key — reproducible across engines and scales (unlike TABLESAMPLE,
+    * whose row choice is engine- and split-dependent), push-down-able
+    * into the scan, and stable under repartitioning. sum(l_quantity) is
+    * exact: quantities are integer-valued doubles. */
+  def q26StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val h = ($"l_orderkey" * lit(2654435761L) + $"l_linenumber") % 100
+    val sample = li.where(h < 10)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sample"), round(sum($"l_quantity"), 2).as("qty_sample"))
+    val total = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n_total"))
+    sample.join(total, "l_returnflag")
+      .select($"l_returnflag", $"n_sample", $"n_total",
+        round(lit(100.0) * $"n_sample" / $"n_total", 4).as("pct"),
+        $"qty_sample")
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_shipping_summary" -> q1ShippingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
@@ -323,9 +346,21 @@ object RelationalQueries {
     "q20_explode" -> q20Explode,
     "q21_percentiles" -> q21Percentiles,
     "q22_above_avg_customers" -> q22AboveAvgCustomers,
-    "q23_pivot" -> q23Pivot)
+    "q23_pivot" -> q23Pivot,
+    "q26_stratified_sample" -> q26StratifiedSample)
 
   val oracle: Map[String, String] = Map(
+    "q26_stratified_sample" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n_sample,
+        |    round(sum(l_quantity), 2) AS qty_sample
+        |  FROM lineitem
+        |  WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
+        |  GROUP BY l_returnflag),
+        |t AS (SELECT l_returnflag, count(*) AS n_total FROM lineitem
+        |  GROUP BY l_returnflag)
+        |SELECT s.l_returnflag, n_sample, n_total,
+        |  round(CAST(100 AS DOUBLE) * n_sample / n_total, 4) AS pct, qty_sample
+        |FROM s JOIN t USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
     "q1_shipping_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -41,11 +41,11 @@ object SimilarityQueries {
       col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     e.select(col("vec_id"), col("label"), col("v"),
-      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+      graft.functions.Portable.vecNorm(col("v")).as("nrm"))
   }
 
   private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (a, x) => a + x) / (na * nb)
+    graft.functions.Portable.vecDot(va, vb) / (na * nb)
 
   /** s1: exact cosine top-10 for the first 5 vectors. */
   def s1AnnBruteforce(s: SparkSession, d: String): DataFrame = {
@@ -67,7 +67,7 @@ object SimilarityQueries {
   private def signature(v: Column): Column =
     (0 until NPlanes).map { j =>
       val plane = array((0 until Dim).map(dd => lit(planeComponent(j, dd))): _*)
-      val proj = aggregate(zip_with(v, plane, (x, p) => x * p), lit(0.0), (a, x) => a + x)
+      val proj = graft.functions.Portable.vecDot(v, plane)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -88,9 +88,56 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s3: IVF-style ANN — the third leg of the ANN triad (exact s1,
+    * hash-bucket s2, cluster-probe s3).
+    *
+    * Coarse quantizer: one anchor per label, chosen deterministically as
+    * the label's min-vec_id vector (a data-derived centroid surrogate —
+    * a k-means mean would be order-nondeterministic in float and break
+    * the cross-engine gate). Every vector is assigned to its
+    * nearest-by-cosine anchor (its IVF cell — NOT necessarily its own
+    * label); each query probes the nprobe=2 nearest anchors and
+    * brute-forces only those cells.
+    *
+    * Scale shape: anchors are broadcast (nlist rows); assignment is a
+    * per-row projection over one broadcast join; the probe join is
+    * equi-keyed on cell id. At 100 TB this is exactly IVF-Flat: nlist ~
+    * √N anchors, cells shuffled once, queries shuffled by probed cell. */
+  def s3AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val NProbe = 2
+    val n = vecsWithNorm(s, d)
+    val aw = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val anchors = broadcast(
+      n.withColumn("arn", row_number().over(aw)).where(col("arn") === 1)
+        .select(col("label").cast("long").as("anchor_id"),
+          col("v").as("av"), col("nrm").as("an")))
+    def cosToAnchor = cosine(col("v"), col("av"), col("nrm"), col("an"))
+    val cellW = Window.partitionBy(col("vec_id"))
+      .orderBy(cosToAnchor.desc, col("anchor_id"))
+    val assigned = n.crossJoin(anchors)
+      .withColumn("crn", row_number().over(cellW)).where(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("anchor_id").as("cell"))
+    val probeW = Window.partitionBy(col("vec_id"))
+      .orderBy(cosToAnchor.desc, col("anchor_id"))
+    val probes = n.where(col("vec_id") < NQueryVecs).crossJoin(anchors)
+      .withColumn("prn", row_number().over(probeW)).where(col("prn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("anchor_id").as("cell"))
+    val scored = probes.join(assigned, "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_ann_bruteforce" -> s1AnnBruteforce,
-    "s2_ann_lsh" -> s2AnnLsh)
+    "s2_ann_lsh" -> s2AnnLsh,
+    "s3_ann_ivf" -> s3AnnIvf)
 
   // ---- DuckDB oracles ----
 
@@ -113,6 +160,12 @@ object SimilarityQueries {
          |  s -> s[1]*s[2])), (a, b) -> a + b) > 0
          | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
     }.mkString(" + ")
+
+  /** Parameterized cosine between two aliased vector/norm columns. */
+  private def sqlCosGen(va: String, vb: String, na: String, nb: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(list_zip($va, $vb), s -> s[1]*s[2])),
+       |  (a, b) -> a + b) / ($na * $nb)""".stripMargin
 
   private val baseCte =
     s"""e AS (SELECT vec_id, label,
@@ -139,6 +192,29 @@ object SimilarityQueries {
          |  round($sqlCos, 6) AS cos_sim
          |  FROM q JOIN (SELECT vec_id, v, nrm, sig FROM sigs) n
          |  ON n.sig = q.qsig AND n.vec_id != q.query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "s3_ann_ivf" ->
+      s"""WITH $baseCte,
+         |aw AS (SELECT label, vec_id, v, nrm,
+         |  row_number() OVER (PARTITION BY label ORDER BY vec_id) AS arn FROM n),
+         |anchors AS (SELECT CAST(label AS BIGINT) AS anchor_id, v AS av, nrm AS an
+         |  FROM aw WHERE arn = 1),
+         |asg AS (SELECT vec_id, v, nrm, anchor_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${sqlCosGen("v", "av", "nrm", "an")} DESC, anchor_id) AS crn
+         |  FROM n CROSS JOIN anchors),
+         |assigned AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM asg WHERE crn = 1),
+         |pw AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, anchor_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${sqlCosGen("v", "av", "nrm", "an")} DESC, anchor_id) AS prn
+         |  FROM n CROSS JOIN anchors WHERE vec_id < $NQueryVecs),
+         |probes AS (SELECT query_id, qv, qn, anchor_id AS cell FROM pw WHERE prn <= 2),
+         |scored AS (SELECT p.query_id, s.vec_id AS neighbor_id,
+         |  round(${sqlCosGen("p.qv", "s.v", "p.qn", "s.nrm")}, 6) AS cos_sim
+         |  FROM probes p JOIN assigned s ON p.cell = s.cell AND s.vec_id != p.query_id),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |  ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked

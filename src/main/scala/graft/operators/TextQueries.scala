@@ -97,8 +97,7 @@ object TextQueries {
   /** t4: rolling-hash document fingerprint (order-sensitive char fold) +
     * an order-insensitive variant (fold over sorted distinct word hashes). */
   def t4Fingerprint(s: SparkSession, d: String): DataFrame = {
-    val w = Portable.words(col("text"))
-    val wordHashes = sort_array(array_distinct(transform(w, x => Portable.charHash(x))))
+    val wordHashes = sort_array(array_distinct(Portable.wordHashes(col("text"))))
     docs(s, d).select(
       col("doc_id"),
       Portable.charHash(col("text")).as("fp_rolling"),
@@ -106,11 +105,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t5: TF-IDF top-3 terms per document (terms = word hashes).
+    *
+    * The idf factor is the integer surrogate `(1e6 * N) DIV df` rather
+    * than `ln(N/df)`: natural log is libm-dependent (Spark's
+    * `java.lang.Math.log` vs DuckDB's C `log` can differ in the last
+    * ulp), which would make the cross-engine hash gate flaky at rounding
+    * boundaries; integer arithmetic is bit-identical everywhere and
+    * preserves the tf-idf ordering (monotone in tf, anti-monotone in df).
+    *
+    * Scale shape: tf is a (doc, term) aggregate (map-side partial),
+    * df a term aggregate over tf (already partitioned by term after the
+    * tf shuffle), the doc count a broadcast scalar, ranking a per-doc
+    * window — no step exceeds O(corpus tokens) shuffle. */
+  def t5Tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = docs(s, d)
+    val tf = dd.select(col("doc_id"), explode(Portable.wordHashes(col("text"))).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("h").agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(dd.agg(count(lit(1)).as("n_docs")))
+    val scored = tf.join(dfreq, "h").crossJoin(nDocs)
+      .select(col("doc_id"), col("h"), col("tf"), col("df"),
+        (col("tf") * expr("(1000000 * n_docs) DIV df")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("h"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("h").as("term_hash"), col("tf"), col("df"),
+        col("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_token_stats" -> t1TokenStats,
     "t2_langid" -> t2LangId,
     "t3_quality" -> t3Quality,
-    "t4_fingerprint" -> t4Fingerprint)
+    "t4_fingerprint" -> t4Fingerprint,
+    "t5_tfidf" -> t5Tfidf)
 
   // ---- DuckDB oracles ----
 
@@ -169,5 +200,19 @@ object TextQueries {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list_sort(list_distinct(list_transform($sqlWords, w -> ${sqlCharHash("w")})))),
          |    (a, b) -> (a*31 + b) % ${Portable.P}) AS fp_bag
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_tfidf" ->
+      s"""WITH wh AS (SELECT doc_id,
+         |    unnest(list_transform($sqlWords, w -> ${sqlCharHash("w")})) AS h
+         |  FROM documents),
+         |tf AS (SELECT doc_id, h, count(*) AS tf FROM wh GROUP BY doc_id, h),
+         |dfreq AS (SELECT h, count(*) AS df FROM tf GROUP BY h),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.h, tf.tf, dfreq.df,
+         |    tf.tf * ((1000000 * (SELECT n_docs FROM n)) // dfreq.df) AS score
+         |  FROM tf JOIN dfreq USING (h)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, h) AS rank FROM sc)
+         |SELECT doc_id, h AS term_hash, tf, df, score, rank
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
 }
