@@ -113,17 +113,21 @@ object GraphOps {
     * out-neighbor arrays. Each triangle x<y<z is counted exactly once, at
     * edge (x,y) (the `c > skey` guard of `algorithms.h:147`).
     *
-    * Scale shape: the oriented adjacency table is |V| rows of bounded
-    * arrays — broadcast-sized for dimension-scale graphs, a hash-join key
-    * otherwise; no Σdeg² wedge materialization ever shuffles (the wedge
+    * Scale shape: the canonical adjacency table is |V| rows totalling |E|
+    * longs — megabytes for dimension-scale graphs, so it broadcasts and
+    * the whole count is one scan of the edge list with zero wide-row
+    * shuffles; no Σdeg² wedge materialization ever shuffles (the wedge
     * count of a uniform-degree graph, ~72M rows at sf0.1, is exactly what
-    * made the 3-way join formulation the bench bottleneck). */
+    * made the 3-way join formulation the bench bottleneck). For a graph
+    * whose adjacency exceeds broadcast memory, use
+    * [[orientedTriangleCountDF]] — the shuffle-join formulation with
+    * O(√E)-bounded oriented degrees. */
   def triangleCountViaIntersect(canonicalEdges: DataFrame): DataFrame = {
     val e = canonicalEdges.select("src", "dst")
     val adj = e.groupBy(col("src").as("id"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val withA = e.join(adj.select(col("id").as("src"), col("nbrs").as("asrc")), "src")
-      .join(adj.select(col("id").as("dst"), col("nbrs").as("adst")), "dst")
+    val withA = e.join(broadcast(adj.select(col("id").as("src"), col("nbrs").as("asrc"))), "src")
+      .join(broadcast(adj.select(col("id").as("dst"), col("nbrs").as("adst"))), "dst")
     // native merge-scan intersect (arrays are sorted + distinct by
     // construction) — array_intersect builds a hash set per edge.
     withA.agg(coalesce(sum(call_function("graft_sorted_intersect_count",

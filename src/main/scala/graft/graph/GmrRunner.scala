@@ -99,6 +99,11 @@ object GmrRunner {
                checkpointInterval: Int = 1): DataFrame =
     loop(graph, program, iterations, convergenceCheck = false, checkpointInterval).vertices
 
+  /** [[runFixed]] keeping the per-superstep timings (builder-side
+    * instrumentation; GBench). */
+  def loopTimed(graph: PropertyGraph, program: VertexProgram, iterations: Int): RunResult =
+    loop(graph, program, iterations, convergenceCheck = false, checkpointInterval = 1)
+
   private def loop(graph: PropertyGraph, program: VertexProgram, maxIter: Int,
                    convergenceCheck: Boolean, checkpointInterval: Int): RunResult = {
     val nShuffle = graph.edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

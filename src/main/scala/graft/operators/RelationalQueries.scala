@@ -325,6 +325,24 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Custom typed UDAF ([[graft.functions.Aggregators.WeightedMeanCents]],
+    * `Aggregator[IN,BUF,OUT]` via `functions.udaf`): quantity-weighted
+    * mean discount per returnflag. Discounts enter the aggregate as exact
+    * integer cents (`round(l_discount*100)`) so the distributed
+    * accumulation is order-independent — the buffer is a pair of BIGINT
+    * sums and only the finish divides in double. */
+  def q27WeightedAvg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wavg = udaf(graft.functions.Aggregators.WeightedMeanCents)
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_quantity".cast("long").as("qty"),
+        round($"l_discount" * 100).cast("long").as("cents"))
+      .groupBy($"l_returnflag")
+      .agg(round(wavg($"qty", $"cents") / 100.0, 6).as("wavg_discount"),
+        sum($"qty").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_shipping_summary" -> q1ShippingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
@@ -347,7 +365,8 @@ object RelationalQueries {
     "q21_percentiles" -> q21Percentiles,
     "q22_above_avg_customers" -> q22AboveAvgCustomers,
     "q23_pivot" -> q23Pivot,
-    "q26_stratified_sample" -> q26StratifiedSample)
+    "q26_stratified_sample" -> q26StratifiedSample,
+    "q27_weighted_avg" -> q27WeightedAvg)
 
   val oracle: Map[String, String] = Map(
     "q26_stratified_sample" ->
@@ -361,6 +380,17 @@ object RelationalQueries {
         |SELECT s.l_returnflag, n_sample, n_total,
         |  round(CAST(100 AS DOUBLE) * n_sample / n_total, 4) AS pct, qty_sample
         |FROM s JOIN t USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    "q27_weighted_avg" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  round((CAST(CAST(sum(qty * cents) AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(sum(qty) AS BIGINT) AS DOUBLE)) / 100.0, 6)
+        |    AS wavg_discount,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_shipping_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

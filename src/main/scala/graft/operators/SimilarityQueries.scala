@@ -134,10 +134,58 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  private val KmK = 4
+  private val KmIters = 2
+  private val QScale = 1000000L
+
+  /** s4: Lloyd's k-means over the embeddings — the reference's declared
+    * KMeans capability (`/root/reference/algorithms.h:212-250`, a stub
+    * whose body is a copy of PageRank) made real, and made
+    * *deterministic*: components are quantized to positive integer
+    * micro-units (`round((x+1)*1e6)` — the +1 offset keeps every value
+    * positive so integer division truncation == floor in both engines),
+    * so assignment distances and centroid means are exact BIGINT
+    * arithmetic with zero float accumulation — bit-identical across any
+    * partitioning and in the DuckDB oracle, which unrolls the same
+    * [[KmIters]] Lloyd rounds as CTEs.
+    *
+    * Init: centroids = vectors 0..k-1. Empty clusters keep their previous
+    * centroid. Scale shape: the exploded (vec, dim, q) table shuffles
+    * once per round on (cluster, dim); centroids are k×dim rows —
+    * broadcast; assignment is a windowed argmin per vector. */
+  def s4Kmeans(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).select(col("vec_id"),
+        posexplode(transform(col("embedding"),
+          x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")))
+          .as(Seq("dim", "qd")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(centroids: DataFrame): DataFrame = {
+      val d2 = (col("qd") - col("cd")) * (col("qd") - col("cd"))
+      val dist = q.join(broadcast(centroids), "dim")
+        .groupBy(col("vec_id"), col("cluster")).agg(sum(d2).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+      dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("d2"))
+    }
+    var centroids = q.where(col("vec_id") < KmK)
+      .select(col("vec_id").as("cluster"), col("dim"), col("qd").as("cd"))
+    for (_ <- 1 to KmIters) {
+      val sums = q.join(assign(centroids).select("vec_id", "cluster"), "vec_id")
+        .groupBy(col("cluster"), col("dim"))
+        .agg(expr("sum(qd) DIV count(1)").as("ncd"))
+      centroids = centroids
+        .join(sums, Seq("cluster", "dim"), "left_outer")
+        .select(col("cluster"), col("dim"), coalesce(col("ncd"), col("cd")).as("cd"))
+        .localCheckpoint(true)
+    }
+    assign(centroids).orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_ann_bruteforce" -> s1AnnBruteforce,
     "s2_ann_lsh" -> s2AnnLsh,
-    "s3_ann_ivf" -> s3AnnIvf)
+    "s3_ann_ivf" -> s3AnnIvf,
+    "s4_kmeans" -> s4Kmeans)
 
   // ---- DuckDB oracles ----
 
@@ -218,5 +266,34 @@ object SimilarityQueries {
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |  ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "s4_kmeans" -> {
+      def assignCte(name: String, c: String) =
+        s"""$name AS (SELECT vec_id, cluster, d2 FROM (
+           |  SELECT q.vec_id, c.cluster,
+           |    sum((q.qd - c.cd) * (q.qd - c.cd)) AS d2,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY sum((q.qd - c.cd) * (q.qd - c.cd)), c.cluster) AS rn
+           |  FROM q JOIN $c c ON q.dim = c.dim
+           |  GROUP BY q.vec_id, c.cluster) WHERE rn = 1)""".stripMargin
+      def updateCte(name: String, a: String, prev: String) =
+        s"""$name AS (SELECT p.cluster, p.dim, coalesce(n.ncd, p.cd) AS cd
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT a.cluster, q.dim, CAST(sum(q.qd) AS BIGINT) // count(*) AS ncd
+           |    FROM q JOIN $a a ON q.vec_id = a.vec_id
+           |    GROUP BY a.cluster, q.dim) n
+           |  ON p.cluster = n.cluster AND p.dim = n.dim)""".stripMargin
+      val rounds = (1 to KmIters).map { i =>
+        assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i", s"c${i - 1}")
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id, u.pos - 1 AS dim,
+         |    CAST(round((CAST(u.x AS DOUBLE) + 1.0) * $QScale) AS BIGINT) AS qd
+         |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS x,
+         |    generate_subscripts(embedding, 1) AS pos) u),
+         |c0 AS (SELECT vec_id AS cluster, dim, qd AS cd FROM q WHERE vec_id < $KmK),
+         |$rounds,
+         |${assignCte("aout", s"c$KmIters")}
+         |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2
+         |FROM aout ORDER BY vec_id""".stripMargin
+    })
 }

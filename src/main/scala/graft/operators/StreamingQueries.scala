@@ -33,9 +33,20 @@ object StreamingQueries {
         round(col("total"), 2).as("total"))
       .orderBy("window_start", "event_type")
 
+  /** q28: streaming dedup (batch form — the streaming path is
+    * dropDuplicatesWithinWatermark, exercised by EventStreamsSpec):
+    * first event per (user, type, minute) with duplicate accounting. */
+  def q28StreamDedup(s: SparkSession, d: String): DataFrame =
+    EventStreams.dedupByMinute(Tables.events(s, d))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("minute"),
+        col("event_id").as("first_event_id"), col("n_in_group"))
+      .orderBy("user_id", "event_type", "minute")
+
   val queries: Map[String, Q] = Map(
     "q17_sessions" -> q17Sessions,
-    "q18_windowed_stats" -> q18WindowedStats)
+    "q18_windowed_stats" -> q18WindowedStats,
+    "q28_stream_dedup" -> q28StreamDedup)
 
   val oracle: Map[String, String] = Map(
     "q17_sessions" ->
@@ -54,5 +65,11 @@ object StreamingQueries {
     "q18_windowed_stats" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q28_stream_dedup" ->
+      """SELECT user_id, event_type,
+        |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+        |  min(event_id) AS first_event_id, count(*) AS n_in_group
+        |FROM events GROUP BY user_id, event_type, date_trunc('minute', ts)
+        |ORDER BY user_id, event_type, minute""".stripMargin)
 }

@@ -39,6 +39,27 @@ object EventStreams {
         col("n_events"), col("total_value"))
   }
 
+  /** Streaming deduplication: one event per (user_id, event_type,
+    * minute-truncated ts) key.
+    *
+    * Streaming mode uses `dropDuplicatesWithinWatermark` — state expires
+    * with the watermark, so memory is bounded by keys-per-watermark-delay
+    * (an unbounded `dropDuplicates` would grow state forever on an
+    * infinite stream); the survivor is the first arrival. Batch mode
+    * keeps the deterministic survivor (min event_id — which is also the
+    * first arrival when ingestion is time-ordered, as the events feed
+    * is) with per-key duplicate accounting. */
+  def dedupByMinute(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val keyed = events.withColumn("minute", date_trunc("minute", col("ts")))
+    if (events.isStreaming)
+      keyed.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+    else
+      keyed.groupBy(col("user_id"), col("event_type"), col("minute"))
+        .agg(min(col("event_id")).as("event_id"),
+          count(lit(1)).as("n_in_group"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

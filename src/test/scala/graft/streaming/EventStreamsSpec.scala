@@ -66,6 +66,41 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Set((1L, 2L, 3.0)))
   }
 
+  test("dedupByMinute streaming: dropDuplicatesWithinWatermark keeps one per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.dedupByMinute(df, "2 hours")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // two events in the same (user, type, minute) → one survivor (first
+      // arrival); a different minute → its own row
+      mem.addData(
+        (1L, new Timestamp(60000L), 7L, "click", 1.0),
+        (2L, new Timestamp(61000L), 7L, "click", 2.0),
+        (3L, new Timestamp(120000L), 7L, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("dedupByMinute batch: deterministic min-id survivor + dup count") {
+    import spark.implicits._
+    val batch = Seq(
+      (5L, new Timestamp(60000L), 7L, "click", 1.0),
+      (4L, new Timestamp(61000L), 7L, "click", 2.0),
+      (9L, new Timestamp(120000L), 7L, "click", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = EventStreams.dedupByMinute(batch)
+      .select("event_id", "n_in_group").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(4L -> 2L, 9L -> 1L))
+  }
+
   test("batch and streaming sessions agree on the same data") {
     import spark.implicits._
     val batch = Seq((ts(0), 7L, 1.0), (ts(10), 7L, 2.0), (ts(100), 7L, 4.0))
