@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph._
+import graft.io.GraphLoaders
+
+/** The reference's command-line entry point re-expressed over the engine:
+  * `mpirun -np P ./gmr <algorithm> <partition> <graphfile>`
+  * (`/root/reference/gmr.cpp:42-104`, launch wrapper `startgmr.sh:12-69`)
+  * becomes `runMain graft.Gmr <algorithm> <partition> <graphfile>` — a
+  * user of the reference switches by changing the launcher line.
+  *
+  * Defaults follow the reference: algorithm = trianglecount
+  * (`gmr.cpp:188`), graphfile = graph/rdsmall.graph (`gmr.cpp:69`),
+  * partition = random. `zoltan` (the locality partitioner, `gmr.cpp:
+  * 107-167`) is accepted and maps to an explicit `repartition($"src")` —
+  * placement beyond that belongs to Spark's shuffle service (SURVEY.md
+  * §2.1 O8: correctness-irrelevant, the co-location win is captured).
+  *
+  * Algorithms: pagerank (reference damping 0.5, `algorithms.h:30`),
+  * sssp (source vertex 1, `gmr.cpp:181`), trianglecount, plus the
+  * declared-but-stub bfs and cc (`algorithms.h:190,195`) made real.
+  * Iteration semantics mirror the reference: run to convergence
+  * (max-abs-delta < 1e-4, `gmr.h:25`) under the 10,000-iteration cap
+  * (`gmr.h:28`).
+  */
+object Gmr {
+
+  /** Load a graph file, auto-detecting the reference's formats:
+    * `.subgraph.N` → pre-partitioned METIS subgraph; any data line with
+    * >3 tokens → METIS adjacency (line = neighbor list); otherwise edge
+    * list with optional single-token header lines. */
+  def load(spark: SparkSession, path: String): PropertyGraph =
+    if (path.matches(".*\\.subgraph\\.\\d+$")) GraphLoaders.metisSubgraph(spark, path)
+    else {
+      val wide = spark.read.text(path)
+        .where(!(col("value").startsWith("#") || col("value").startsWith("%") ||
+          trim(col("value")) === ""))
+        .where(size(split(trim(col("value")), "\\s+")) > 3)
+        .limit(1).count()
+      if (wide > 0) GraphLoaders.metisAdjacency(spark, path)
+      else GraphLoaders.edgeList(spark, path)
+    }
+
+  /** One algorithm run → (result DataFrame, iterations). Exposed
+    * separately from main so tests drive it without a JVM boundary. */
+  def run(spark: SparkSession, algorithm: String, graphfile: String,
+          partition: String = "random"): (DataFrame, Int) = {
+    val g0 = load(spark, graphfile)
+    // the reference's zoltan path physically co-locates each vertex's
+    // edges; repartition-by-src is the Spark analog (SURVEY §2.1 O8/O9)
+    val g = if (partition == "zoltan")
+      g0.copy(edges = g0.edges.repartition(col("src"))) else g0
+    algorithm.toLowerCase match {
+      case "pagerank" =>
+        val r = PageRank.compat(g).converged()
+        (r.vertices.select(col("id"), round(col("value"), 8).as("value"))
+          .orderBy("id"), r.iterations)
+      case "sssp" =>
+        val r = GmrRunner.run(g, new Sssp(1L))
+        (r.vertices.select(col("id"), col("value").as("dist")).orderBy("id"), r.iterations)
+      case "bfs" =>
+        val r = GmrRunner.run(g, new Bfs(1L))
+        (r.vertices.select(col("id"), col("value").as("hops")).orderBy("id"), r.iterations)
+      case "cc" | "connectedcomponents" =>
+        val r = GmrRunner.run(g, ConnectedComponentsProgram)
+        (r.vertices.select(col("id"), col("value").cast("long").as("component"))
+          .orderBy("id"), r.iterations)
+      case "trianglecount" | _ =>
+        // canonical undirected pair set, as the reference's (min,max) key
+        // canonicalization produces (`algorithms.h:118-126`)
+        val pairs = g.edges
+          .select(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .where(col("src") =!= col("dst")).distinct()
+        (GraphOps.triangleCountViaIntersect(pairs), 1)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val algorithm = args.headOption.getOrElse("trianglecount")
+    val partition = if (args.length > 1) args(1) else "random"
+    val graphfile = if (args.length > 2) args(2)
+      else "/root/reference/graph/rdsmall.graph"
+    val spark = graft.core.GraftSession.get(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val t0 = System.nanoTime()
+    val (result, iters) = run(spark, algorithm, graphfile, partition)
+    // printResult analog (`algorithms.h:174-179` prints the global sum;
+    // displayGraph `graph.h:121-155` dumps vertex values)
+    result.show(20, truncate = false)
+    val n = result.count()
+    println(f"[gmr] algorithm=$algorithm file=$graphfile rows=$n " +
+      f"iterations=$iters time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

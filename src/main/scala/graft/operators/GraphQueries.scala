@@ -155,13 +155,24 @@ object GraphQueries {
     partGraph(s, d).degrees
       .groupBy("deg").agg(count(lit(1)).as("n_vertices")).orderBy("deg")
 
+  /** g7: Borůvka minimum spanning forest of the co-occurrence graph
+    * (reference MST stub `algorithms.h:200` made real — see
+    * [[graft.graph.Mst]]). Deterministic ((weight, src, dst) tie-break)
+    * but not SQL-expressible, so no DuckDB oracle — the driver records
+    * the weaker rows-only check; MstSpec verifies against an in-test
+    * Kruskal. */
+  def g7Mst(s: SparkSession, d: String): DataFrame =
+    Mst.summary(partPairs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1Pagerank,
     "g2_sssp" -> g2Sssp,
     "g3_bfs" -> g3Bfs,
     "g4_components" -> g4Components,
     "g5_triangle_count" -> g5TriangleCount,
-    "g6_degree_histogram" -> g6DegreeHistogram)
+    "g6_degree_histogram" -> g6DegreeHistogram,
+    "g7_mst" -> g7Mst)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),

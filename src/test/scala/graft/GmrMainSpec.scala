@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests driving the reference's own CLI surface ([[Gmr]]) against
+  * the reference's own fixture graphs (read-only inputs,
+  * `/root/reference/graph/`). Expected values computed independently
+  * (SURVEY.md §5: the reference ships no tests; these are the known-answer
+  * micro-fixtures it eyeballs).
+  */
+class GmrMainSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.core.GraftSession.builder("4").getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private val ref = "/root/reference/graph"
+
+  test("trianglecount on small.graph (METIS adjacency, auto-detected) = 1") {
+    val (df, _) = Gmr.run(spark, "trianglecount", s"$ref/small.graph")
+    assert(df.first().getLong(0) === 1L)
+  }
+
+  test("trianglecount on rdsmall.graph (edge list with header, default file) = 2") {
+    val (df, _) = Gmr.run(spark, "trianglecount", s"$ref/rdsmall.graph")
+    assert(df.first().getLong(0) === 2L)
+  }
+
+  test("sssp on 3line.graph: directed distances 0,1,2 from source 1") {
+    val (df, iters) = Gmr.run(spark, "sssp", s"$ref/3line.graph")
+    val dist = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dist === Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0))
+    assert(iters <= 4)
+  }
+
+  test("pagerank (reference d=0.5) on small.graph converges; ranks sum to ~1") {
+    val (df, iters) = Gmr.run(spark, "pagerank", s"$ref/small.graph")
+    val ranks = df.collect().map(_.getDouble(1))
+    assert(ranks.length === 10)
+    assert(math.abs(ranks.sum - 1.0) < 1e-3)
+    assert(iters < 100)
+  }
+
+  test("zoltan partition argument accepted, result unchanged") {
+    val (a, _) = Gmr.run(spark, "trianglecount", s"$ref/small.graph", "zoltan")
+    assert(a.first().getLong(0) === 1L)
+  }
+}

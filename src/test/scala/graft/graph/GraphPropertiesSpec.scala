@@ -1,0 +1,91 @@
+package graft.graph
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5.4): structural laws that must
+  * hold on arbitrary graphs, not just golden fixtures. ScalaCheck
+  * generators are sampled with fixed seeds (the scalatest-scalacheck
+  * bridge isn't in the offline dep set, and seeded cases are
+  * reproducible); sizes stay small — each case runs real Spark jobs. */
+class GraphPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.core.GraftSession.builder("4").getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  /** Five deterministic samples of a generator. */
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1 to 5).foreach { i =>
+      gen.apply(Gen.Parameters.default.withSize(12), Seed(i.toLong))
+        .foreach(body)
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb)) { case (a, b) => body(a, b) }
+
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L) if a != b
+    } yield (a, b)).map(_.distinct)
+
+  private def graphOf(pairs: List[(Long, Long)]): PropertyGraph = {
+    import spark.implicits._
+    // canonical distinct pairs → symmetrized undirected view
+    val canon = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    PropertyGraph.fromEdges(PropertyGraph.symmetrize(canon.toDF("src", "dst")))
+  }
+
+  test("degree sum equals 2|E| on the undirected view") {
+    forAll(genEdges) { pairs =>
+      val canon = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val g = graphOf(pairs)
+      val degSum = g.degrees.agg(org.apache.spark.sql.functions.sum("deg"))
+        .first().getLong(0)
+      assert(degSum === 2L * canon.size)
+    }
+  }
+
+  test("PageRank ranks sum to ~1 at any iteration count") {
+    forAll(genEdges, Gen.choose(1, 6)) { (pairs, iters) =>
+      val ranks = PageRank(graphOf(pairs)).fixed(iters)
+        .collect().map(_.getDouble(1))
+      assert(math.abs(ranks.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("converged SSSP satisfies the triangle inequality on every edge") {
+    forAll(genEdges) { pairs =>
+      val g = graphOf(pairs)
+      val dist = GmrRunner.run(g, new Sssp(pairs.head._1)).vertices
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) Double.PositiveInfinity else r.getDouble(1))).toMap
+      g.edges.select("src", "dst").collect().foreach { e =>
+        val (s, d) = (e.getLong(0), e.getLong(1))
+        assert(dist(d) <= dist(s) + 1.0 + 1e-9, s"edge $s->$d violates relaxation")
+      }
+    }
+  }
+
+  test("SampleSort (orderBy) equals in-memory sort on arbitrary longs") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))) { xs =>
+      import spark.implicits._
+      val sorted = graft.io.SampleSort.sort(xs.toDF("n"), "n")
+        .collect().map(_.getLong(0)).toList
+      assert(sorted === xs.sorted)
+    }
+  }
+
+  test("triangle count is invariant across all three formulations") {
+    forAll(genEdges) { pairs =>
+      import spark.implicits._
+      val canon = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("src", "dst")
+      val naive = GraphOps.triangleCount(canon)
+      assert(GraphOps.triangleCountViaIntersect(canon).first().getLong(0) === naive)
+      assert(GraphOps.orientedTriangleCountDF(canon).first().getLong(0) === naive)
+    }
+  }
+}
