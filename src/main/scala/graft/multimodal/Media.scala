@@ -56,6 +56,34 @@ object Media {
       .as[MediaRecord]
   }
 
+  final case class FrameSample(media_id: Long, frame_idx: Long,
+                               frame_bytes: Long, frame_checksum: Long)
+
+  /** Frame sampling: split the payload into fixed-size frames and keep
+    * every `stride`-th — the video/audio pattern (decode only sampled
+    * frames) with the stub codec standing in for the frame decode. Runs
+    * as a flatMap inside mapPartitions: narrow, no shuffle, output rows
+    * ≪ input bytes — the shape that matters when a frame decode is the
+    * expensive step at 100 TB. */
+  def sampleFrames(media: Dataset[MediaRecord],
+                   frameSize: Int = 64, stride: Int = 4): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { r =>
+        val nf = math.ceil(r.payload.length / frameSize.toDouble).toLong
+        (0L until nf by stride.toLong).iterator.map { k =>
+          val off = (k * frameSize).toInt
+          val len = math.min(frameSize, r.payload.length - off)
+          var acc = 0L
+          var i = off
+          while (i < off + len) { acc = (acc * 31 + (r.payload(i) & 0xff)) % FakeCodec.P; i += 1 }
+          FrameSample(r.media_id, k, len.toLong, acc)
+        }
+      }
+    }
+  }
+
   /** Batch feature extraction: one decode call per record, iterated per
     * partition (the batch shape a vectorized codec wants). */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {

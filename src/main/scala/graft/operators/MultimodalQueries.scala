@@ -25,7 +25,18 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
-  val queries: Map[String, Q] = Map("m1_media_features" -> m1MediaFeatures)
+  /** m2: frame sampling over the binary payloads — every 4th 64-byte
+    * frame with its per-frame checksum ([[graft.multimodal.Media.sampleFrames]];
+    * the oracle reproduces the frame arithmetic with substring + the
+    * char-fold, exact for ASCII payloads). */
+  def m2FrameSample(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromText(Tables.documents(s, d), "doc_id", "text")
+    Media.sampleFrames(media).toDF().orderBy("media_id", "frame_idx")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m1_media_features" -> m1MediaFeatures,
+    "m2_frame_sample" -> m2FrameSample)
 
   private def sqlCharHash(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -39,5 +50,17 @@ object MultimodalQueries {
          |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
          |  ${sqlCharHash("text")} AS checksum,
          |  round((${sqlCharHash("text")} % 1000) / 1000.0, 6) AS feature
-         |FROM documents ORDER BY media_id""".stripMargin)
+         |FROM documents ORDER BY media_id""".stripMargin,
+    "m2_frame_sample" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+         |k AS (SELECT doc_id, text, nb,
+         |    unnest(list_transform(
+         |      range(0, CAST(ceil(nb / 64.0) AS BIGINT), 4),
+         |      x -> CAST(x AS BIGINT))) AS fi FROM b)
+         |SELECT doc_id AS media_id, fi AS frame_idx,
+         |  least(nb - fi * 64, 64) AS frame_bytes,
+         |  ${sqlCharHash("substring(text, CAST(fi * 64 + 1 AS BIGINT), 64)")}
+         |    AS frame_checksum
+         |FROM k ORDER BY media_id, frame_idx""".stripMargin)
 }
