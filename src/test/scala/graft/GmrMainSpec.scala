@@ -42,6 +42,13 @@ class GmrMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(iters < 100)
   }
 
+  test("trianglecount on 4elt.graph (15,606v / 45,878e) = 30269") {
+    // the reference's mid-size workload (graph/README.md:16-18);
+    // golden value computed independently (oriented adjacency intersection)
+    val (df, _) = Gmr.run(spark, "trianglecount", s"$ref/4elt.graph")
+    assert(df.first().getLong(0) === 30269L)
+  }
+
   test("zoltan partition argument accepted, result unchanged") {
     val (a, _) = Gmr.run(spark, "trianglecount", s"$ref/small.graph", "zoltan")
     assert(a.first().getLong(0) === 1L)
