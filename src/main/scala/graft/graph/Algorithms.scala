@@ -62,6 +62,7 @@ class Sssp(source: Long) extends VertexProgram {
       .select(e("dst").as("id"), (v("value") + e("weight")).as("msg"))
   override def combiner: Column = min(col("msg"))
   override def updated(old: Column, agg: Column): Column = least(old, agg)
+  override def frontierOnly: Boolean = true // monotone min-propagation
 }
 
 /** BFS hop distance = SSSP over unit weights (reference stub
@@ -84,6 +85,7 @@ object ConnectedComponentsProgram extends VertexProgram {
       .select(e("dst").as("id"), v("value").as("msg"))
   override def combiner: Column = min(col("msg"))
   override def updated(old: Column, agg: Column): Column = least(old, agg)
+  override def frontierOnly: Boolean = true // monotone min-propagation
 }
 
 /** Non-iterative whole-graph operators. */

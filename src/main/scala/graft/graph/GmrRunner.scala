@@ -48,6 +48,18 @@ trait VertexProgram {
 
   def maxIterations: Int = 10000 // ← MAX_ITERATION, /root/reference/gmr.h:28
   def tolerance: Double = 1e-4   // ← threshold,     /root/reference/gmr.h:25
+
+  /** Frontier pruning (SURVEY.md §4 P5 "done correctly"): when true, only
+    * vertices whose value changed last superstep send messages. Sound for
+    * monotone fixpoint programs (min/max propagation with an absorbing
+    * `updated`, e.g. SSSP/BFS/CC): an unchanged sender's messages were
+    * already sent and absorbed in an earlier superstep, so re-sending
+    * them cannot change any state. NOT sound for recomputation-style
+    * programs (PageRank needs every contribution every round) — the
+    * reference's disabled skip-converged path broke exactly there
+    * (`/root/reference/graph.h:761-762` "可能导致不收敛"). Results are
+    * identical either way; only no-op message volume changes. */
+  def frontierOnly: Boolean = false
 }
 
 /** Bulk-synchronous superstep driver — the Spark-native form of the
@@ -113,8 +125,11 @@ object GmrRunner {
     // Break lineage into the (possibly self-referential) source plan so the
     // edges-derived vertex set can be re-joined against edges without
     // ambiguous-self-join resolution issues.
-    var state = program.initial(graph.vertices).localCheckpoint(true)
-    val staticCols = state.columns.filterNot(c => c == "id" || c == "value")
+    var state = program.initial(graph.vertices)
+      .withColumn("_delta", lit(Double.MaxValue)) // everything is frontier at iter 0
+      .localCheckpoint(true)
+    val staticCols = state.columns
+      .filterNot(c => c == "id" || c == "value" || c == "_delta")
 
     var iter = 0
     var lastDelta = Double.MaxValue
@@ -122,7 +137,8 @@ object GmrRunner {
     val timings = Seq.newBuilder[Double]
     while (iter < maxIter && !converged) {
       val tickStart = System.nanoTime()
-      val msgs = program.messages(state, edges)
+      val senders = if (program.frontierOnly) state.where(col("_delta") > 0.0) else state
+      val msgs = program.messages(senders, edges)
       val agg = msgs.groupBy("id").agg(program.combiner.as("_agg"))
       val stepped = state.join(agg, Seq("id"), "left_outer")
         .select(

@@ -21,7 +21,11 @@ object GraphLoaders {
   /** A1: edge-list format — one `src dst [weight]` pair per line; optional
     * header lines carry a single count token each and are dropped; a
     * 0-based file is renumbered +1 like the reference
-    * (`/root/reference/partition.h:435-437`). */
+    * (`/root/reference/partition.h:435-437`). Ids absent from the edge
+    * list are back-filled as isolated vertices so the id space stays
+    * dense 1..max — the reference's gap-fill behavior
+    * (`partition.h:628-642`; e.g. rdsmall.graph declares 12 vertices but
+    * vertex 11 appears in no edge). */
   def edgeList(spark: SparkSession, path: String,
                renumberZeroBased: Boolean = true): PropertyGraph = {
     val toks = spark.read.text(path)
@@ -40,7 +44,8 @@ object GraphLoaders {
           toks.select((col("src") + 1).as("src"), (col("dst") + 1).as("dst"), col("weight"))
         else toks
       } else toks
-    PropertyGraph.fromEdges(edges)
+    val maxId = edges.agg(greatest(max(col("src")), max(col("dst")))).first().getLong(0)
+    PropertyGraph(spark.range(1, maxId + 1).select(col("id")), edges)
   }
 
   /** A2: METIS adjacency format — header `nvtxs nedges`, line i (1-based)

@@ -51,6 +51,18 @@ class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 2L, 1.0, 0)))
   }
 
+  test("real reference fixtures load with the documented shapes") {
+    // read-only inputs from /root/reference/graph (FIXTURES.md §A)
+    val rd = GraphLoaders.edgeList(spark, "/root/reference/graph/rdsmall.graph")
+    assert(rd.edges.count() === 24) // 24 directed lines after the 2-line header
+    assert(rd.vertices.count() === 12) // vertex 11 gap-filled as isolated
+    val small = GraphLoaders.metisAdjacency(spark, "/root/reference/graph/small.graph")
+    assert(small.vertices.count() === 10)
+    assert(small.edges.count() === 20) // 10 undirected edges, both directions
+    val sub = GraphLoaders.metisSubgraph(spark, "/root/reference/graph/small.graph.subgraph.0")
+    assert(sub.vertices.count() > 0 && sub.edges.count() > 0)
+  }
+
   test("integer files + SampleSort ≡ sorted concatenation (O22)") {
     val df = GraphLoaders.integers(spark, res("numbers.part.0").stripSuffix(".0") + ".*")
     val sorted = SampleSort.sort(df, "n").collect().map(_.getLong(0)).toSeq
