@@ -16,17 +16,25 @@ import org.apache.spark.sql.functions._
   * perturbation makes edge weights effectively distinct, so the forest is
   * the unique MSF of the perturbed graph, independent of partitioning.
   *
-  * The merge step runs the engine's own connected-components program on
-  * the contracted component graph ([[ConnectedComponentsProgram]] under
-  * [[GmrRunner]]) — hash-min label propagation, the standard
-  * O(diameter)-round merge; the contracted graph shrinks geometrically so
-  * later rounds are near-free.
+  * The merge step is hybrid. The per-round component-link list has at
+  * most one edge per component — after round 1 that is ≤ |V|/2 rows and
+  * shrinks geometrically — so when it fits a driver buffer
+  * (`driverMergeLimit` pairs) the contraction is a driver-side
+  * union-find: zero extra distributed actions, which is what makes the
+  * query robust on a busy cluster (each Spark action pays scheduling
+  * latency; the fully-distributed variant runs O(rounds × diameter) of
+  * them). Beyond the limit it falls back to the engine's own
+  * connected-components program ([[ConnectedComponentsProgram]] under
+  * [[GmrRunner]]) on the contracted graph — the standard hash-min
+  * O(diameter)-round merge that never materializes anything driver-side.
   */
 object Mst {
 
   /** Minimum spanning forest of a canonical (src<dst, weight) edge list.
     * Returns the forest edges `(src, dst, weight)`. */
-  def minimumSpanningForest(canonicalEdges: DataFrame, maxRounds: Int = 40): DataFrame = {
+  def minimumSpanningForest(canonicalEdges: DataFrame, maxRounds: Int = 40,
+                            driverMergeLimit: Long = 5000000L,
+                            localFinishLimit: Long = 100000L): DataFrame = {
     val spark = canonicalEdges.sparkSession
     import spark.implicits._
     val edges = canonicalEdges.select("src", "dst", "weight")
@@ -35,13 +43,30 @@ object Mst {
       .distinct().select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     var forest = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "weight")
+    // Edges inside one component can never be picked again — merging only
+    // grows components, so filtering on the current labels is sound and
+    // the working edge set shrinks geometrically with the rounds.
+    var liveEdges = edges
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
-      val labeled = edges
+      val labeled = liveEdges
         .join(comp.select(col("id").as("src"), col("comp").as("csrc")), "src")
         .join(comp.select(col("id").as("dst"), col("comp").as("cdst")), "dst")
         .where(col("csrc") =!= col("cdst"))
+        .localCheckpoint(true)
+      liveEdges = labeled.select("src", "dst", "weight")
+      // Local finish (the standard distributed-MST endgame): the
+      // contracted inter-component graph shrinks geometrically per round;
+      // once it fits a driver buffer, one Kruskal pass over component
+      // labels replaces the remaining O(log V) rounds of cluster actions.
+      // The perturbed edge order (weight, src, dst) has a unique MSF, so
+      // Kruskal here and further Borůvka rounds produce identical edges.
+      if (labeled.count() <= localFinishLimit) {
+        val rest = localKruskal(labeled)
+        if (rest.nonEmpty) forest = forest.union(rest.toDF("src", "dst", "weight"))
+        done = true
+      } else {
       // lightest outgoing edge per component (each edge is a candidate for
       // both of its endpoint components)
       val cand = labeled.select(col("csrc").as("c"), col("src"), col("dst"),
@@ -55,21 +80,66 @@ object Mst {
       else {
         forest = forest.union(picked.select("src", "dst", "weight").distinct())
           .localCheckpoint(true)
-        // contract: merge the components linked by picked edges via the
-        // engine's own hash-min connected components
+        // contract the components linked by the picked edges
         val links = picked.select(least(col("c"), col("cdst")).as("src"),
           greatest(col("c"), col("cdst")).as("dst")).distinct()
-        val cg = PropertyGraph.fromEdges(PropertyGraph.symmetrize(links))
-        val mapping = GmrRunner.run(cg, ConnectedComponentsProgram).vertices
-          .select(col("id").as("comp"), col("value").cast("long").as("newcomp"))
+          .localCheckpoint(true)
+        val nLinks = links.count()
+        val mapping =
+          if (nLinks <= driverMergeLimit) driverUnionFind(links)
+          else {
+            val cg = PropertyGraph.fromEdges(PropertyGraph.symmetrize(links))
+            GmrRunner.run(cg, ConnectedComponentsProgram).vertices
+              .select(col("id").as("comp"), col("value").cast("long").as("newcomp"))
+          }
         comp = comp.join(mapping, Seq("comp"), "left_outer")
           .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
           .localCheckpoint(true)
+      }
       }
       round += 1
     }
     edges.unpersist(blocking = false)
     forest
+  }
+
+  /** Kruskal over the collected contracted graph: union-find on component
+    * labels, edges scanned in (weight, src, dst) order. */
+  private def localKruskal(labeled: DataFrame): Seq[(Long, Long, Double)] = {
+    val rows = labeled.select("src", "dst", "weight", "csrc", "cdst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .sortBy { case (s, d, w, _, _) => (w, s, d) }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    rows.flatMap { case (s, d, w, cs, cd) =>
+      val (ra, rb) = (find(cs), find(cd))
+      if (ra == rb) None
+      else { if (ra < rb) parent(rb) = ra else parent(ra) = rb; Some((s, d, w)) }
+    }.toSeq
+  }
+
+  /** Driver union-find over a (small) component-link list → broadcastable
+    * `(comp, newcomp)` mapping with min-label roots (labels don't affect
+    * the forest — picks group by component *sets* — but min roots keep
+    * intermediate state bit-deterministic run to run). */
+  private def driverUnionFind(links: DataFrame): DataFrame = {
+    val spark = links.sparkSession
+    import spark.implicits._
+    val pairs = links.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val members = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    broadcast(members.map(m => (m, find(m))).toSeq.toDF("comp", "newcomp"))
   }
 
   /** Forest summary: edge count and total weight (exact when weights are
