@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{DedupQueries, GraphQueries, MultimodalQueries,
-  RelationalQueries, SimilarityQueries, StreamingQueries, TemporalQueries,
-  TextQueries}
+  RelationalQueries, SimilarityQueries, SketchQueries, StreamingQueries,
+  TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the query surface of every engine module; each entry has a
@@ -20,7 +20,7 @@ object SparkEntry {
     RelationalQueries.queries ++ GraphQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       StreamingQueries.queries ++ MultimodalQueries.queries ++
-      TemporalQueries.queries
+      TemporalQueries.queries ++ SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
     RelationalQueries.oracle ++ GraphQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++ SimilarityQueries.oracle ++
       StreamingQueries.oracle ++ MultimodalQueries.oracle ++
-      TemporalQueries.oracle
+      TemporalQueries.oracle ++ SketchQueries.oracle
 }

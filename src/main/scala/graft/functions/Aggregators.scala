@@ -32,4 +32,33 @@ object Aggregators {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** KMV ("bottom-k") distinct-count sketch buffer: the k smallest
+    * distinct hash values seen, ascending. */
+  final case class KmvBuf(hs: Seq[Long])
+
+  /** Single-pass mergeable distinct-count estimator over pre-hashed
+    * values (hash onto [0, P); see
+    * [[graft.operators.SketchQueries]] for the estimator math and the
+    * oracle-checked declarative twin). State is O(k) per group and
+    * merge-associative, so Catalyst's partial aggregation gives a
+    * full map-side combine — the exact `count(DISTINCT)` instead
+    * shuffles every distinct value. Estimate: (k-1) * P / h_(k),
+    * truncating division (matches `DIV`/`//` in the declarative twin).
+    */
+  final class KmvDistinct(k: Int, p: Long)
+      extends Aggregator[Long, KmvBuf, Long] {
+    override def zero: KmvBuf = KmvBuf(Vector.empty)
+    override def reduce(b: KmvBuf, h: Long): KmvBuf =
+      if (b.hs.length == k && h >= b.hs.last) b
+      else if (b.hs.contains(h)) b
+      else KmvBuf(((b.hs :+ h).sorted).take(k))
+    override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
+      KmvBuf((a.hs ++ b.hs).distinct.sorted.take(k))
+    override def finish(b: KmvBuf): Long =
+      if (b.hs.length < k) b.hs.length.toLong
+      else (k - 1).toLong * p / b.hs.last
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
 }

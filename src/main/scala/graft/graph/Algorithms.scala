@@ -173,4 +173,31 @@ object GraphOps {
     triangles(canonicalEdges)
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+
+  /** Label propagation (community detection), fixed supersteps. Each
+    * step a vertex adopts the most frequent label among its in-neighbors
+    * (ties → smallest label; isolated vertices keep their own), so the
+    * run is fully deterministic. Per step: an O(|E|) shuffle to count
+    * (dst, label) votes and a per-dst window argmax; state is
+    * localCheckpointed per step (lazy superstep chains are 2^k recompute
+    * trees). Returns (id, label). */
+  def labelPropagation(g: PropertyGraph, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var labels = g.vertices.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = g.edges.select(col("src"), col("dst"))
+        .join(labels, col("src") === col("id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("label"))
+      val pick = votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("dst").as("id"), col("label").as("new_label"))
+      labels = labels.join(pick, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

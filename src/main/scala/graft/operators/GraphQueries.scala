@@ -120,6 +120,7 @@ object GraphQueries {
   private val SsspIters = 6
   private val BfsIters = 6
   private val CcIters = 8
+  private val LpIters = 3
 
   // ---- queries ----
 
@@ -165,6 +166,36 @@ object GraphQueries {
     Mst.summary(partPairs(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** g8: label propagation (community detection) — the classic LPA over
+    * the same co-occurrence graph. Each superstep a vertex adopts the
+    * most frequent label among its neighbors, ties broken by smallest
+    * label, so the fixed-superstep run is fully deterministic and the
+    * oracle unrolls the same supersteps as CTEs. Per step: one shuffle
+    * to count (dst, label) votes, one per-dst window to pick the mode —
+    * both O(|E|); state is localCheckpointed per step (lazy chains are
+    * 2^k recompute trees). */
+  def g8LabelProp(s: SparkSession, d: String): DataFrame =
+    GraphOps.labelPropagation(partGraph(s, d), LpIters)
+      .select(col("id"), col("label").as("community")).orderBy("id")
+
+  private def labelPropSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""l$k AS (
+         |  SELECT t.id, coalesce(m.nl, t.label) AS label
+         |  FROM l${k - 1} t LEFT JOIN (
+         |    SELECT id, nl FROM (
+         |      SELECT e.dst AS id, p.label AS nl,
+         |             row_number() OVER (PARTITION BY e.dst
+         |               ORDER BY count(*) DESC, p.label) AS rn
+         |      FROM edges e JOIN l${k - 1} p ON e.src = p.id
+         |      GROUP BY e.dst, p.label) x WHERE rn = 1) m ON t.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |l0 AS (SELECT id, id AS label FROM verts),
+       |$steps
+       |SELECT id, label AS community FROM l$iters ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1Pagerank,
     "g2_sssp" -> g2Sssp,
@@ -172,7 +203,8 @@ object GraphQueries {
     "g4_components" -> g4Components,
     "g5_triangle_count" -> g5TriangleCount,
     "g6_degree_histogram" -> g6DegreeHistogram,
-    "g7_mst" -> g7Mst)
+    "g7_mst" -> g7Mst,
+    "g8_labelprop" -> g8LabelProp)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),
@@ -186,5 +218,6 @@ object GraphQueries {
          |               JOIN cpairs ac ON ac.src = ab.src AND ac.dst = bc.dst""".stripMargin,
     "g6_degree_histogram" ->
       s"""WITH $edgeCtes
-         |SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg ORDER BY deg""".stripMargin)
+         |SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+    "g8_labelprop" -> labelPropSql(LpIters))
 }

@@ -343,7 +343,51 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** q30: GROUPING SETS — the general form of rollup/cube (q7/q19):
+    * two independent single-dimension groupings plus the grand total in
+    * one pass over orders. Spark plans one `Expand` (3 replicas) + one
+    * aggregate — at scale that's one shuffle instead of three unioned
+    * scans. Exercised through the SQL surface (the DataFrame API has
+    * rollup/cube but not arbitrary sets). */
+  def q30GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q30")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS sales
+      FROM orders_q30
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""")
+  }
+
+  /** q31: skew-resilient salted join. At 100 TB a hot key floods one
+    * reducer; the manual cure (AQE's skew-join does it adaptively) is to
+    * split each probe row across `SaltN` sub-keys and replicate each
+    * build row to all of them, so the hot key's rows spread over SaltN
+    * reducers. Semantics are identical to the plain join — which is
+    * exactly what the oracle runs, so the gate proves the rewrite is
+    * lossless. The salt (l_linenumber % SaltN) is implementation-internal
+    * and never escapes the join. */
+  def q31SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val SaltN = 8
+    val li = Tables.lineitem(s, d)
+      .select($"l_suppkey", $"l_extendedprice", $"l_discount",
+        ($"l_linenumber" % SaltN).cast("int").as("salt"))
+    val supp = Tables.supplier(s, d)
+      .select($"s_suppkey", $"s_name",
+        explode(lit((0 until SaltN).toArray)).as("salt"))
+    li.join(supp, $"l_suppkey" === $"s_suppkey" && li("salt") === supp("salt"))
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q30_grouping_sets" -> q30GroupingSets,
+    "q31_salted_join" -> q31SaltedJoin,
     "q1_shipping_summary" -> q1ShippingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
     "q3_top_orders" -> q3TopOrders,
@@ -369,6 +413,20 @@ object RelationalQueries {
     "q27_weighted_avg" -> q27WeightedAvg)
 
   val oracle: Map[String, String] = Map(
+    "q30_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sales
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q31_salted_join" ->
+      """SELECT s_suppkey, s_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
     "q26_stratified_sample" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n_sample,
         |    round(sum(l_quantity), 2) AS qty_sample

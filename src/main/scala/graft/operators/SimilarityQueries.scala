@@ -181,11 +181,43 @@ object SimilarityQueries {
     assign(centroids).orderBy("vec_id")
   }
 
+  /** s5: symmetric int8 quantization of the embedding column — the
+    * standard storage/bandwidth shrink for vector search at scale (4x
+    * smaller than float32, SIMD-friendly dot products downstream).
+    * Per vector: scale = 127 / max|x|, q_i = floor(x_i*scale + 0.5)
+    * (explicit floor(x+0.5), not round() — engines disagree on
+    * banker's rounding; floor is IEEE-exact everywhere). Output is the
+    * per-vector scale, a portable fold-hash of the quantized codes
+    * (offset +127 keeps the fold non-negative), and the reconstruction
+    * L1 error — both the codes and the error are deterministic because
+    * every step is elementwise IEEE arithmetic in array order. */
+  def s5Quantize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withScale = e.select(col("vec_id"), col("v"),
+      (lit(127.0) / array_max(transform(col("v"), x => abs(x)))).as("scale"))
+    val q = withScale.select(col("vec_id"), col("v"), col("scale"),
+      transform(col("v"),
+        x => floor(x * col("scale") + lit(0.5)).cast("long")).as("q"))
+    q.select(
+      col("vec_id"),
+      round(lit(127.0) / col("scale"), 6).as("max_abs"),
+      graft.functions.Portable.longFold(
+        transform(col("q"), x => x + lit(127L))).as("q_hash"),
+      round(aggregate(
+        zip_with(col("v"), col("q"),
+          (a, b) => abs(a - b.cast("double") / col("scale"))),
+        lit(0.0), (acc, x) => acc + x) / lit(Dim.toDouble), 8)
+        .as("mean_abs_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_ann_bruteforce" -> s1AnnBruteforce,
     "s2_ann_lsh" -> s2AnnLsh,
     "s3_ann_ivf" -> s3AnnIvf,
-    "s4_kmeans" -> s4Kmeans)
+    "s4_kmeans" -> s4Kmeans,
+    "s5_quantize" -> s5Quantize)
 
   // ---- DuckDB oracles ----
 
@@ -295,5 +327,24 @@ object SimilarityQueries {
          |${assignCte("aout", s"c$KmIters")}
          |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2
          |FROM aout ORDER BY vec_id""".stripMargin
-    })
+    },
+    "s5_quantize" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sc AS (SELECT vec_id, v,
+         |    127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+         |  FROM e),
+         |qq AS (SELECT vec_id, v, scale,
+         |    list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+         |  FROM sc)
+         |SELECT vec_id,
+         |  round(127.0 / scale, 6) AS max_abs,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(q, x -> x + 127)),
+         |    (a, b) -> (a*31 + b) % ${graft.functions.Portable.P}) AS q_hash,
+         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(list_zip(v, q), s -> abs(s[1] - s[2] / scale))),
+         |    (a, b) -> a + b) / $Dim.0, 8) AS mean_abs_err
+         |FROM qq ORDER BY vec_id""".stripMargin)
 }

@@ -136,12 +136,30 @@ object TextQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** t6: deterministic text normalization / scrubbing — the
+    * redact-before-training step of a data pipeline (here: digit runs →
+    * a `<NUM>` placeholder; the same shape handles emails/URLs/IDs).
+    * Pure regexp_replace + the portable rolling hash of the scrubbed
+    * text, so the oracle verifies the *exact* scrubbed bytes, not just
+    * counts. The patterns stay in the regex subset with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB). */
+  def t6Scrub(s: SparkSession, d: String): DataFrame = {
+    val scrubbed = regexp_replace(col("text"), "[0-9]+", "<NUM>")
+    docs(s, d).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_num_runs"),
+      length(scrubbed).cast("long").as("len_scrubbed"),
+      Portable.charHash(scrubbed).as("scrub_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_token_stats" -> t1TokenStats,
     "t2_langid" -> t2LangId,
     "t3_quality" -> t3Quality,
     "t4_fingerprint" -> t4Fingerprint,
-    "t5_tfidf" -> t5Tfidf)
+    "t5_tfidf" -> t5Tfidf,
+    "t6_scrub" -> t6Scrub)
 
   // ---- DuckDB oracles ----
 
@@ -201,6 +219,15 @@ object TextQueries {
          |    list_sort(list_distinct(list_transform($sqlWords, w -> ${sqlCharHash("w")})))),
          |    (a, b) -> (a*31 + b) % ${Portable.P}) AS fp_bag
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t6_scrub" ->
+      s"""WITH sc AS (SELECT doc_id, text,
+         |    regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_runs,
+         |  length(scrubbed) AS len_scrubbed,
+         |  ${sqlCharHash("scrubbed")} AS scrub_hash
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "t5_tfidf" ->
       s"""WITH wh AS (SELECT doc_id,
          |    unnest(list_transform($sqlWords, w -> ${sqlCharHash("w")})) AS h

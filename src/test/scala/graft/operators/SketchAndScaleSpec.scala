@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Aggregators, Portable}
+import graft.graph.{GraphOps, PropertyGraph}
+
+/** Round-2 additions with non-SQL-checkable structure: the mergeable KMV
+  * sketch must agree with its declarative (oracle-checked) twin, the
+  * salted join must be a lossless rewrite of the plain join, and label
+  * propagation must find hand-computable communities. */
+class SketchAndScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.core.GraftSession.builder("4").getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("KmvDistinct Aggregator == declarative bottom-k estimate (q29)") {
+    import spark.implicits._
+    val kmv = udaf(new Aggregators.KmvDistinct(SketchQueries.K, Portable.P))
+    val viaAgg = graft.core.Tables.lineitem(spark, sf)
+      .select($"l_returnflag",
+        (($"l_orderkey" * lit(2654435761L)) % lit(Portable.P)).as("h"))
+      .groupBy($"l_returnflag").agg(kmv($"h").as("kmv_estimate"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaQuery = SketchQueries.q29KmvDistinct(spark, sf)
+      .select($"l_returnflag", $"kmv_estimate")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaQuery)
+  }
+
+  test("KMV is exact below k and within 3/sqrt(k) above") {
+    import spark.implicits._
+    val kmv = udaf(new Aggregators.KmvDistinct(64, Portable.P))
+    // 40 distinct (< k=64): the sketch holds every hash -> exact.
+    val small = (1 to 400).map(i => (i % 40).toLong).toDF("x")
+      .select((($"x" * 2654435761L) % Portable.P).as("h"))
+      .agg(kmv($"h")).first().getLong(0)
+    assert(small === 40L)
+    // 5000 distinct (>> k): estimator error ~1/sqrt(k) ≈ 12.5%.
+    val big = (1 to 5000).map(_.toLong).toDF("x")
+      .select((($"x" * 2654435761L) % Portable.P).as("h"))
+      .agg(kmv($"h")).first().getLong(0)
+    assert(math.abs(big - 5000.0) / 5000.0 < 3.0 / math.sqrt(64.0),
+      s"estimate $big too far from 5000")
+  }
+
+  test("salted join (q31) == plain join (lossless rewrite)") {
+    import spark.implicits._
+    val salted = RelationalQueries.q31SaltedJoin(spark, sf).collect()
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val supp = graft.core.Tables.supplier(spark, sf)
+    val plain = li.join(supp, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"s_suppkey").collect()
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("label propagation: two triangles joined by a bridge -> two communities") {
+    import spark.implicits._
+    // Triangle A = {0,1,2}, triangle B = {10,11,12}, bridge 2-10.
+    val pairs = Seq(0L -> 1L, 0L -> 2L, 1L -> 2L,
+      10L -> 11L, 10L -> 12L, 11L -> 12L, 2L -> 10L)
+      .toDF("src", "dst")
+    val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(pairs))
+    val labels = GraphOps.labelPropagation(g, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Each triangle collapses to one label; the bridge does not merge them.
+    assert(Set(labels(0L), labels(1L), labels(2L)).size === 1)
+    assert(Set(labels(10L), labels(11L), labels(12L)).size === 1)
+    assert(labels(0L) !== labels(10L))
+  }
+
+  test("grouping sets (q30): component groupings match independent group-bys") {
+    import spark.implicits._
+    val gs = RelationalQueries.q30GroupingSets(spark, sf)
+    val byStatus = gs.where($"priority" === "ALL" && $"status" =!= "ALL")
+      .select($"status", $"n_orders")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = graft.core.Tables.orders(spark, sf)
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus === direct)
+    val grand = gs.where($"priority" === "ALL" && $"status" === "ALL")
+      .select($"n_orders").first().getLong(0)
+    assert(grand === direct.values.sum)
+  }
+}

@@ -110,4 +110,28 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows === Set((7L, 2L, 3.0), (7L, 1L, 4.0)))
   }
+
+  test("file-source E2E: new parquet files are discovered incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    Seq((ts(10), "click", 1.0), (ts(20), "click", 2.0))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.windowedStats(stream, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_out").agg(sum("n")).first().getLong(0) === 2L)
+      // A file landing later is picked up by the same continuous query.
+      Seq((ts(70), "view", 5.0)).toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("file_out").agg(sum("n")).first().getLong(0) === 3L)
+    } finally q.stop()
+  }
 }
