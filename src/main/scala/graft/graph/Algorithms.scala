@@ -182,17 +182,18 @@ object GraphOps {
     * localCheckpointed per step (lazy superstep chains are 2^k recompute
     * trees). Returns (id, label). */
   def labelPropagation(g: PropertyGraph, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var labels = g.vertices.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
       val votes = g.edges.select(col("src"), col("dst"))
         .join(labels, col("src") === col("id"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("dst"))
-        .orderBy(col("c").desc, col("label"))
-      val pick = votes.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("dst").as("id"), col("label").as("new_label"))
+      // argmax(c, ties -> min label) as a hash aggregate: max of the
+      // lexicographic struct (c, -label) — map-side combinable, no
+      // per-dst sort the way a row_number window would do it.
+      val pick = votes
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.nl")).as("new_label"))
       labels = labels.join(pick, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("new_label"), col("label")).as("label"))

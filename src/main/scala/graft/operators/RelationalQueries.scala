@@ -385,9 +385,28 @@ object RelationalQueries {
       .orderBy($"s_suppkey")
   }
 
+  /** q32: RANGE-frame window — trailing 30-day per-customer order count
+    * and spend. Unlike q4's ROWS frames, a RANGE frame bounds by *value*
+    * (here: day number), so all same-day peers enter the frame together —
+    * order-insensitive and deterministic even with ties. Spend accumulates
+    * in integer cents: a float sum's accumulation order inside a window
+    * frame is engine-dependent, integer addition is not. */
+  def q32RangeFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_custkey", $"o_orderkey",
+      datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("day"),
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"day").rangeBetween(-30, 0)
+    o.select($"o_custkey", $"o_orderkey", $"day",
+      count(lit(1)).over(w).as("n_trailing"),
+      sum($"cents").over(w).as("cents_trailing"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_grouping_sets" -> q30GroupingSets,
     "q31_salted_join" -> q31SaltedJoin,
+    "q32_range_frame" -> q32RangeFrame,
     "q1_shipping_summary" -> q1ShippingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
     "q3_top_orders" -> q3TopOrders,
@@ -427,6 +446,17 @@ object RelationalQueries {
         |  count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    "q32_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey, day,
+        |  count(*) OVER w AS n_trailing,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_trailing
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q26_stratified_sample" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n_sample,
         |    round(sum(l_quantity), 2) AS qty_sample
