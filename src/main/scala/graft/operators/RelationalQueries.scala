@@ -378,6 +378,10 @@ object RelationalQueries {
     val supp = Tables.supplier(s, d)
       .select($"s_suppkey", $"s_name",
         explode(lit((0 until SaltN).toArray)).as("salt"))
+      // The salted path exists for build sides too big to broadcast —
+      // pin the shuffle join so the plan demonstrates it (a broadcast
+      // would make the salt a no-op).
+      .hint("shuffle_hash")
     li.join(supp, $"l_suppkey" === $"s_suppkey" && li("salt") === supp("salt"))
       .groupBy($"s_suppkey", $"s_name")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),

@@ -60,6 +60,30 @@ object EventStreams {
           count(lit(1)).as("n_in_group"))
   }
 
+  /** Stream-stream interval join: match each click to the view by the
+    * same user that happened at or up to `horizon` before it. Both sides
+    * are watermarked, and the join condition bounds event-time distance
+    * in both directions — that pair of constraints is what lets Spark
+    * expire buffered state on both sides (an unconstrained stream-stream
+    * join would hold every row forever). Works identically on batch
+    * DataFrames (plain equi+range join). */
+  def clickAfterView(clicks: DataFrame, views: DataFrame,
+                     horizon: String = "10 minutes",
+                     watermarkDelay: String = "20 minutes"): DataFrame = {
+    val c0 = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("value").as("c_value"))
+    val v0 = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("value").as("v_value"))
+    val c = if (c0.isStreaming) c0.withWatermark("c_ts", watermarkDelay) else c0
+    val v = if (v0.isStreaming) v0.withWatermark("v_ts", watermarkDelay) else v0
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("c_ts"), col("v_ts"),
+        col("c_value"), col("v_value"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

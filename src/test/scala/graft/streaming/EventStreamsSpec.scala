@@ -111,6 +111,44 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set((7L, 2L, 3.0), (7L, 1L, 4.0)))
   }
 
+  test("stream-stream interval join matches clicks to preceding views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val views = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.clickAfterView(
+        clicks.toDF().toDF("user_id", "ts", "value"),
+        views.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      // Batch 1: views only; afterwards watermark = 30min - 20min = 10min.
+      views.addData((7L, ts(0), 1.0), (7L, ts(22), 2.0), (7L, ts(30), 3.0),
+        (8L, ts(1), 9.0))
+      q.processAllAvailable()
+      // Batch 2: click at 25min (>= watermark, not late). Its 10-minute
+      // lookback [15, 25] matches only the view at 22.
+      clicks.addData((7L, ts(25), 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select("user_id", "v_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows === Set((7L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream join transform gives the same pairs in batch mode") {
+    import spark.implicits._
+    val clicks = Seq((7L, ts(5), 0.5), (9L, ts(50), 1.5))
+      .toDF("user_id", "ts", "value")
+    val views = Seq((7L, ts(0), 1.0), (7L, ts(30), 2.0), (9L, ts(45), 3.0))
+      .toDF("user_id", "ts", "value")
+    val rows = EventStreams.clickAfterView(clicks, views)
+      .select("user_id", "v_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows === Set((7L, 1.0), (9L, 3.0)))
+  }
+
   test("file-source E2E: new parquet files are discovered incrementally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
