@@ -407,10 +407,30 @@ object RelationalQueries {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** q33: deterministic argmax (top-1-per-group) as a hash aggregate —
+    * each customer's biggest order. `max(struct(measure, tiebreak))`
+    * compares lexicographically, so ties on the measure resolve by the
+    * higher orderkey deterministically, and the whole thing is a
+    * map-side-combinable aggregate: no per-group sort, no window, one
+    * shuffle of one struct per group per map task. The oracle expresses
+    * the same semantics as a row_number window — proving the cheap
+    * aggregate form equals the textbook form. */
+  def q33Argmax(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(max(struct($"o_totalprice", $"o_orderkey")).as("m"),
+        count(lit(1)).as("n_orders"))
+      .select($"o_custkey", $"m.o_orderkey".as("top_orderkey"),
+        round($"m.o_totalprice", 2).as("top_price"), $"n_orders")
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_grouping_sets" -> q30GroupingSets,
     "q31_salted_join" -> q31SaltedJoin,
     "q32_range_frame" -> q32RangeFrame,
+    "q33_argmax" -> q33Argmax,
     "q1_shipping_summary" -> q1ShippingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
     "q3_top_orders" -> q3TopOrders,
@@ -461,6 +481,15 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q33_argmax" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey AS top_orderkey,
+        |  round(o_totalprice, 2) AS top_price, n_orders
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q26_stratified_sample" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n_sample,
         |    round(sum(l_quantity), 2) AS qty_sample
