@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.dedup.{MinHashLsh, SimHash}
 import graft.functions.Portable
+import graft.graph.{ConnectedComponentsProgram, GmrRunner, PropertyGraph}
 
 /** Deduplication operator surface over the `documents` and `embeddings`
   * tables: exact hash, n-gram jaccard, MinHash+LSH, SimHash, and
@@ -109,12 +110,40 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Fixed min-label supersteps for d6 (must match the oracle's unroll;
+    * near-dup clusters are short chains, so 8 covers any sf0.01 diameter). */
+  private val D6Iters = 8
+
+  /** d6: near-dup CLUSTERING — the step after pair generation that an
+    * actual dedup pipeline needs: LSH candidate pairs (d3's pipeline)
+    * become edges of a doc graph, connected components (the engine's own
+    * min-label BSP runner) give the duplicate clusters, and each cluster
+    * keeps its min-id doc as canonical. Every document appears: docs with
+    * no near-dup are their own canonical. At scale this is the "keep one
+    * copy per near-dup set" materialization — pair volume is LSH-bounded
+    * and the component iteration shuffles O(|pairs|) per superstep. */
+  def d6DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = MinHashLsh.nearDuplicates(docs(s, d), cfg)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(pairs))
+    val comp = GmrRunner.runFixed(g, ConnectedComponentsProgram, D6Iters)
+      .select(col("id"), col("value").cast("long").as("comp"))
+    docs(s, d).select(col("id").as("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1Exact,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash" -> d4Simhash,
-    "d5_embedding_cosine" -> d5EmbeddingCosine)
+    "d5_embedding_cosine" -> d5EmbeddingCosine,
+    "d6_dedup_clusters" -> d6DedupClusters)
 
   // ---- DuckDB oracles ----
 
@@ -135,6 +164,48 @@ object DedupQueries {
   private val jaccardExpr =
     "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))"
 
+  /** Full MinHash+LSH pipeline through verified pairs (ida < idb, j ≥
+    * threshold) — shared by the d3 and d6 oracles. */
+  private val lshPairsCte: String =
+    s"""$setsCte,
+       |ex AS (SELECT id, unnest(sh) AS h FROM ne),
+       |perms AS (SELECT range AS perm,
+       |  ((range+1)*${MinHashLsh.PermA} + 7) % ${Portable.P} AS a,
+       |  ((range+1)*${MinHashLsh.PermB} + 3) % ${Portable.P} AS b
+       |  FROM range(0, ${cfg.numPerms})),
+       |mins AS (SELECT id, perm, min((a*h + b) % ${Portable.P}) AS minv
+       |  FROM ex, perms GROUP BY id, perm),
+       |bands AS (SELECT id, perm // ${cfg.rowsPerBand} AS band,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(minv ORDER BY perm)),
+       |    (x, y) -> (x*31 + y) % ${Portable.P}) AS sig
+       |  FROM mins GROUP BY id, perm // ${cfg.rowsPerBand}),
+       |cand AS (SELECT DISTINCT x.id AS ida, y.id AS idb
+       |  FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
+       |lshpairs AS (SELECT ida, idb, $jaccardExpr AS j
+       |  FROM cand JOIN ne a ON ida = a.id JOIN ne b ON idb = b.id)""".stripMargin
+
+  /** d6 oracle: d3's pair pipeline + unrolled min-label propagation over
+    * the symmetrized pair graph, seeded with every document's own id. */
+  private def dedupClustersSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT t.id, least(t.v, m.mv) AS v
+         |  FROM c${k - 1} t LEFT JOIN (
+         |    SELECT e.dst AS id, min(p.v) AS mv
+         |    FROM de e JOIN c${k - 1} p ON e.src = p.id
+         |    GROUP BY e.dst) m ON t.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $lshPairsCte,
+       |dp AS (SELECT ida, idb FROM lshpairs WHERE j >= ${cfg.threshold}),
+       |de AS (SELECT ida AS src, idb AS dst FROM dp
+       |       UNION ALL SELECT idb, ida FROM dp),
+       |c0 AS (SELECT doc_id AS id, CAST(doc_id AS BIGINT) AS v FROM documents),
+       |$steps
+       |SELECT id AS doc_id, v AS canonical_id, id != v AS is_dup
+       |FROM c$iters ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT doc_id, sha256(text) AS text_sha,
@@ -148,25 +219,9 @@ object DedupQueries {
          |WHERE $jaccardExpr >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d3_minhash_lsh" ->
-      s"""WITH $setsCte,
-         |ex AS (SELECT id, unnest(sh) AS h FROM ne),
-         |perms AS (SELECT range AS perm,
-         |  ((range+1)*${MinHashLsh.PermA} + 7) % ${Portable.P} AS a,
-         |  ((range+1)*${MinHashLsh.PermB} + 3) % ${Portable.P} AS b
-         |  FROM range(0, ${cfg.numPerms})),
-         |mins AS (SELECT id, perm, min((a*h + b) % ${Portable.P}) AS minv
-         |  FROM ex, perms GROUP BY id, perm),
-         |bands AS (SELECT id, perm // ${cfg.rowsPerBand} AS band,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(minv ORDER BY perm)),
-         |    (x, y) -> (x*31 + y) % ${Portable.P}) AS sig
-         |  FROM mins GROUP BY id, perm // ${cfg.rowsPerBand}),
-         |cand AS (SELECT DISTINCT x.id AS ida, y.id AS idb
-         |  FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
-         |pairs AS (SELECT ida, idb, $jaccardExpr AS j
-         |  FROM cand JOIN ne a ON ida = a.id JOIN ne b ON idb = b.id)
+      s"""WITH $lshPairsCte
          |SELECT ida AS doc_a, idb AS doc_b, round(j, 6) AS jaccard
-         |FROM pairs WHERE j >= ${cfg.threshold}
+         |FROM lshpairs WHERE j >= ${cfg.threshold}
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_simhash" ->
       s"""WITH docs AS (SELECT doc_id AS id, lang, text FROM documents),
@@ -186,6 +241,7 @@ object DedupQueries {
          |FROM fpl a JOIN fpl b ON a.lang = b.lang AND a.id < b.id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "d6_dedup_clusters" -> dedupClustersSql(D6Iters),
     "d5_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

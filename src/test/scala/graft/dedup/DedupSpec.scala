@@ -71,4 +71,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(banded.toSeq === Seq((1L, 2L)))
   }
+
+  test("d6 clusters: canonical assignment is the transitive closure of d3 pairs") {
+    import graft.operators.DedupQueries
+    val d = "/root/testdata/sf0.001"
+    val canon = DedupQueries.d6DedupClusters(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Canonical is a cluster minimum and a fixpoint: canon(c) == c.
+    canon.foreach { case (doc, c) =>
+      assert(c <= doc, s"canonical $c > doc $doc")
+      assert(canon(c) === c, s"canonical $c of doc $doc is not itself canonical")
+    }
+    // Every verified near-dup pair landed in the same cluster.
+    DedupQueries.d3MinhashLsh(spark, d).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(canon(a) === canon(b), s"pair ($a,$b) split across clusters")
+    }
+    // And docs with no near-dup stayed their own canonical.
+    val paired = DedupQueries.d3MinhashLsh(spark, d)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    canon.foreach { case (doc, c) =>
+      if (!paired.contains(doc)) assert(c === doc)
+    }
+  }
 }
