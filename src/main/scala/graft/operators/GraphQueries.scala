@@ -170,10 +170,9 @@ object GraphQueries {
 
   /** g7: Borůvka minimum spanning forest of the co-occurrence graph
     * (reference MST stub `algorithms.h:200` made real — see
-    * [[graft.graph.Mst]]). Deterministic ((weight, src, dst) tie-break)
-    * but not SQL-expressible, so no DuckDB oracle — the driver records
-    * the weaker rows-only check; MstSpec verifies against an in-test
-    * Kruskal. */
+    * [[graft.graph.Mst]]). The (weight, src, dst) tie-break makes the
+    * perturbed MSF unique, so the oracle ([[mstSql]]) may run its own
+    * Borůvka unrolling and must land on the identical forest. */
   def g7Mst(s: SparkSession, d: String): DataFrame =
     Mst.summary(partPairs(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -208,6 +207,58 @@ object GraphQueries {
        |SELECT id, label AS community FROM l$iters ORDER BY id""".stripMargin
   }
 
+  /** Unrolled Borůvka for the g7 oracle. Per round: every component picks
+    * its lightest outgoing edge under the strict (w, src, dst) order (a
+    * windowed argmin), picked edges join the forest, and touching
+    * components contract. Contraction is pointer-doubling over the pick
+    * pseudoforest: ptr(c) = the partner component of c's pick; every merge
+    * tree is rooted at exactly one mutual pair (the cluster's globally
+    * lightest edge is picked from both sides), so collapsing that 2-cycle
+    * to its min label leaves a self-looped forest that `doublings` join
+    * steps resolve for any chain of depth ≤ 2^doublings. Rounds is fixed
+    * (components at least halve per round; extra rounds are no-ops on
+    * empty CTEs), matching how g1–g4/g8 unroll supersteps. */
+  private def mstSql(rounds: Int, doublings: Int): String = {
+    // Every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // the comp/pick/pointer chain references each predecessor 2-3× — the
+    // inlined expression tree grows exponentially in rounds × doublings
+    // (observed: "Too many open files" from re-opening the parquet per
+    // inlined leaf). Materialization makes it the linear dataflow the
+    // Spark side runs.
+    val rs = (1 to rounds).map { k =>
+      val ptrs = (1 to doublings).map { j =>
+        s"p${k}_$j AS MATERIALIZED (SELECT a.c, b.p FROM p${k}_${j - 1} a JOIN p${k}_${j - 1} b ON a.p = b.c)"
+      }.mkString(",\n")
+      s"""lab$k AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.w, cs.comp AS csrc, cd.comp AS cdst
+         |  FROM mpairs e JOIN comp${k - 1} cs ON e.src = cs.id
+         |                JOIN comp${k - 1} cd ON e.dst = cd.id
+         |  WHERE cs.comp <> cd.comp),
+         |pick$k AS MATERIALIZED (SELECT c, o, w, src, dst FROM (
+         |    SELECT c, o, w, src, dst,
+         |           row_number() OVER (PARTITION BY c ORDER BY w, src, dst) AS rn
+         |    FROM (SELECT csrc AS c, cdst AS o, w, src, dst FROM lab$k
+         |          UNION ALL SELECT cdst, csrc, w, src, dst FROM lab$k) u) x
+         |  WHERE rn = 1),
+         |forest$k AS MATERIALIZED (SELECT DISTINCT src, dst, w FROM pick$k),
+         |p${k}_0 AS MATERIALIZED (SELECT a.c,
+         |    CASE WHEN b.o = a.c THEN least(a.c, a.o) ELSE a.o END AS p
+         |  FROM pick$k a JOIN pick$k b ON a.o = b.c),
+         |$ptrs,
+         |comp$k AS MATERIALIZED (SELECT v.id, coalesce(r.p, v.comp) AS comp
+         |  FROM comp${k - 1} v LEFT JOIN p${k}_$doublings r ON v.comp = r.c)""".stripMargin
+    }.mkString(",\n")
+    val forests = (1 to rounds)
+      .map(k => s"SELECT src, dst, w FROM forest$k").mkString("\n  UNION ALL ")
+    s"""WITH $edgeCtes,
+       |mpairs AS MATERIALIZED (SELECT src, dst, w FROM cpairs),
+       |comp0 AS MATERIALIZED (SELECT id, id AS comp FROM verts),
+       |$rs,
+       |forest AS ($forests)
+       |SELECT count(*) AS n_edges, CAST(sum(w) AS DOUBLE) AS total_weight
+       |FROM forest""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1Pagerank,
     "g2_sssp" -> g2Sssp,
@@ -231,5 +282,6 @@ object GraphQueries {
     "g6_degree_histogram" ->
       s"""WITH $edgeCtes
          |SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+    "g7_mst" -> mstSql(rounds = 10, doublings = 7),
     "g8_labelprop" -> labelPropSql(LpIters))
 }

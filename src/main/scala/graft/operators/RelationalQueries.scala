@@ -382,10 +382,18 @@ object RelationalQueries {
       // pin the shuffle join so the plan demonstrates it (a broadcast
       // would make the salt a no-op).
       .hint("shuffle_hash")
+    // Revenue accumulates in integer cents (the q32 pattern): the salt
+    // splits each group's partial sums differently from the plain join the
+    // oracle runs, and float addition is order-dependent — BIGINT is not.
+    // Per-row floor(x*100+0.5) is bit-identical across engines (same IEEE
+    // doubles, same ops), so the rewrite stays provably lossless.
     li.join(supp, $"l_suppkey" === $"s_suppkey" && li("salt") === supp("salt"))
       .groupBy($"s_suppkey", $"s_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100 + 0.5)
+          .cast("long")).as("cents"),
         count(lit(1)).as("n_items"))
+      .select($"s_suppkey", $"s_name",
+        round($"cents" / 100.0, 2).as("revenue"), $"n_items")
       .orderBy($"s_suppkey")
   }
 
@@ -465,11 +473,14 @@ object RelationalQueries {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
     "q31_salted_join" ->
-      """SELECT s_suppkey, s_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """WITH j AS (
+        |  SELECT s_suppkey, s_name,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS revenue,
         |  count(*) AS n_items
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+        |FROM j GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
     "q32_range_frame" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
         |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
