@@ -42,35 +42,49 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Document-frequency cap for d2's inverted index: a shingle appearing
+    * in more docs than this is dropped from candidate generation. k docs
+    * sharing a shingle produce k² candidate pairs in ONE join key group —
+    * boilerplate/license-header shingles (endemic in web-scale training
+    * data) are exactly such keys, and a single 1M-doc shingle would emit
+    * 10¹² pairs into one reducer. The cap bounds per-key expansion at
+    * DfCap²; a pair whose every common shingle is capped is (by
+    * construction) boilerplate-only overlap, the standard trade. The
+    * oracle replicates the cap, so the gate stays exact. */
+  private val DfCap = 64L
+
   /** d2: n-gram (3-word shingle) jaccard near-dup pairs, blocked by
     * language.
     *
-    * Engine side uses the inverted-index formulation (provably lossless vs
-    * the oracle's all-pairs SQL: a pair with no common shingle has jaccard
-    * 0 and can never reach the 0.5 threshold): explode shingle sets,
-    * self-join on the shingle hash — a high-cardinality, well-distributed
-    * key, unlike a (lang) block join whose handful of key groups serialize
-    * into a few tasks — count common shingles per pair, and derive
-    * jaccard = c / (|A| + |B| - c) from exact integer counts. Pair volume
-    * is Σ_shingle k² (k = docs per shingle), which stays near-linear
-    * because long shingles are nearly unique; a frequency cap would bound
-    * the worst case at true web scale. */
+    * Candidate generation is a df-capped inverted index: explode shingle
+    * sets, drop shingles with document frequency > [[DfCap]] (df comes
+    * from a map-combinable count — hot keys never materialize a posting
+    * list), self-join on the shingle hash — a high-cardinality,
+    * well-distributed key, unlike a (lang) block join whose handful of
+    * key groups serialize into a few tasks. Verification then computes
+    * EXACT jaccard per distinct candidate pair from the full shingle sets
+    * (array_intersect — c must not undercount capped shingles), so the
+    * cap affects recall only, never a reported jaccard value. */
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sets = docs(s, d).select(col("id"), col("lang"),
         Portable.shingleHashes(col("text"), cfg.shingleWords).as("sh"))
       .where(size(col("sh")) > 0)
-    val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("nsh"))
     val ex = sets.select(col("id"), col("lang"), explode(col("sh")).as("h"))
-    val a = ex.as("a"); val b = ex.as("b")
-    val common = a.join(b, col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+    val dfTab = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= DfCap)
+    val cex = ex.join(dfTab, "h")
+    val a = cex.as("a"); val b = cex.as("b")
+    val cand = a.join(b, col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
         col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("id").as("doc_a"), col("nsh").as("na")), "doc_a")
-      .join(sizes.select(col("id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b")).distinct()
+    val sa = sets.select(col("id").as("doc_a"), col("sh").as("sha"))
+    val sb = sets.select(col("id").as("doc_b"), col("sh").as("shb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")).as("j"))
+        size(array_intersect(col("sha"), col("shb"))).cast("double").as("c"),
+        size(col("sha")).cast("double").as("na"), size(col("shb")).cast("double").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("j"))
       .where(col("j") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -84,26 +98,43 @@ object DedupQueries {
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
-  /** d4: SimHash fingerprint pairs with hamming ≤ 8, blocked by language. */
-  def d4Simhash(s: SparkSession, d: String): DataFrame = {
-    val dd = docs(s, d)
-    val fps = SimHash.fingerprints(dd)
-      .join(dd.select(col("id"), col("lang")), "id")
-    SimHash.pairsWithin(fps, "lang", maxHamming = 8)
+  /** Band/hamming parameters for d4: 3 bands × 10 bits over the 30-bit
+    * fingerprint, hamming ≤ 2 — the 30-bit analog of the classic 64-bit/
+    * 4-band/hamming-3 SimHash dedup setup. maxHamming ≤ bands-1 is what
+    * makes the banding lossless (pigeonhole: ≤2 flipped bits can dirty at
+    * most 2 of the 3 slices). */
+  private val SimBands = 3
+  private val SimMaxHamming = 2
+
+  /** d4: SimHash fingerprint pairs with hamming ≤ [[SimMaxHamming]], via
+    * banded candidate generation ([[SimHash.bandedPairs]]): candidates =
+    * docs sharing any 10-bit fingerprint slice, an equi-join on
+    * (band, slice) — no blocking column, no per-block all-pairs. The
+    * pigeonhole guarantee makes the banded result provably EQUAL to the
+    * all-pairs ground truth, so the oracle runs plain all-pairs SQL and
+    * the gate proves the recall guarantee, not just replicates it. */
+  def d4Simhash(s: SparkSession, d: String): DataFrame =
+    SimHash.bandedPairs(SimHash.fingerprints(docs(s, d)),
+        bands = SimBands, maxHamming = SimMaxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
-  }
 
-  /** d5: embedding-cosine near-dup pairs (cos ≥ 0.4), blocked by label. */
+  /** d5: embedding-cosine near-dup pairs (cos ≥ 0.4) with hyperplane-LSH
+    * candidate generation — s2's bit-exact 6-bit signature
+    * ([[SimilarityQueries.signature]]) buckets the vectors, the self-join
+    * is equi-keyed on the signature, and candidates get an exact-cosine
+    * verify. Unlike a label block, bucket count grows with the plane
+    * count (2^planes), so at scale the knob that bounds bucket size is a
+    * config constant, not data skew. Bucketing is recall-lossy (unlike
+    * d4's pigeonhole banding), so the oracle replicates the signature
+    * derivation — the d3 replicate-the-pipeline trick — keeping the
+    * hash-match exact rather than recall-dependent. */
   def d5EmbeddingCosine(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(
-      col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val n = e.select(col("vec_id"), col("label"), col("v"),
-      Portable.vecNorm(col("v")).as("nrm"))
+    val n = SimilarityQueries.vecsWithNorm(s, d)
+      .withColumn("sig", SimilarityQueries.signature(col("v")))
     val a = n.as("a"); val b = n.as("b")
     val cosSim = Portable.vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    a.join(b, col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cosSim.as("c"))
       .where(col("c") >= 0.4)
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos_sim"))
@@ -213,9 +244,15 @@ object DedupQueries {
         |  doc_id != min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d2_ngram_jaccard" ->
-      s"""WITH $setsCte
-         |SELECT a.id AS doc_a, b.id AS doc_b, round($jaccardExpr, 6) AS jaccard
-         |FROM ne a JOIN ne b ON a.lang = b.lang AND a.id < b.id
+      s"""WITH $setsCte,
+         |ex AS (SELECT id, lang, unnest(sh) AS h FROM ne),
+         |dft AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= $DfCap),
+         |cex AS (SELECT ex.id, ex.lang, ex.h FROM ex JOIN dft ON ex.h = dft.h),
+         |cand AS (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+         |  FROM cex x JOIN cex y
+         |  ON x.h = y.h AND x.lang = y.lang AND x.id < y.id)
+         |SELECT doc_a, doc_b, round($jaccardExpr, 6) AS jaccard
+         |FROM cand JOIN ne a ON doc_a = a.id JOIN ne b ON doc_b = b.id
          |WHERE $jaccardExpr >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d3_minhash_lsh" ->
@@ -224,7 +261,7 @@ object DedupQueries {
          |FROM lshpairs WHERE j >= ${cfg.threshold}
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_simhash" ->
-      s"""WITH docs AS (SELECT doc_id AS id, lang, text FROM documents),
+      s"""WITH docs AS (SELECT doc_id AS id, text FROM documents),
          |tf AS (SELECT id, w, count(*) AS tf FROM
          |  (SELECT id, unnest(string_split(text, ' ')) AS w FROM docs) GROUP BY id, w),
          |th AS (SELECT id, ${sqlCharHash("w")} AS h, tf FROM tf),
@@ -234,27 +271,19 @@ object DedupQueries {
          |  tf * (CASE WHEN (h & bitval) != 0 THEN 1 ELSE -1 END) AS wgt FROM th, bits),
          |sb AS (SELECT id, j, bitval, sum(wgt) AS s FROM wb GROUP BY id, j, bitval),
          |fp AS (SELECT id, CAST(sum(CASE WHEN s > 0 THEN bitval ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM sb GROUP BY id),
-         |fpl AS (SELECT f.id, f.simhash, d.lang FROM fp f JOIN docs d ON f.id = d.id)
+         |  FROM sb GROUP BY id)
          |SELECT a.id AS doc_a, b.id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM fpl a JOIN fpl b ON a.lang = b.lang AND a.id < b.id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |FROM fp a JOIN fp b ON a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHamming
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d6_dedup_clusters" -> dedupClustersSql(D6Iters),
     "d5_embedding_cosine" ->
-      """WITH e AS (SELECT vec_id, label,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, label, v,
-        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |    list_transform(v, x -> x*x)), (a, b) -> a + b)) AS nrm FROM e)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(list_zip(a.v, b.v), s -> s[1]*s[2])),
-        |      (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim
-        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |    list_transform(list_zip(a.v, b.v), s -> s[1]*s[2])),
-        |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin)
+      s"""WITH ${SimilarityQueries.baseCte},
+         |sigs AS (SELECT vec_id, v, nrm, ${SimilarityQueries.sqlSignature} AS sig FROM n)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${SimilarityQueries.sqlCosGen("a.v", "b.v", "a.nrm", "b.nrm")}, 6) AS cos_sim
+         |FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |WHERE ${SimilarityQueries.sqlCosGen("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin)
 }

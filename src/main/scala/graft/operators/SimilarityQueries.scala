@@ -36,7 +36,7 @@ object SimilarityQueries {
   private def planeComponent(j: Int, d: Int): Double =
     ((1103515245L * (j * Dim + d) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
 
-  private def vecsWithNorm(s: SparkSession, d: String): DataFrame = {
+  private[operators] def vecsWithNorm(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(
       col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -63,8 +63,9 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Signature column: 6-bit hyperplane sign pattern of `v`. */
-  private def signature(v: Column): Column =
+  /** Signature column: 6-bit hyperplane sign pattern of `v` (shared with
+    * d5's near-dup candidate generation in [[DedupQueries]]). */
+  private[operators] def signature(v: Column): Column =
     (0 until NPlanes).map { j =>
       val plane = array((0 until Dim).map(dd => lit(planeComponent(j, dd))): _*)
       val proj = graft.functions.Portable.vecDot(v, plane)
@@ -231,7 +232,7 @@ object SimilarityQueries {
       |  (a, b) -> a + b) / (q.qn * n.nrm)""".stripMargin
 
   /** The same 6-bit signature as [[signature]], from the same LCG. */
-  private val sqlSignature: String =
+  private[operators] val sqlSignature: String =
     (0 until NPlanes).map { j =>
       s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(list_zip(v, list_transform(range(0, $Dim),
@@ -242,12 +243,12 @@ object SimilarityQueries {
     }.mkString(" + ")
 
   /** Parameterized cosine between two aliased vector/norm columns. */
-  private def sqlCosGen(va: String, vb: String, na: String, nb: String): String =
+  private[operators] def sqlCosGen(va: String, vb: String, na: String, nb: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |  list_transform(list_zip($va, $vb), s -> s[1]*s[2])),
        |  (a, b) -> a + b) / ($na * $nb)""".stripMargin
 
-  private val baseCte =
+  private[operators] val baseCte =
     s"""e AS (SELECT vec_id, label,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |n AS (SELECT vec_id, label, v, $sqlNorm AS nrm FROM e)""".stripMargin

@@ -55,8 +55,11 @@ class SketchAndScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val supp = graft.core.Tables.supplier(spark, sf)
     val plain = li.join(supp, $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_suppkey", $"s_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100 + 0.5)
+          .cast("long")).as("cents"),
         count(lit(1)).as("n_items"))
+      .select($"s_suppkey", $"s_name",
+        round($"cents" / 100.0, 2).as("revenue"), $"n_items")
       .orderBy($"s_suppkey").collect()
     assert(salted.toSeq === plain.toSeq)
   }
