@@ -189,6 +189,81 @@ object GraphQueries {
     GraphOps.labelPropagation(partGraph(s, d), LpIters)
       .select(col("id"), col("label").as("community")).orderBy("id")
 
+  /** Deterministic orientation of the co-occurrence pairs for g9: edge
+    * direction flips on endpoint-sum parity — a data-derived pseudo-random
+    * orientation, so the digraph has a giant strongly connected core plus
+    * a nontrivial periphery (an all-low-to-high orientation would be a DAG
+    * with only singleton SCCs — nothing to test). */
+  private def directedPairs(s: SparkSession, d: String): DataFrame = {
+    val even = (col("src") + col("dst")) % 2 === 0
+    partPairs(s, d).select(
+      when(even, col("src")).otherwise(col("dst")).as("dsrc"),
+      when(even, col("dst")).otherwise(col("src")).as("ddst"))
+      .select(col("dsrc").as("src"), col("ddst").as("dst"))
+  }
+
+  /** g9: strongly connected components of the parity-oriented
+    * co-occurrence digraph ([[graft.graph.Scc]] — reference SCC stub
+    * `algorithms.h:207` made real). The engine iterates to completion;
+    * the oracle ([[sccSql]]) unrolls the same forward-backward coloring
+    * with fixed upper-bound counts — identical at fixpoint. */
+  def g9Scc(s: SparkSession, d: String): DataFrame =
+    Scc.strongComponents(
+        directedPairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .orderBy("id")
+
+  /** Unrolled forward-backward coloring for the g9 oracle (MATERIALIZED
+    * for the same inlining-blowup reason as [[mstSql]]). Per round k:
+    * active-subgraph edges, `fwdIters` min-color steps along edge
+    * direction, same-color reversed edges, `bwdIters` boolean
+    * reachability steps from the color roots, then finalize marked
+    * vertices and shrink the active set. Iteration counts are fixed
+    * upper bounds — monotone fixpoints don't move under extra steps. */
+  private def sccSql(rounds: Int, fwdIters: Int, bwdIters: Int): String = {
+    val rs = (1 to rounds).map { k =>
+      val f = (1 to fwdIters).map { j =>
+        s"""f${k}_$j AS MATERIALIZED (
+           |  SELECT t.id, least(t.color, x.mc) AS color
+           |  FROM f${k}_${j - 1} t LEFT JOIN (
+           |    SELECT e.dst AS id, min(p.color) AS mc
+           |    FROM ae$k e JOIN f${k}_${j - 1} p ON e.src = p.id
+           |    GROUP BY e.dst) x ON t.id = x.id)""".stripMargin
+      }.mkString(",\n")
+      val b = (1 to bwdIters).map { j =>
+        s"""b${k}_$j AS MATERIALIZED (
+           |  SELECT t.id, (t.m OR coalesce(x.mm, FALSE)) AS m
+           |  FROM b${k}_${j - 1} t LEFT JOIN (
+           |    SELECT e.dst AS id, bool_or(p.m) AS mm
+           |    FROM ce$k e JOIN b${k}_${j - 1} p ON e.src = p.id
+           |    GROUP BY e.dst) x ON t.id = x.id)""".stripMargin
+      }.mkString(",\n")
+      s"""ae$k AS MATERIALIZED (SELECT e.src, e.dst FROM dedges e
+         |  JOIN act${k - 1} sa ON e.src = sa.id
+         |  JOIN act${k - 1} ta ON e.dst = ta.id),
+         |f${k}_0 AS MATERIALIZED (SELECT id, CAST(id AS BIGINT) AS color FROM act${k - 1}),
+         |$f,
+         |cl$k AS MATERIALIZED (SELECT id, color FROM f${k}_$fwdIters),
+         |ce$k AS MATERIALIZED (SELECT e.dst AS src, e.src AS dst
+         |  FROM ae$k e JOIN cl$k cs ON e.src = cs.id JOIN cl$k cd ON e.dst = cd.id
+         |  WHERE cs.color = cd.color),
+         |b${k}_0 AS MATERIALIZED (SELECT id, (id = color) AS m FROM cl$k),
+         |$b,
+         |new$k AS MATERIALIZED (SELECT bb.id, c.color AS scc
+         |  FROM b${k}_$bwdIters bb JOIN cl$k c ON bb.id = c.id WHERE bb.m),
+         |act$k AS MATERIALIZED (SELECT bb.id FROM b${k}_$bwdIters bb WHERE NOT bb.m)""".stripMargin
+    }.mkString(",\n")
+    val resUnion = (1 to rounds)
+      .map(k => s"SELECT id, scc FROM new$k").mkString("\n  UNION ALL ")
+    s"""WITH $edgeCtes,
+       |dedges AS MATERIALIZED (SELECT
+       |    CASE WHEN (src+dst) % 2 = 0 THEN src ELSE dst END AS src,
+       |    CASE WHEN (src+dst) % 2 = 0 THEN dst ELSE src END AS dst
+       |  FROM cpairs),
+       |act0 AS MATERIALIZED (SELECT id FROM verts),
+       |$rs
+       |SELECT id, scc FROM ($resUnion) ORDER BY id""".stripMargin
+  }
+
   private def labelPropSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""l$k AS (
@@ -267,7 +342,8 @@ object GraphQueries {
     "g5_triangle_count" -> g5TriangleCount,
     "g6_degree_histogram" -> g6DegreeHistogram,
     "g7_mst" -> g7Mst,
-    "g8_labelprop" -> g8LabelProp)
+    "g8_labelprop" -> g8LabelProp,
+    "g9_scc" -> g9Scc)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),
@@ -283,5 +359,6 @@ object GraphQueries {
       s"""WITH $edgeCtes
          |SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
     "g7_mst" -> mstSql(rounds = 10, doublings = 7),
-    "g8_labelprop" -> labelPropSql(LpIters))
+    "g8_labelprop" -> labelPropSql(LpIters),
+    "g9_scc" -> sccSql(rounds = 6, fwdIters = 12, bwdIters = 12))
 }

@@ -67,6 +67,27 @@ class GraphXParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Directed, non-canonicalized edges for SCC (direction matters). */
+  private val genDirected: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      a <- Gen.choose(1L, 30L); b <- Gen.choose(1L, 30L) if a != b
+    } yield (a, b)).map(_.distinct)
+
+  test("SCC equals GraphX stronglyConnectedComponents") {
+    import spark.implicits._
+    (1 to 3).flatMap(i =>
+      genDirected.apply(Gen.Parameters.default.withSize(50), Seed(100L + i))
+    ).foreach { es =>
+      val ours = Scc.strongComponents(es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gx = Graph.fromEdges(
+          spark.sparkContext.parallelize(es.map { case (a, b) => Edge(a, b, 1) }), 0)
+        .stronglyConnectedComponents(numIter = 20)
+        .vertices.collect().toMap
+      assert(ours === gx, s"on ${es.size} directed edges")
+    }
+  }
+
   test("triangle count equals GraphX triangleCount") {
     samples.foreach { canon =>
       val ours = GraphOps.triangleCountViaIntersect {
