@@ -78,18 +78,24 @@ object GraphLoaders {
   }
 
   /** A3: pre-partitioned METIS subgraph format (`*.subgraph.N`) — header
-    * `nvtxs nedges fmt [ncon]`; row = `vid [vwgt] (nbr [nbrloc] [ewgt])*`
-    * with the 4-digit fmt mask declaring optional columns
-    * (`/root/reference/graph.h:592-597`; column order `graph.h:677-698`).
-    * The per-edge owner partition (`nbrloc`) is parsed and surfaced as
-    * `dst_part` for inspection but plays no role in placement — Spark's
-    * shuffle owns that (SURVEY.md §1.2). */
+    * `nvtxs nedges fmt [ncon]`; row = `[vid] [vwgt×ncon] (nbr [nbrloc]
+    * [ewgt])*`. The 4-digit fmt mask is decoded from the header exactly
+    * like the reference (`/root/reference/graph.h:592-597`,
+    * `sprintf("%04zu", fmt)`): digit 0 = vertex-id column ("sizes" reused
+    * as the vid, `graph.h:655-659`), digit 1 = vertex weights (× ncon),
+    * digit 2 = edge weights, digit 3 = per-edge owner partition — and the
+    * per-edge column order is nbr, loc, weight (`graph.h:677-698`: the
+    * loc read precedes the vals read). When the vid column is absent the
+    * vertex id is the 1-based row position, same convention as
+    * [[metisAdjacency]]. The `Option` flags override individual digits
+    * (None = trust the header). `nbrloc` is surfaced as `dst_part` for
+    * inspection but plays no role in placement — Spark's shuffle owns
+    * that (SURVEY.md §1.2). */
   def metisSubgraph(spark: SparkSession, path: String,
-                    hasVertexWeight: Boolean = true,
-                    hasEdgeLoc: Boolean = true,
-                    hasEdgeWeight: Boolean = true): PropertyGraph = {
-    val stride = 1 + (if (hasEdgeLoc) 1 else 0) + (if (hasEdgeWeight) 1 else 0)
-    val vOff = if (hasVertexWeight) 2 else 1 // tokens before the edge groups
+                    hasVertexId: Option[Boolean] = None,
+                    hasVertexWeight: Option[Boolean] = None,
+                    hasEdgeWeight: Option[Boolean] = None,
+                    hasEdgeLoc: Option[Boolean] = None): PropertyGraph = {
     // The header is line 1 (the reference reads it first, graph.h:569-599);
     // line order must survive the read → indexed RDD pass.
     import spark.implicits._
@@ -98,22 +104,34 @@ object GraphLoaders {
       .zipWithIndex()
       .map { case (l, i) => (i, l.split("\\s+").toSeq) }
       .toDF("lineno", "t")
+    val header = indexed.where(col("lineno") === 0)
+      .select(col("t")).first().getSeq[String](0)
+    val fmt = if (header.size >= 3) header(2).toInt else 0
+    require(fmt <= 1111, s"Cannot read this type of file format $fmt") // graph.h:590
+    val nconHdr = if (header.size >= 4) header(3).toInt else 0
+    val ncon = if (nconHdr == 0) 1 else nconHdr // graph.h:599
+    val readVid = hasVertexId.getOrElse(fmt / 1000 % 10 == 1)
+    val readWgts = hasVertexWeight.getOrElse(fmt / 100 % 10 == 1)
+    val readVals = hasEdgeWeight.getOrElse(fmt / 10 % 10 == 1)
+    val readLoc = hasEdgeLoc.getOrElse(fmt % 10 == 1)
+    val vOff = (if (readVid) 1 else 0) + (if (readWgts) ncon else 0)
+    val stride = 1 + (if (readLoc) 1 else 0) + (if (readVals) 1 else 0)
+    val wSlot = if (readLoc) 3 else 2
     val data = indexed.where(col("lineno") > 0)
-    val vertices = data.select(
-      element_at(col("t"), 1).cast("long").as("id"),
-      (if (hasVertexWeight) element_at(col("t"), 2).cast("double")
+    val idCol =
+      if (readVid) element_at(col("t"), 1).cast("long") else col("lineno").cast("long")
+    val vertices = data.select(idCol.as("id"),
+      (if (readWgts) element_at(col("t"), if (readVid) 2 else 1).cast("double")
        else lit(1.0)).as("vweight"))
-    val wSlot = if (hasEdgeLoc) 3 else 2
-    val edges = data.select(
-        element_at(col("t"), 1).cast("long").as("src"),
+    val edges = data.select(idCol.as("src"),
         slice(col("t"), lit(vOff + 1), greatest(size(col("t")) - vOff, lit(0))).as("rest"))
       .where(size(col("rest")) >= stride)
       .select(col("src"), explode(transform(
         sequence(lit(0), (size(col("rest")) / stride).cast("int") - 1), g => struct(
           element_at(col("rest"), g * stride + 1).cast("long").as("dst"),
-          (if (hasEdgeLoc) element_at(col("rest"), g * stride + 2).cast("int")
+          (if (readLoc) element_at(col("rest"), g * stride + 2).cast("int")
            else lit(null).cast("int")).as("dst_part"),
-          (if (hasEdgeWeight) element_at(col("rest"), g * stride + wSlot).cast("double")
+          (if (readVals) element_at(col("rest"), g * stride + wSlot).cast("double")
            else lit(1.0)).as("weight")))).as("e"))
       .select(col("src"), col("e.dst").as("dst"), col("e.weight").as("weight"),
         col("e.dst_part").as("dst_part"))

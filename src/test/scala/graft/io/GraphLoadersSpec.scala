@@ -51,6 +51,19 @@ class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 2L, 1.0, 0)))
   }
 
+  test("METIS subgraph fmt=0011 auto-decoded: implicit row-order vid, no vwgt") {
+    val g = GraphLoaders.metisSubgraph(spark, res("subgraph01.0"))
+    val vw = g.vertices.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vw === Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+    val e = g.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(e === Set(
+      (1L, 2L, 1.5, 0), (1L, 3L, 2.0, 1),
+      (2L, 1L, 1.5, 0), (2L, 4L, 1.0, 1),
+      (3L, 1L, 2.0, 0),
+      (4L, 2L, 1.0, 1)))
+  }
+
   test("real reference fixtures load with the documented shapes") {
     // read-only inputs from /root/reference/graph (FIXTURES.md §A)
     val rd = GraphLoaders.edgeList(spark, "/root/reference/graph/rdsmall.graph")
