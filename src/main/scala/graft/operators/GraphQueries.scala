@@ -232,6 +232,52 @@ object GraphQueries {
         directedPairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy("id")
 
+  /** Customer cap for g10 — bounds the output matrix to ~CapI×|suppliers|
+    * rows so the gate compares a readable result, without changing the
+    * plan shape. */
+  private val MatmulCapI = 200
+
+  /** g10: sparse matrix multiply — the reference's declared-but-stub
+    * MatrixMultiply capability (`/root/reference/algorithms.h:185`) made
+    * real in the COO (coordinate-list) form that actually distributes:
+    * A[i,k] = total quantity of part k bought by customer i,
+    * B[k,j] = total quantity of part k shipped by supplier j,
+    * C = A·B over exact BIGINT quantities.
+    *
+    * Plan shape (the canonical sparse-matmul dataflow): build each matrix
+    * with one groupBy shuffle, equi-join on the contraction index k (the
+    * ONLY viable distribution axis — every C[i,j] contribution with the
+    * same k meets in one partition), then one (i,j) shuffle for the final
+    * sum. At 100 TB: AQE handles hot-k skew (a popular part is a skewed
+    * join key); for dense blocks the same query runs over (i/b, k/b) block
+    * ids with per-block local multiply — the COO form IS the block form
+    * with b=1. */
+  def g10Matmul(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val a = li.join(Tables.orders(s, d), li("l_orderkey") === col("o_orderkey"))
+      .where(col("o_custkey") <= MatmulCapI)
+      .groupBy(col("o_custkey").as("i"), col("l_partkey").as("k"))
+      .agg(sum(col("l_quantity").cast("long")).as("a"))
+    val b = li
+      .groupBy(col("l_partkey").as("k"), col("l_suppkey").as("j"))
+      .agg(sum(col("l_quantity").cast("long")).as("b"))
+    a.join(b, "k")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("a") * col("b")).as("v"))
+      .orderBy("i", "j")
+  }
+
+  private val matmulSql: String =
+    s"""WITH a AS (SELECT o_custkey AS i, l_partkey AS k,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS a
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_custkey <= $MatmulCapI GROUP BY 1, 2),
+       |b AS (SELECT l_partkey AS k, l_suppkey AS j,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS b
+       |  FROM lineitem GROUP BY 1, 2)
+       |SELECT a.i, b.j, CAST(sum(a.a * b.b) AS BIGINT) AS v
+       |FROM a JOIN b ON a.k = b.k GROUP BY a.i, b.j ORDER BY i, j""".stripMargin
+
   /** Unrolled forward-backward coloring for the g9 oracle (MATERIALIZED
     * for the same inlining-blowup reason as [[mstSql]]). Per round k:
     * active-subgraph edges, `fwdIters` min-color steps along edge
@@ -363,7 +409,8 @@ object GraphQueries {
     "g6_degree_histogram" -> g6DegreeHistogram,
     "g7_mst" -> g7Mst,
     "g8_labelprop" -> g8LabelProp,
-    "g9_scc" -> g9Scc)
+    "g9_scc" -> g9Scc,
+    "g10_matmul" -> g10Matmul)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),
@@ -380,5 +427,6 @@ object GraphQueries {
          |SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
     "g7_mst" -> mstSql(rounds = 10, doublings = 7),
     "g8_labelprop" -> labelPropSql(LpIters),
-    "g9_scc" -> sccSql(rounds = 6, fwdIters = 12, bwdIters = 12))
+    "g9_scc" -> sccSql(rounds = 6, fwdIters = 12, bwdIters = 12),
+    "g10_matmul" -> matmulSql)
 }
