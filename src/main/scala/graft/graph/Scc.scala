@@ -51,8 +51,18 @@ object Scc {
   }
 
   /** SCC membership for every endpoint of `directedEdges`: (id, scc) with
-    * scc = the min vertex id of the component. */
-  def strongComponents(directedEdges: DataFrame, maxRounds: Int = 40): DataFrame = {
+    * scc = the min vertex id of the component.
+    *
+    * Hybrid endgame (the [[Mst]] local-finish pattern): whole SCCs
+    * finalize atomically per round, so after the first round the active
+    * residue is the periphery — chains of small SCCs that would otherwise
+    * cost one distributed round EACH (only a color root's SCC finalizes
+    * per color class per round). Once the active subgraph fits a driver
+    * buffer (`localFinishLimit` rows), one iterative Tarjan pass replaces
+    * the remaining O(chain length) rounds of cluster actions. Same unique
+    * result either way — set the limit to 0 to force pure-distributed. */
+  def strongComponents(directedEdges: DataFrame, maxRounds: Int = 40,
+                       localFinishLimit: Long = 100000L): DataFrame = {
     val spark = directedEdges.sparkSession
     import spark.implicits._
     var activeEdges = directedEdges.select(col("src"), col("dst")).localCheckpoint(true)
@@ -61,7 +71,14 @@ object Scc {
       .distinct().localCheckpoint(true)
     var result = Seq.empty[(Long, Long)].toDF("id", "scc")
     var round = 0
-    while (round < maxRounds && !active.isEmpty) {
+    var finished = false
+    while (round < maxRounds && !finished && !active.isEmpty) {
+      if (active.count() <= localFinishLimit && activeEdges.count() <= localFinishLimit) {
+        val verts = active.collect().map(_.getLong(0))
+        val edgeArr = activeEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        result = result.union(localTarjan(verts, edgeArr).toSeq.toDF("id", "scc"))
+        finished = true
+      } else {
       val colors = GmrRunner.run(
           PropertyGraph(active, activeEdges.withColumn("weight", lit(1.0))),
           ConnectedComponentsProgram).vertices
@@ -88,8 +105,63 @@ object Scc {
         .join(active.select(col("id").as("src")), "src")
         .join(active.select(col("id").as("dst")), "dst")
         .select("src", "dst").localCheckpoint(true)
+      }
       round += 1
     }
     result
+  }
+
+  /** Iterative (explicit-stack) Tarjan over the collected residue; labels
+    * each SCC with its min member id — the same labeling the distributed
+    * rounds produce, so the hybrid cut point never shows in the output.
+    * Vertices absent from `edgeArr` are singleton SCCs. */
+  private def localTarjan(verts: Array[Long],
+                          edgeArr: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val ids = verts.distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val adj = Array.fill(n)(List.empty[Int])
+    edgeArr.foreach { case (s, d) =>
+      (idx.get(s), idx.get(d)) match {
+        case (Some(a), Some(b)) => adj(a) = b :: adj(a)
+        case _ => // endpoint already finalized — edge can't be in a live SCC
+      }
+    }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStk = new Array[Boolean](n)
+    val label = new Array[Long](n)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val dfs = scala.collection.mutable.Stack.empty[(Int, Iterator[Int])]
+    var counter = 0
+    def open(v: Int): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      stack += v; onStk(v) = true
+      dfs.push((v, adj(v).iterator))
+    }
+    for (s <- 0 until n if index(s) == -1) {
+      open(s)
+      while (dfs.nonEmpty) {
+        val (v, it) = dfs.top
+        if (it.hasNext) {
+          val w = it.next()
+          if (index(w) == -1) open(w)
+          else if (onStk(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          dfs.pop()
+          if (dfs.nonEmpty) low(dfs.top._1) = math.min(low(dfs.top._1), low(v))
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var w = -1
+            while (w != v) {
+              w = stack.remove(stack.length - 1); onStk(w) = false; members += w
+            }
+            val minId = members.iterator.map(ids).min
+            members.foreach(m => label(m) = minId)
+          }
+        }
+      }
+    }
+    Array.tabulate(n)(i => ids(i) -> label(i))
   }
 }

@@ -78,13 +78,19 @@ class GraphXParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     (1 to 3).flatMap(i =>
       genDirected.apply(Gen.Parameters.default.withSize(50), Seed(100L + i))
     ).foreach { es =>
-      val ours = Scc.strongComponents(es.toDF("src", "dst"))
+      // default config = the driver-Tarjan endgame; limit 0 forces the
+      // pure-distributed forward-backward rounds — both must agree with
+      // GraphX (and therefore with each other).
+      val local = Scc.strongComponents(es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Scc.strongComponents(es.toDF("src", "dst"), localFinishLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val gx = Graph.fromEdges(
           spark.sparkContext.parallelize(es.map { case (a, b) => Edge(a, b, 1) }), 0)
         .stronglyConnectedComponents(numIter = 20)
         .vertices.collect().toMap
-      assert(ours === gx, s"on ${es.size} directed edges")
+      assert(local === gx, s"local finish, on ${es.size} directed edges")
+      assert(dist === gx, s"distributed, on ${es.size} directed edges")
     }
   }
 
