@@ -33,7 +33,7 @@ object Mst {
   /** Minimum spanning forest of a canonical (src<dst, weight) edge list.
     * Returns the forest edges `(src, dst, weight)`. */
   def minimumSpanningForest(canonicalEdges: DataFrame, maxRounds: Int = 40,
-                            driverMergeLimit: Long = 5000000L,
+                            driverMergeLimit: Long = 1000000L,
                             localFinishLimit: Long = 100000L): DataFrame = {
     val spark = canonicalEdges.sparkSession
     import spark.implicits._

@@ -126,7 +126,10 @@ object DedupQueries {
     * all-pairs ground truth, so the oracle runs plain all-pairs SQL and
     * the gate proves the recall guarantee, not just replicates it. */
   def d4Simhash(s: SparkSession, d: String): DataFrame =
-    SimHash.bandedPairs(SimHash.fingerprints(docs(s, d)),
+    // persist: both self-join sides would otherwise re-run the per-doc
+    // fingerprint kernel (the dominant projection) over the full corpus
+    SimHash.bandedPairs(SimHash.fingerprints(docs(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         bands = SimBands, maxHamming = SimMaxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
@@ -142,8 +145,11 @@ object DedupQueries {
     * derivation — the d3 replicate-the-pipeline trick — keeping the
     * hash-match exact rather than recall-dependent. */
   def d5EmbeddingCosine(s: SparkSession, d: String): DataFrame = {
+    // persist: the 6-plane signature projection (384 multiply-adds/row)
+    // feeds both self-join sides
     val n = SimilarityQueries.vecsWithNorm(s, d)
       .withColumn("sig", SimilarityQueries.signature(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = n.as("a"); val b = n.as("b")
     val cosSim = Portable.vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     a.join(b, col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
