@@ -56,7 +56,11 @@ object SimHash {
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the dedup shuffle: a pair sharing k band
+      // slices comes out of the join k times, but most candidates fail
+      // the hamming cut — filtering first shrinks the distinct's input
+      // to (survivors × k) instead of (all candidates × k).
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -73,19 +73,23 @@ object DedupQueries {
     val sets = docs(s, d).select(col("id"), col("lang"),
         Portable.shingleHashes(col("text"), cfg.shingleWords).as("sh"))
       .where(size(col("sh")) > 0)
+    // Persist the RAW postings: they feed the hot-list count AND (via the
+    // anti-join) all three capped consumers — without the persist the doc
+    // shingle hashing (the dominant projection) runs once per consumer.
+    // Narrow (id, lang, h) rows, so the cache is tiny.
     val ex = sets.select(col("id"), col("lang"), explode(col("sh")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The cap is applied as a broadcast ANTI-join against the HOT list
     // (shingles with df > cap): that list is small by construction —
     // ≤ total_postings/DfCap keys — so the postings themselves never
     // shuffle for the filter (an equi-join against the kept set would
-    // shuffle the full index a second time).
+    // shuffle the full index a second time). The df count is a
+    // map-combinable hash aggregate, so hot keys never materialize a
+    // posting list anywhere. Downstream consumers re-run only the cheap
+    // broadcast probe over the cached postings.
     val hot = broadcast(ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") > DfCap).select("h"))
-    // Persist the capped postings: they feed three consumers (both pair
-    // join sides + set sizes), and without the persist each re-runs the
-    // doc hashing (narrow (id, lang, h) rows, so the cache is tiny).
     val cex = ex.join(hot, Seq("h"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = cex.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
     val a = cex.as("a"); val b = cex.as("b")
     val common = a.join(b, col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
