@@ -61,4 +61,37 @@ object Aggregators {
     override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
+
+  /** HyperLogLog register buffer: `regs(b)` = max rho seen in bucket b
+    * (0 = bucket never hit). */
+  final case class HllBuf(regs: Seq[Int])
+
+  /** Single-pass mergeable HyperLogLog distinct-count estimator over
+    * pre-hashed values (hash onto [0, P) — ~30 honest bits). Unlike
+    * [[KmvDistinct]] the state is FIXED size (m registers; merge =
+    * elementwise max) and needs no pre-distinct: duplicate values land in
+    * the same bucket with the same rho and are absorbed by the max.
+    * Estimator math and the oracle-checked declarative twin live in
+    * [[graft.operators.SketchQueries]]; [[HllSketchSpec]] verifies the
+    * two paths bit-equal. The finish sum is order-independent even in
+    * double: each term is 2^-rho with rho ≤ 23, so every partial sum is
+    * an exact multiple of 2^-23 below 2^9 — no rounding ever occurs. */
+  final class HllDistinct(m: Int, maxRho: Int) extends Aggregator[Long, HllBuf, Double] {
+    override def zero: HllBuf = HllBuf(Vector.fill(m)(0))
+    private def rho(v: Long): Int =
+      if (v == 0L) maxRho else maxRho - java.lang.Long.toBinaryString(v).length
+    override def reduce(b: HllBuf, h: Long): HllBuf = {
+      val bucket = (h % m).toInt
+      val r = rho(h / m)
+      if (r <= b.regs(bucket)) b else HllBuf(b.regs.updated(bucket, r))
+    }
+    override def merge(a: HllBuf, b: HllBuf): HllBuf =
+      HllBuf(a.regs.lazyZip(b.regs).map(math.max))
+    override def finish(b: HllBuf): Double = {
+      val invSum = b.regs.map(r => 1.0 / (1L << r).toDouble).sum
+      0.7213 / (1.0 + 1.079 / m) * m * m / invSum
+    }
+    override def bufferEncoder: Encoder[HllBuf] = Encoders.product[HllBuf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
 }

@@ -190,13 +190,50 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d7 shingle width: 4-word n-grams — long enough that incidental
+    * same-topic overlap is rare, short enough that partial copies still
+    * collide (the eval-contamination sweet spot on this corpus; 3-grams
+    * flag ~85% of docs, 5-grams only verbatim near-dups). */
+  private val DecontamK = 4
+
+  /** Docs with ≥ this many distinct shared n-grams are flagged (a single
+    * shared 4-gram can be coincidence; two independent ones almost never). */
+  private val DecontamMinShared = 2L
+
+  /** d7: eval-set decontamination — the benchmark-leakage gate a training
+    * pipeline runs before anything else: flag every training document
+    * sharing verbatim n-grams with a held-out evaluation set (here the
+    * deterministic 5% slice doc_id % 20 = 0).
+    *
+    * Scale shape: the eval set is small by construction (benchmarks), so
+    * its distinct shingle-hash set BROADCASTs — the training corpus is
+    * probed map-side and never shuffles for the match; one (doc) count
+    * aggregate follows. This is the one dedup-family op with NO self-join
+    * at all. Hash collisions are mirrored exactly in the oracle (same
+    * polynomial hash), keeping the gate bit-exact. */
+  def d7Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = docs(s, d).select(col("id"),
+        explode(Portable.shingleHashes(col("text"), DecontamK)).as("h"))
+    val evalH = broadcast(
+      sh.where(col("id") % 20 === 0).select("h").distinct())
+    val hits = sh.where(col("id") % 20 =!= 0).join(evalH, "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared")) // per-doc shingles distinct
+    docs(s, d).select(col("id")).where(col("id") % 20 =!= 0)
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= DecontamMinShared).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1Exact,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash" -> d4Simhash,
     "d5_embedding_cosine" -> d5EmbeddingCosine,
-    "d6_dedup_clusters" -> d6DedupClusters)
+    "d6_dedup_clusters" -> d6DedupClusters,
+    "d7_decontaminate" -> d7Decontaminate)
 
   // ---- DuckDB oracles ----
 
@@ -303,6 +340,21 @@ object DedupQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHamming
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d6_dedup_clusters" -> dedupClustersSql(D6Iters),
+    "d7_decontaminate" -> {
+      val gram = (0 until DecontamK).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+      s"""WITH wd AS (SELECT doc_id AS id, string_split(text, ' ') AS words FROM documents),
+         |sh AS (SELECT id, unnest(list_distinct(list_transform(
+         |    list_transform(range(1, greatest(len(words)-${DecontamK - 1}, 0)+1),
+         |      i -> $gram),
+         |    s -> ${sqlCharHash("s")}))) AS h FROM wd),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE id % 20 = 0),
+         |hits AS (SELECT sh.id, count(*) AS n_shared
+         |  FROM sh JOIN ev USING (h) WHERE sh.id % 20 != 0 GROUP BY sh.id)
+         |SELECT d.doc_id, coalesce(n_shared, 0) AS n_shared,
+         |  coalesce(n_shared, 0) >= $DecontamMinShared AS contaminated
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.id
+         |WHERE d.doc_id % 20 != 0 ORDER BY doc_id""".stripMargin
+    },
     "d5_embedding_cosine" ->
       s"""WITH ${SimilarityQueries.baseCte},
          |sigs AS (SELECT vec_id, v, nrm, ${SimilarityQueries.sqlSignature} AS sig FROM n)

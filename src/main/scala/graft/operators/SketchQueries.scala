@@ -61,8 +61,71 @@ object SketchQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** HLL register count (m) and the rho ceiling: hashes live in [0, P)
+    * ≈ 30 bits, so after the 8 bucket bits the remaining value v fits 22
+    * bits — rho(v) = leading-zeros-within-22-bits + 1 ∈ [1, 23]. */
+  val HllM = 256
+  val HllMaxRho = 23
+
+  /** alpha_m · m² for m = 256 — spelled as the same literal arithmetic in
+    * the oracle SQL; every step (÷256 is a power of two, one add, one
+    * divide, exact ×65536) is a single IEEE op, so both engines fold it
+    * to the identical double. */
+  private val HllAlphaM2 = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+  private val HllAlphaM2Sql = "0.7213/(1 + 1.079/256)*65536"
+
+  /** q34: per-returnflag distinct-part estimate via HyperLogLog — the
+    * OTHER classic distinct sketch, complementing q29's KMV with a
+    * different scale trade: fixed m-register state (vs KMV's bottom-k
+    * values) and NO pre-distinct anywhere — duplicates land in the same
+    * bucket with the same rho and the register max absorbs them, so the
+    * whole estimate is two map-combinable hash aggregates (value→bucket
+    * max, bucket→group sum). The exact `count(DISTINCT)` column beside it
+    * shuffles every distinct value; at 100 TB only the sketch survives.
+    *
+    * Portability: rho comes from the binary-string length of v (`bin()`,
+    * identical in Spark and DuckDB — no log2/libm), and the harmonic sum
+    * Σ2^-rho is EXACT in double (multiples of 2^-23 summing below 2^9
+    * never round), so the estimate is bit-identical cross-engine with a
+    * single rounding at the very end. Production single-pass path: the
+    * typed mergeable [[graft.functions.Aggregators.HllDistinct]], verified
+    * bit-equal in HllSketchSpec. */
+  /** HLL needs a hash whose BIT PATTERNS are uniform, not merely its
+    * values equidistributed: the q29-style linear hash (k·A mod P) maps
+    * sequential keys onto an evenly-spaced lattice whose leading-zero
+    * statistics are badly skewed (measured +56% estimate bias). One
+    * quadratic term breaks the lattice: h = ((k² mod P)·A + 7919k + 13)
+    * mod P — still plain BIGINT arithmetic, overflow-safe to k ≈ 2·10⁹
+    * (k² mod P < 2³⁰, ×A < 2⁶²), and bit-exactly replicable in SQL. */
+  private[operators] def hllHashSql(k: String): String =
+    s"((($k * $k) % ${Portable.P}) * 2654435761 + $k * 7919 + 13) % ${Portable.P}"
+
+  def q34HllDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val h = expr(hllHashSql("l_partkey"))
+    val b = li.select($"l_returnflag", (h % HllM).as("bucket"),
+      expr(s"(${hllHashSql("l_partkey")}) DIV $HllM").as("v"))
+    val rho = when($"v" === 0L, lit(HllMaxRho))
+      .otherwise(lit(HllMaxRho) - length(bin($"v")))
+    val regs = b.select($"l_returnflag", $"bucket", rho.as("rho"))
+      .groupBy($"l_returnflag", $"bucket").agg(max($"rho").as("r"))
+    val g = regs.groupBy($"l_returnflag").agg(
+      sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), r)").cast("double")).as("occ"),
+      count(lit(1)).as("nb"))
+    val est = lit(HllAlphaM2) / ($"occ" + (lit(HllM) - $"nb").cast("double"))
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_exact"))
+    g.join(exact, "l_returnflag")
+      .select($"l_returnflag", $"n_exact",
+        round(est, 4).as("hll_estimate"),
+        round(est / $"n_exact", 4).as("ratio"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q29_kmv_distinct" -> q29KmvDistinct)
+    "q29_kmv_distinct" -> q29KmvDistinct,
+    "q34_hll_distinct" -> q34HllDistinct)
 
   val oracle: Map[String, String] = Map(
     "q29_kmv_distinct" ->
@@ -82,5 +145,25 @@ object SketchQueries {
          |  round(CAST(CASE WHEN n_kept < $K THEN n_kept
          |       ELSE (${(K - 1).toLong * Portable.P} // kth) END AS BIGINT)
          |    / CAST(n_exact AS DOUBLE), 4) AS ratio
-         |FROM sk JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)
+         |FROM sk JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    "q34_hll_distinct" ->
+      s"""WITH h AS (SELECT l_returnflag,
+         |    ${hllHashSql("l_partkey")} AS h FROM lineitem),
+         |b AS (SELECT l_returnflag, h % $HllM AS bucket, h // $HllM AS v FROM h),
+         |r AS (SELECT l_returnflag, bucket,
+         |    max(CASE WHEN v = 0 THEN $HllMaxRho
+         |        ELSE $HllMaxRho - length(bin(v)) END) AS r
+         |  FROM b GROUP BY l_returnflag, bucket),
+         |g AS (SELECT l_returnflag,
+         |    sum(1.0/CAST(CAST(1 AS BIGINT) << r AS DOUBLE)) AS occ,
+         |    count(*) AS nb
+         |  FROM r GROUP BY l_returnflag),
+         |e AS (SELECT l_returnflag,
+         |    $HllAlphaM2Sql/(occ + CAST($HllM - nb AS DOUBLE)) AS est FROM g),
+         |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT e.l_returnflag, n_exact,
+         |  round(est, 4) AS hll_estimate,
+         |  round(est/n_exact, 4) AS ratio
+         |FROM e JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)
 }

@@ -153,13 +153,87 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t7 keep-thresholds (Gopher-style repetition gates, adapted to the
+    * corpus so both outcomes occur). The comparisons run on the raw
+    * double ratios (single IEEE divisions — bit-identical cross-engine);
+    * only the REPORTED ratios are rounded. */
+  private val MaxTopWordFrac = 0.12
+  private val MaxTopBigramFrac = 0.05
+  private val MaxDupWordFrac = 0.6
+
+  /** t7: repetition-based quality filtering — the Gopher/C4 family of
+    * "document is boilerplate/spam" gates: fraction of tokens taken by
+    * the single most frequent word, by the most frequent bigram, and the
+    * duplicate-word fraction (1 − distinct/total). Docs failing any gate
+    * are dropped by a real pipeline; here every doc is reported with its
+    * metrics + the keep verdict so the gate itself is oracle-checked.
+    *
+    * Scale shape: two explode → (doc, term) hash aggregates (map-side
+    * partial — a hot term never materializes a posting list) feeding a
+    * per-doc aggregate; no window, no self-join, O(corpus tokens) shuffle
+    * total. */
+  def t7Repetition(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val w = Portable.words(col("text"))
+    val uw = dd.select(col("doc_id"), explode(w).as("t"))
+    val aw = uw.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("topw"),
+        sum(col("c")).as("nw"), count(lit(1)).as("ndw"))
+    val ub = dd.select(col("doc_id"), explode(Portable.shingles(w, 2)).as("t"))
+    val ab = ub.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("topb"), sum(col("c")).as("nb"))
+    val topWordFrac = col("topw").cast("double") / col("nw")
+    val dupWordFrac = (col("nw") - col("ndw")).cast("double") / col("nw")
+    // one-word docs have no bigrams: left join, treat as non-repetitive
+    val topBigramFrac =
+      coalesce(col("topb"), lit(0L)).cast("double") / greatest(col("nb"), lit(1L))
+    aw.join(ab, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        col("nw").cast("long").as("n_words"),
+        round(topWordFrac, 6).as("top_word_frac"),
+        round(dupWordFrac, 6).as("dup_word_frac"),
+        round(topBigramFrac, 6).as("top_bigram_frac"),
+        (topWordFrac <= MaxTopWordFrac && topBigramFrac <= MaxTopBigramFrac &&
+          dupWordFrac <= MaxDupWordFrac).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Token budget per packed sequence for t8. */
+  private val PackBudget = 512L
+
+  /** t8: sequence packing — the pretraining step that concatenates docs
+    * into fixed-token-budget training sequences. Greedy streaming layout:
+    * docs in deterministic (doc_id) order, each starts at the running
+    * token offset, and its sequence id is `start_offset DIV budget` (a
+    * doc straddling the boundary belongs to the bin it starts in).
+    *
+    * Packing is PER SOURCE (window partitioned by `source`): a global
+    * order-by-everything window is the classic driver-scale bottleneck —
+    * sharded packing is what a 100 TB pipeline does (each shard packs
+    * independently; sequence ids are (shard, bin)). */
+  def t8Pack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = docs(s, d)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = dd.select(col("doc_id"), col("source"),
+        size(Portable.words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    withCum.select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"start_off DIV $PackBudget").as("seq_id"),
+        (col("start_off") % PackBudget).as("offset_in_seq"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_token_stats" -> t1TokenStats,
     "t2_langid" -> t2LangId,
     "t3_quality" -> t3Quality,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_tfidf" -> t5Tfidf,
-    "t6_scrub" -> t6Scrub)
+    "t6_scrub" -> t6Scrub,
+    "t7_repetition" -> t7Repetition,
+    "t8_pack" -> t8Pack)
 
   // ---- DuckDB oracles ----
 
@@ -228,6 +302,42 @@ object TextQueries {
          |  length(scrubbed) AS len_scrubbed,
          |  ${sqlCharHash("scrubbed")} AS scrub_hash
          |FROM sc ORDER BY doc_id""".stripMargin,
+    "t7_repetition" ->
+      s"""WITH wd AS (SELECT doc_id, $sqlWords AS words FROM documents),
+         |uw AS (SELECT doc_id, unnest(words) AS t FROM wd),
+         |aw AS (SELECT doc_id, max(c) AS topw, CAST(sum(c) AS BIGINT) AS nw,
+         |    count(*) AS ndw
+         |  FROM (SELECT doc_id, t, count(*) AS c FROM uw GROUP BY doc_id, t)
+         |  GROUP BY doc_id),
+         |ub AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(words)-1, 0)+1),
+         |    i -> words[i] || ' ' || words[i+1])) AS t FROM wd),
+         |ab AS (SELECT doc_id, max(c) AS topb, CAST(sum(c) AS BIGINT) AS nb
+         |  FROM (SELECT doc_id, t, count(*) AS c FROM ub GROUP BY doc_id, t)
+         |  GROUP BY doc_id),
+         |m AS (SELECT aw.doc_id, nw, ndw,
+         |    CAST(topw AS DOUBLE)/nw AS twf,
+         |    CAST(nw - ndw AS DOUBLE)/nw AS dwf,
+         |    CAST(coalesce(topb, 0) AS DOUBLE)/greatest(nb, 1) AS tbf
+         |  FROM aw LEFT JOIN ab ON aw.doc_id = ab.doc_id)
+         |SELECT doc_id, nw AS n_words,
+         |  round(twf, 6) AS top_word_frac,
+         |  round(dwf, 6) AS dup_word_frac,
+         |  round(tbf, 6) AS top_bigram_frac,
+         |  (twf <= $MaxTopWordFrac AND tbf <= $MaxTopBigramFrac
+         |    AND dwf <= $MaxDupWordFrac) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "t8_pack" ->
+      s"""WITH c AS (SELECT doc_id, source,
+         |    CAST(len($sqlWords) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len($sqlWords)) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      - len($sqlWords) AS start_off
+         |  FROM documents)
+         |SELECT doc_id, source, n_tokens,
+         |  start_off // $PackBudget AS seq_id,
+         |  start_off % $PackBudget AS offset_in_seq
+         |FROM c ORDER BY doc_id""".stripMargin,
     "t5_tfidf" ->
       s"""WITH wh AS (SELECT doc_id,
          |    unnest(list_transform($sqlWords, w -> ${sqlCharHash("w")})) AS h

@@ -48,6 +48,31 @@ class SketchAndScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"estimate $big too far from 5000")
   }
 
+  test("HllDistinct Aggregator == declarative register estimate (q34)") {
+    import spark.implicits._
+    val hll = udaf(new Aggregators.HllDistinct(SketchQueries.HllM, SketchQueries.HllMaxRho))
+    val viaAgg = graft.core.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", expr(SketchQueries.hllHashSql("l_partkey")).as("h"))
+      .groupBy($"l_returnflag").agg(round(hll($"h"), 4).as("hll_estimate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaQuery = SketchQueries.q34HllDistinct(spark, sf)
+      .select($"l_returnflag", $"hll_estimate")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaAgg === viaQuery)
+  }
+
+  test("HLL estimate within 15% at 5k distinct, invariant to partitioning") {
+    import spark.implicits._
+    val hll = udaf(new Aggregators.HllDistinct(SketchQueries.HllM, SketchQueries.HllMaxRho))
+    def estimate(parts: Int): Double =
+      (1 to 5000).map(_.toLong).toDF("k").repartition(parts)
+        .select(expr(SketchQueries.hllHashSql("k")).as("h"))
+        .agg(hll($"h")).first().getDouble(0)
+    val e1 = estimate(1); val e8 = estimate(8)
+    assert(e1 === e8, "merge must be order/partitioning independent")
+    assert(math.abs(e1 - 5000.0) / 5000.0 < 0.15, s"estimate $e1 too far from 5000")
+  }
+
   test("salted join (q31) == plain join (lossless rewrite)") {
     import spark.implicits._
     val salted = RelationalQueries.q31SaltedJoin(spark, sf).collect()
