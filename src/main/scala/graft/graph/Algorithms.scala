@@ -32,7 +32,7 @@ final class PageRank(n: Long, damping: Double = 0.85) extends VertexProgram {
 
 object PageRank {
   def apply(graph: PropertyGraph, damping: Double = 0.85): PageRankRun = {
-    val degs = graph.degrees
+    val degs = graph.degrees // short-circuits when vertices carry deg
     val n = degs.count()
     PageRankRun(PropertyGraph(degs, graph.edges), new PageRank(n, damping))
   }

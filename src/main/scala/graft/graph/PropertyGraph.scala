@@ -26,12 +26,16 @@ import org.apache.spark.sql.functions._
   */
 final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
-  /** Out-degree per vertex (left join keeps isolated vertices at 0). */
-  def degrees: DataFrame = {
-    val d = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    vertices.select("id").join(d, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
-  }
+  /** Out-degree per vertex (left join keeps isolated vertices at 0).
+    * A vertex table already carrying a `deg` column (the materialized
+    * derived-graph path) short-circuits the edge aggregation. */
+  def degrees: DataFrame =
+    if (vertices.columns.contains("deg")) vertices.select("id", "deg")
+    else {
+      val d = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      vertices.select("id").join(d, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+    }
 }
 
 object PropertyGraph {

@@ -69,15 +69,30 @@ object GraphQueries {
     s.read.parquet(path)
   }
 
-  /** Derived graph with the canonical pair set persisted: degrees, the
-    * source-vertex lookup, and the runner's own edge materialization all
-    * re-derive from the cached pairs instead of re-running the lineitem
-    * self-join (2-3 extra scans otherwise). Bench/Verify clear caches
-    * between queries. */
+  /** The (id, deg) table of the symmetrized co-occurrence graph,
+    * materialized beside [[partPairsMaterialized]]: every g-family query
+    * needs the vertex set (and g1/g6 the degrees), and deriving it per
+    * query costs a distinct + a groupBy over the 2×|pairs| edge view
+    * (~2.5 s × several queries at sf0.1). Same derive-once pattern; the
+    * first caller pays. */
+  def vertexDegMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
+    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("user.dir")}/target/graft_derived/v$DerivedVersion/$tag/vertex_deg"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      PropertyGraph.fromEdges(PropertyGraph.symmetrize(partPairsMaterialized(s, d)))
+        .degrees.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** Derived graph from the materialized pair + degree tables: the edge
+    * view re-derives from the persisted pairs (no lineitem re-scan) and
+    * the vertex set is a 20k-row parquet scan carrying `deg` — programs
+    * that need degrees ([[PageRank]]) use it directly, the rest project
+    * it away in `initial`. Bench/Verify clear caches between queries. */
   def partGraph(s: SparkSession, d: String): PropertyGraph = {
     val pairs = partPairsMaterialized(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    PropertyGraph.fromEdges(PropertyGraph.symmetrize(pairs))
+    PropertyGraph(vertexDegMaterialized(s, d), PropertyGraph.symmetrize(pairs))
   }
 
   // ---- oracle SQL derivation (shared CTE prefix) ----
