@@ -67,6 +67,21 @@ object Gmr {
         val r = GmrRunner.run(g, ConnectedComponentsProgram)
         (r.vertices.select(col("id"), col("value").cast("long").as("component"))
           .orderBy("id"), r.iterations)
+      case "mst" =>
+        // reference stub `algorithms.h:200` — Borůvka MSF over the
+        // canonical undirected pair set (perturbed order ⇒ unique forest)
+        val pairs = g.edges
+          .select(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"), col("weight"))
+          .where(col("src") =!= col("dst"))
+          .groupBy("src", "dst").agg(min(col("weight")).as("weight"))
+        (Mst.minimumSpanningForest(pairs).orderBy("src", "dst"), 1)
+      case "scc" | "stronglyconnectedcomponents" =>
+        // reference stub `algorithms.h:207` — edge direction as loaded
+        (Scc.strongComponents(g.edges).orderBy("id"), 1)
+      case "labelprop" | "lpa" =>
+        (GraphOps.labelPropagation(g, 5)
+          .select(col("id"), col("label").as("community")).orderBy("id"), 5)
       case "trianglecount" | _ =>
         // canonical undirected pair set, as the reference's (min,max) key
         // canonicalization produces (`algorithms.h:118-126`)

@@ -53,4 +53,27 @@ class GmrMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (a, _) = Gmr.run(spark, "trianglecount", s"$ref/small.graph", "zoltan")
     assert(a.first().getLong(0) === 1L)
   }
+
+  test("mst on small.graph: forest has n - #components edges") {
+    val (cc, _) = Gmr.run(spark, "cc", s"$ref/small.graph")
+    val nComp = cc.select("component").distinct().count()
+    val n = cc.count()
+    val (mst, _) = Gmr.run(spark, "mst", s"$ref/small.graph")
+    assert(mst.count() === n - nComp)
+  }
+
+  test("scc on 3line.graph: the 2<->3 cycle is one SCC, vertex 1 a singleton") {
+    // 3line.graph is 1->2, 2->3, 3->2: {2,3} form a directed cycle.
+    val (df, _) = Gmr.run(spark, "scc", s"$ref/3line.graph")
+    val sccs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sccs === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("labelprop on small.graph: labels drawn from vertex ids, one per vertex") {
+    val (df, _) = Gmr.run(spark, "labelprop", s"$ref/small.graph")
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length === 10)
+    val ids = rows.map(_._1).toSet
+    assert(rows.map(_._2).forall(ids.contains))
+  }
 }
