@@ -119,6 +119,50 @@ object HashUtil {
     new GenericArrayData(out)
   }
 
+  /** Repetition statistics of a document in ONE pass:
+    * [n_words, top_word_count, n_distinct_words, top_bigram_count,
+    * n_bigrams]. Counts key on the exact word/bigram BYTES (not their
+    * hashes — a hash collision would silently merge two distinct words'
+    * counts and diverge from the relational oracle). Per-doc state only:
+    * the 100 TB shape, since every metric here is row-local — the
+    * explode + (doc, term) aggregate formulation shuffles O(corpus
+    * tokens) for what a row can answer alone. */
+  def repStats(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val bounds = wordBounds(b)
+    val nWords = bounds.length / 2
+    val wc = new java.util.HashMap[String, Array[Long]](nWords * 2)
+    var i = 0
+    while (i < nWords) {
+      val w = new String(b, bounds(2 * i), bounds(2 * i + 1) - bounds(2 * i),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val cur = wc.get(w)
+      if (cur == null) wc.put(w, Array(1L)) else cur(0) += 1
+      i += 1
+    }
+    var topW = 0L
+    val itW = wc.values().iterator()
+    while (itW.hasNext) { val c = itW.next()(0); if (c > topW) topW = c }
+    val nBigrams = math.max(nWords - 1, 0)
+    var topB = 0L
+    if (nBigrams > 0) {
+      // a bigram joined by the single split space is a verbatim substring
+      val bc = new java.util.HashMap[String, Array[Long]](nBigrams * 2)
+      i = 0
+      while (i < nBigrams) {
+        val g = new String(b, bounds(2 * i), bounds(2 * (i + 1) + 1) - bounds(2 * i),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val cur = bc.get(g)
+        if (cur == null) bc.put(g, Array(1L)) else cur(0) += 1
+        i += 1
+      }
+      val itB = bc.values().iterator()
+      while (itB.hasNext) { val c = itB.next()(0); if (c > topB) topB = c }
+    }
+    new GenericArrayData(
+      Array(nWords.toLong, topW, wc.size().toLong, topB, nBigrams.toLong))
+  }
+
   private val permCache =
     new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Long], Array[Long])]
 

@@ -49,6 +49,21 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_rep_stats(text)` → ARRAY<BIGINT>: one-pass repetition stats
+  * [n_words, top_word_count, n_distinct_words, top_bigram_count,
+  * n_bigrams] (see [[HashUtil.repStats]]). */
+case class RepStats(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rep_stats"
+  override protected def nullSafeEval(s: Any): Any =
+    HashUtil.repStats(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.repStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
 /** `graft_word_hashes(text)` → ARRAY<BIGINT>: per-word hash, document
   * order (not distinct). */
 case class WordHashes(child: Expression)

@@ -168,28 +168,25 @@ object TextQueries {
     * are dropped by a real pipeline; here every doc is reported with its
     * metrics + the keep verdict so the gate itself is oracle-checked.
     *
-    * Scale shape: two explode → (doc, term) hash aggregates (map-side
-    * partial — a hot term never materializes a posting list) feeding a
-    * per-doc aggregate; no window, no self-join, O(corpus tokens) shuffle
-    * total. */
+    * Scale shape: every metric is row-local, so the whole thing is one
+    * native kernel projection (`graft_rep_stats`, codegen'd one-pass
+    * word/bigram counting) — zero shuffles beyond the final sort. The
+    * equivalent explode → (doc, term) aggregate pipeline shuffles
+    * O(corpus tokens) for what each row answers alone (measured 4.9 s vs
+    * ~0.6 s at sf0.1); the oracle keeps that relational form, so the gate
+    * cross-checks the kernel against unnest + group-by semantics. */
   def t7Repetition(s: SparkSession, d: String): DataFrame = {
-    val dd = docs(s, d)
-    val w = Portable.words(col("text"))
-    val uw = dd.select(col("doc_id"), explode(w).as("t"))
-    val aw = uw.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("topw"),
-        sum(col("c")).as("nw"), count(lit(1)).as("ndw"))
-    val ub = dd.select(col("doc_id"), explode(Portable.shingles(w, 2)).as("t"))
-    val ab = ub.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("topb"), sum(col("c")).as("nb"))
+    val st = call_function("graft_rep_stats", col("text"))
+    val base = docs(s, d).select(col("doc_id"),
+      element_at(st, 1).as("nw"), element_at(st, 2).as("topw"),
+      element_at(st, 3).as("ndw"), element_at(st, 4).as("topb"),
+      element_at(st, 5).as("nb"))
     val topWordFrac = col("topw").cast("double") / col("nw")
     val dupWordFrac = (col("nw") - col("ndw")).cast("double") / col("nw")
-    // one-word docs have no bigrams: left join, treat as non-repetitive
-    val topBigramFrac =
-      coalesce(col("topb"), lit(0L)).cast("double") / greatest(col("nb"), lit(1L))
-    aw.join(ab, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        col("nw").cast("long").as("n_words"),
+    // one-word docs have no bigrams: count 0 over max(nb,1) → 0.0
+    val topBigramFrac = col("topb").cast("double") / greatest(col("nb"), lit(1L))
+    base.select(col("doc_id"),
+        col("nw").as("n_words"),
         round(topWordFrac, 6).as("top_word_frac"),
         round(dupWordFrac, 6).as("dup_word_frac"),
         round(topBigramFrac, 6).as("top_bigram_frac"),

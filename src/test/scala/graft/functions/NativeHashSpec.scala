@@ -128,6 +128,28 @@ class NativeHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
       java.lang.Double.doubleToLongBits(r.getDouble(1))))
   }
+
+  test("rep stats kernel == explode + group-by formulation") {
+    import spark.implicits._
+    val uw = docs.select(col("id"), explode(Portable.words(col("text"))).as("t"))
+    val aw = uw.groupBy("id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("topw"),
+        sum(col("c")).as("nw"), count(lit(1)).as("ndw"))
+    val ub = docs.select(col("id"),
+      explode(Portable.shingles(Portable.words(col("text")), 2)).as("t"))
+    val ab = ub.groupBy("id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("topb"), sum(col("c")).as("nb"))
+    val relational = aw.join(ab, Seq("id"), "left_outer")
+      .select(col("id"), col("nw"), col("topw"), col("ndw"),
+        coalesce(col("topb"), lit(0L)).as("topb"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val native = docs
+      .select(col("id"), call_function("graft_rep_stats", col("text")).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === relational)
+  }
 }
 
 /** Bits constant accessor (avoids importing graft.dedup into functions). */
