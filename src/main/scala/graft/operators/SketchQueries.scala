@@ -97,7 +97,7 @@ object SketchQueries {
     * quadratic term breaks the lattice: h = ((k² mod P)·A + 7919k + 13)
     * mod P — still plain BIGINT arithmetic, overflow-safe to k ≈ 2·10⁹
     * (k² mod P < 2³⁰, ×A < 2⁶²), and bit-exactly replicable in SQL. */
-  private[operators] def hllHashSql(k: String): String =
+  private[graft] def hllHashSql(k: String): String =
     s"((($k * $k) % ${Portable.P}) * 2654435761 + $k * 7919 + 13) % ${Portable.P}"
 
   def q34HllDistinct(s: SparkSession, d: String): DataFrame = {

@@ -60,6 +60,29 @@ object EventStreams {
           count(lit(1)).as("n_in_group"))
   }
 
+  /** Tumbling-window approximate distinct users via the engine's
+    * mergeable HyperLogLog `Aggregator` ([[graft.functions.Aggregators
+    * .HllDistinct]], the q34 sketch) — the streaming face of the sketch
+    * surface: per-window state is the fixed m-register buffer, merged
+    * across micro-batches by the state store exactly like map-side
+    * partials in batch, so an unbounded stream of users costs O(m) bytes
+    * per open window. An exact streaming count(DISTINCT) is unsupported
+    * by design (unbounded per-window state); the sketch IS the answer.
+    * Batch and streaming produce identical estimates on the same data
+    * (register max is order/batching independent — EventStreamsSpec). */
+  def approxDistinctUsers(events: DataFrame,
+                          windowLen: String = "1 hour",
+                          watermarkDelay: String = "2 hours"): DataFrame = {
+    val hll = udaf(new graft.functions.Aggregators.HllDistinct(
+      graft.operators.SketchQueries.HllM, graft.operators.SketchQueries.HllMaxRho))
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    src.select(col("ts"),
+        expr(graft.operators.SketchQueries.hllHashSql("user_id")).as("h"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(round(hll(col("h")), 4).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("approx_users"))
+  }
+
   /** Stream-stream interval join: match each click to the view by the
     * same user that happened at or up to `horizon` before it. Both sides
     * are watermarked, and the join condition bounds event-time distance
