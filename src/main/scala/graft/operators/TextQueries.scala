@@ -210,7 +210,10 @@ object TextQueries {
     * independently; sequence ids are (shard, bin)). */
   def t8Pack(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dd = docs(s, d)
+    // No docs() fan-out here: the window's own partition-by-source
+    // Exchange provides the parallelism, and a preceding repartition
+    // would just be a second full shuffle (seen in the plan audit).
+    val dd = Tables.documents(s, d)
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = dd.select(col("doc_id"), col("source"),
