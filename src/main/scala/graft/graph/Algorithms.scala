@@ -91,6 +91,40 @@ object ConnectedComponentsProgram extends VertexProgram {
 /** Non-iterative whole-graph operators. */
 object GraphOps {
 
+  /** k-core decomposition by iterative peeling over a symmetrized edge
+    * list: `rounds` fixed rounds of "drop every vertex whose degree in
+    * the surviving subgraph is < k". Returns (id, in_core, peel_round)
+    * where peel_round is the 1-based round a vertex was removed
+    * (0 = survived all rounds). Derivation is the membership-count form
+    * (vertex in m of the survivor snapshots ⇒ peeled at m+1) so a
+    * relational oracle can reproduce it verbatim. Per round: one degree
+    * aggregate over the surviving edges, equi-joined against the (only
+    * shrinking) survivor set; survivor state is eagerly checkpointed —
+    * lazy peeling chains are recompute trees. */
+  def kCore(symEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e2 = symEdges.select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s0 = e2.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var surv = s0
+    val snapshots = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to rounds) {
+      val deg = e2
+        .join(surv.select(col("id").as("src")), "src")
+        .join(surv.select(col("id").as("dst")), "dst")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      surv = deg.where(col("deg") >= k).select("id").localCheckpoint(true)
+      snapshots += surv
+    }
+    val mc = snapshots.result().reduce(_ union _)
+      .groupBy("id").agg(count(lit(1)).as("m"))
+    e2.unpersist(blocking = false)
+    s0.join(mc, Seq("id"), "left_outer")
+      .select(col("id"),
+        (coalesce(col("m"), lit(0L)) === rounds).as("in_core"),
+        when(coalesce(col("m"), lit(0L)) === rounds, lit(0L))
+          .otherwise(coalesce(col("m"), lit(0L)) + 1).as("peel_round"))
+  }
+
   /** Global triangle count — re-expression of TriangleCount
     * (`/root/reference/algorithms.h:97-180`). The reference emits each
     * canonical edge `(min,max)` as a composite key with the full neighbor

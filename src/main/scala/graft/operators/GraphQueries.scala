@@ -224,6 +224,35 @@ object GraphQueries {
     GraphOps.labelPropagation(partGraph(s, d), LpIters)
       .select(col("id"), col("label").as("community")).orderBy("id")
 
+  /** k-core parameters for g11: the weight ≥ 2 co-occurrence subgraph
+    * (the full graph is too dense to peel — min degree 42) with k = 3
+    * cascades through ~10 removal rounds at sf0.01; KCoreRounds = 12 is
+    * the fixed unroll both engines run, so they agree even short of the
+    * fixpoint at other scales. */
+  private val KCoreK = 3
+  private val KCoreRounds = 12
+  private val KCoreMinWeight = 2.0
+
+  /** g11: k-core decomposition by iterative peeling — repeatedly remove
+    * vertices whose degree within the surviving subgraph is < k. Output
+    * per vertex: core membership + the 1-based round it was peeled
+    * (0 = survived all rounds). Both engines derive the answer the same
+    * way — count how many of the `rounds` survivor snapshots contain the
+    * vertex (membership count m: in-core ⇔ m = rounds, else peeled at
+    * round m+1) — so the gate is exact by construction.
+    *
+    * Scale shape: per round one degree aggregation over the surviving
+    * edge set (equi-joins against the survivor set, which only shrinks)
+    * and a filter; survivor state is localCheckpointed per round (lazy
+    * peeling chains are recompute trees, as with the BSP runner). The
+    * membership-count finish is one union + one aggregate — no window. */
+  def g11KCore(s: SparkSession, d: String): DataFrame =
+    GraphOps.kCore(
+        PropertyGraph.symmetrize(
+          partPairsMaterialized(s, d).where(col("weight") >= KCoreMinWeight)),
+        KCoreK, KCoreRounds)
+      .orderBy("id")
+
   /** Deterministic orientation of the co-occurrence pairs for g9: edge
     * direction flips on endpoint-sum parity — a data-derived pseudo-random
     * orientation, so the digraph has a giant strongly connected core plus
@@ -280,6 +309,36 @@ object GraphQueries {
       .groupBy(col("i"), col("j"))
       .agg(sum(col("a") * col("b")).as("v"))
       .orderBy("i", "j")
+  }
+
+  /** Unrolled k-core peeling for the g11 oracle: survivor CTE per round
+    * (MATERIALIZED — the inlining-blowup guard of [[mstSql]]/[[sccSql]]),
+    * then the same membership-count finish the Spark side computes. */
+  private def kcoreSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT d.id FROM (
+         |    SELECT e.src AS id, count(*) AS deg
+         |    FROM e2 e JOIN s${r - 1} a ON e.src = a.id
+         |              JOIN s${r - 1} b ON e.dst = b.id
+         |    GROUP BY e.src) d
+         |  WHERE d.deg >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(r => s"SELECT id FROM s$r").mkString(" UNION ALL ")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |w2 AS (SELECT a.p AS src, b.p AS dst
+       |       FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+       |       GROUP BY a.p, b.p HAVING count(*) >= $KCoreMinWeight),
+       |e2 AS (SELECT src, dst FROM w2 UNION ALL SELECT dst, src FROM w2),
+       |s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e2),
+       |$steps,
+       |mc AS (SELECT id AS mid, count(*) AS m FROM ($unions) GROUP BY id)
+       |SELECT s0.id,
+       |  coalesce(m, 0) = $rounds AS in_core,
+       |  CASE WHEN coalesce(m, 0) = $rounds THEN 0
+       |       ELSE coalesce(m, 0) + 1 END AS peel_round
+       |FROM s0 LEFT JOIN mc ON s0.id = mc.mid
+       |ORDER BY id""".stripMargin
   }
 
   private val matmulSql: String =
@@ -425,7 +484,8 @@ object GraphQueries {
     "g7_mst" -> g7Mst,
     "g8_labelprop" -> g8LabelProp,
     "g9_scc" -> g9Scc,
-    "g10_matmul" -> g10Matmul)
+    "g10_matmul" -> g10Matmul,
+    "g11_kcore" -> g11KCore)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),
@@ -443,5 +503,6 @@ object GraphQueries {
     "g7_mst" -> mstSql(rounds = 10, doublings = 7),
     "g8_labelprop" -> labelPropSql(LpIters),
     "g9_scc" -> sccSql(rounds = 6, fwdIters = 12, bwdIters = 12),
-    "g10_matmul" -> matmulSql)
+    "g10_matmul" -> matmulSql,
+    "g11_kcore" -> kcoreSql(KCoreRounds))
 }

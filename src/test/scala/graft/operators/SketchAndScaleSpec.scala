@@ -89,6 +89,20 @@ class SketchAndScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("kCore: pendant chain peels in cascading rounds, clique survives") {
+    import spark.implicits._
+    // K4 clique {0,1,2,3} (3-core); 4 hangs off 2 and 3 plus leaf 5
+    // (deg 3). Round 1 peels 5 (deg 1); that drops 4 to deg 2 → peeled
+    // round 2 — a genuine cascade. The clique survives.
+    val pairs = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 2L, 1L -> 3L,
+      2L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L).toDF("src", "dst")
+    val out = GraphOps.kCore(PropertyGraph.symmetrize(pairs), k = 3, rounds = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      0L -> ((true, 0L)), 1L -> ((true, 0L)), 2L -> ((true, 0L)), 3L -> ((true, 0L)),
+      5L -> ((false, 1L)), 4L -> ((false, 2L))))
+  }
+
   test("label propagation: two triangles joined by a bridge -> two communities") {
     import spark.implicits._
     // Triangle A = {0,1,2}, triangle B = {10,11,12}, bridge 2-10.
