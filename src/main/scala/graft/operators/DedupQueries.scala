@@ -226,6 +226,45 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d8: end-to-end corpus selection — the composition a real pipeline
+    * ships: a document enters the training corpus iff it (a) is not in
+    * the held-out eval slice, (b) passes the t7 repetition-quality gate,
+    * (c) is the canonical copy of its exact-duplicate group, and (d)
+    * shares no verbatim 4-grams with the eval set (d7's gate; eval docs
+    * trivially self-match and come out contaminated, which is harmless —
+    * they are excluded by (a) anyway). One row per document with every
+    * verdict, so the gate checks each stage AND the conjunction.
+    *
+    * Scale shape: three narrow per-doc projections (one native-kernel
+    * pass for quality, one sha256 groupBy for canonicals, one broadcast
+    * probe + count for contamination) joined on doc id — nothing here
+    * exceeds the cost of its standalone query. */
+  def d8CorpusSelect(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val quality = dd.select(col("id"),
+      TextQueries.repetitionKeep(col("text")).as("keep_quality"))
+    val sha = dd.select(col("id"), sha2(col("text"), 256).as("sh"))
+    val canon = sha.join(
+        sha.groupBy("sh").agg(min(col("id")).as("cid")), "sh")
+      .select(col("id"), (col("id") === col("cid")).as("is_canonical"))
+    val post = dd.select(col("id"),
+      explode(Portable.shingleHashes(col("text"), DecontamK)).as("h"))
+    val evalH = broadcast(
+      post.where(col("id") % 20 === 0).select("h").distinct())
+    val hits = post.join(evalH, "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    val isEval = col("id") % 20 === 0
+    dd.select(col("id"), isEval.as("is_eval"))
+      .join(quality, "id").join(canon, "id")
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"), col("is_eval"), col("keep_quality"),
+        col("is_canonical"),
+        (coalesce(col("n_shared"), lit(0L)) < DecontamMinShared).as("is_clean"),
+        (!col("is_eval") && col("keep_quality") && col("is_canonical") &&
+          coalesce(col("n_shared"), lit(0L)) < DecontamMinShared).as("selected"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1Exact,
     "d2_ngram_jaccard" -> d2NgramJaccard,
@@ -233,7 +272,8 @@ object DedupQueries {
     "d4_simhash" -> d4Simhash,
     "d5_embedding_cosine" -> d5EmbeddingCosine,
     "d6_dedup_clusters" -> d6DedupClusters,
-    "d7_decontaminate" -> d7Decontaminate)
+    "d7_decontaminate" -> d7Decontaminate,
+    "d8_corpus_select" -> d8CorpusSelect)
 
   // ---- DuckDB oracles ----
 
@@ -340,6 +380,31 @@ object DedupQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHamming
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d6_dedup_clusters" -> dedupClustersSql(D6Iters),
+    "d8_corpus_select" -> {
+      val gram = (0 until DecontamK).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+      s"""WITH ${TextQueries.repetitionKeepSqlCtes("documents")},
+         |cn AS (SELECT doc_id,
+         |    doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
+         |  FROM documents),
+         |dwd AS (SELECT doc_id AS id, string_split(text, ' ') AS words FROM documents),
+         |dsh AS (SELECT id, unnest(list_distinct(list_transform(
+         |    list_transform(range(1, greatest(len(words)-${DecontamK - 1}, 0)+1),
+         |      i -> $gram),
+         |    s -> ${sqlCharHash("s")}))) AS h FROM dwd),
+         |dev AS (SELECT DISTINCT h FROM dsh WHERE id % 20 = 0),
+         |dhits AS (SELECT dsh.id, count(*) AS n_shared
+         |  FROM dsh JOIN dev USING (h) GROUP BY dsh.id)
+         |SELECT d.doc_id, d.doc_id % 20 = 0 AS is_eval,
+         |  rk.keep AS keep_quality, cn.is_canonical,
+         |  coalesce(n_shared, 0) < $DecontamMinShared AS is_clean,
+         |  (d.doc_id % 20 != 0 AND rk.keep AND cn.is_canonical
+         |   AND coalesce(n_shared, 0) < $DecontamMinShared) AS selected
+         |FROM documents d
+         |JOIN rk ON d.doc_id = rk.doc_id
+         |JOIN cn ON d.doc_id = cn.doc_id
+         |LEFT JOIN dhits ON d.doc_id = dhits.id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "d7_decontaminate" -> {
       val gram = (0 until DecontamK).map(j => s"words[i+$j]").mkString(" || ' ' || ")
       s"""WITH wd AS (SELECT doc_id AS id, string_split(text, ' ') AS words FROM documents),

@@ -157,9 +157,45 @@ object TextQueries {
     * corpus so both outcomes occur). The comparisons run on the raw
     * double ratios (single IEEE divisions — bit-identical cross-engine);
     * only the REPORTED ratios are rounded. */
-  private val MaxTopWordFrac = 0.12
-  private val MaxTopBigramFrac = 0.05
-  private val MaxDupWordFrac = 0.6
+  private[operators] val MaxTopWordFrac = 0.12
+  private[operators] val MaxTopBigramFrac = 0.05
+  private[operators] val MaxDupWordFrac = 0.6
+
+  /** The t7 repetition-gate verdict as a reusable Column over a text
+    * column (shared with d8's corpus selection — same thresholds, same
+    * kernel). */
+  private[operators] def repetitionKeep(text: Column): Column = {
+    val st = call_function("graft_rep_stats", text)
+    val nw = element_at(st, 1)
+    val topWordFrac = element_at(st, 2).cast("double") / nw
+    val dupWordFrac = (nw - element_at(st, 3)).cast("double") / nw
+    val topBigramFrac =
+      element_at(st, 4).cast("double") / greatest(element_at(st, 5), lit(1L))
+    topWordFrac <= MaxTopWordFrac && topBigramFrac <= MaxTopBigramFrac &&
+      dupWordFrac <= MaxDupWordFrac
+  }
+
+  /** DuckDB twin of [[repetitionKeep]] given a docs relation aliased with
+    * (doc_id, words): the t7 oracle's keep expression as a CTE fragment. */
+  private[operators] def repetitionKeepSqlCtes(docsRel: String): String =
+    s"""rk_wd AS (SELECT doc_id, string_split(text, ' ') AS words FROM $docsRel),
+       |rk_aw AS (SELECT doc_id, max(c) AS topw, CAST(sum(c) AS BIGINT) AS nw,
+       |    count(*) AS ndw
+       |  FROM (SELECT doc_id, t, count(*) AS c FROM
+       |    (SELECT doc_id, unnest(words) AS t FROM rk_wd) GROUP BY doc_id, t)
+       |  GROUP BY doc_id),
+       |rk_ab AS (SELECT doc_id, max(c) AS topb, CAST(sum(c) AS BIGINT) AS nb
+       |  FROM (SELECT doc_id, t, count(*) AS c FROM
+       |    (SELECT doc_id, unnest(list_transform(
+       |       range(1, greatest(len(words)-1, 0)+1),
+       |       i -> words[i] || ' ' || words[i+1])) AS t FROM rk_wd)
+       |    GROUP BY doc_id, t)
+       |  GROUP BY doc_id),
+       |rk AS (SELECT rk_aw.doc_id,
+       |    (CAST(topw AS DOUBLE)/nw <= $MaxTopWordFrac
+       |     AND CAST(coalesce(topb, 0) AS DOUBLE)/greatest(nb, 1) <= $MaxTopBigramFrac
+       |     AND CAST(nw - ndw AS DOUBLE)/nw <= $MaxDupWordFrac) AS keep
+       |  FROM rk_aw LEFT JOIN rk_ab ON rk_aw.doc_id = rk_ab.doc_id)""".stripMargin
 
   /** t7: repetition-based quality filtering — the Gopher/C4 family of
     * "document is boilerplate/spam" gates: fraction of tokens taken by
