@@ -88,4 +88,32 @@ class GraphPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(GraphOps.orientedTriangleCountDF(canon).first().getLong(0) === naive)
     }
   }
+
+  test("kCore matches local reference peeling for k in 1..4") {
+    forAll(genEdges, Gen.choose(1, 4)) { (pairs, k) =>
+      import spark.implicits._
+      val canon = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = canon.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // local reference: peel round-by-round to fixpoint
+      var alive = adj.keySet
+      var peeled = Map.empty[Long, Long]
+      var round = 1L
+      var changed = true
+      while (changed) {
+        val drop = alive.filter(v => adj(v).count(alive) < k)
+        changed = drop.nonEmpty
+        peeled ++= drop.map(_ -> round)
+        alive --= drop
+        round += 1
+      }
+      val rounds = 8 // ≥ any fixpoint depth on 12-vertex samples
+      val got = GraphOps.kCore(
+          PropertyGraph.symmetrize(canon.toDF("src", "dst")), k, rounds)
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+      val want = adj.keySet.map(v =>
+        v -> ((!peeled.contains(v), peeled.getOrElse(v, 0L)))).toMap
+      assert(got === want, s"k=$k pairs=$canon")
+    }
+  }
 }
