@@ -106,10 +106,27 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** [[MinHashLsh.nearDuplicates]] over the documents table,
+    * materialized once per sfDir (the graph family's derive-once
+    * pattern, GraphQueries.partPairsMaterialized): d3 gates the pairs
+    * and d6 builds its duplicate-cluster graph from the very same list —
+    * without the materialization d6 re-runs the whole
+    * shingle→minhash→band→verify pipeline. First caller pays the
+    * derivation; version-bump the path when cfg changes. */
+  private val LshDerivedVersion = 1
+  def lshPairsMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
+    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("user.dir")}/target/graft_derived/lsh_v$LshDerivedVersion/$tag/pairs"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      MinHashLsh.nearDuplicates(docs(s, d), cfg)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** d3: MinHash+LSH near-dup pairs (banded candidate generation +
     * exact-jaccard verification — see [[graft.dedup.MinHashLsh]]). */
   def d3MinhashLsh(s: SparkSession, d: String): DataFrame =
-    MinHashLsh.nearDuplicates(docs(s, d), cfg)
+    lshPairsMaterialized(s, d)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -176,7 +193,7 @@ object DedupQueries {
     * copy per near-dup set" materialization — pair volume is LSH-bounded
     * and the component iteration shuffles O(|pairs|) per superstep. */
   def d6DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = MinHashLsh.nearDuplicates(docs(s, d), cfg)
+    val pairs = lshPairsMaterialized(s, d)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(pairs))
