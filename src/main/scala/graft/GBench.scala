@@ -22,6 +22,10 @@ object GBench {
     val n = t("degree count action") { degs.count() }
     println(s"[gbench] vertices: $n")
     val pr = new graft.graph.PageRank(n)
+    // A/B the loop under AQE on/off (SPARK_GRAFT_AQE=false to disable):
+    // per-superstep materializations re-plan under AQE; measure the cost.
+    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", v))
     val run = t("5 supersteps (runFixed)") {
       graft.graph.GmrRunner.loopTimed(
         graft.graph.PropertyGraph(degs, g.edges), pr, 5)
