@@ -75,14 +75,24 @@ object Aggregators {
     * [[graft.operators.SketchQueries]]; [[HllSketchSpec]] verifies the
     * two paths bit-equal. The finish sum is order-independent even in
     * double: each term is 2^-rho with rho ≤ 23, so every partial sum is
-    * an exact multiple of 2^-23 below 2^9 — no rounding ever occurs. */
+    * an exact multiple of 2^-23 below 2^9 — no rounding ever occurs.
+    *
+    * Input domain: calibrated for hashes in [0, P) (rho assumes ≤ maxRho-1
+    * value bits after the bucket split). Out-of-domain inputs — e.g.
+    * `hllHashSql` fed ids beyond ±~3·10⁹, where k² overflows BIGINT and
+    * the hash goes negative — must not crash the pipeline, so the sign
+    * bit is cleared before bucketing and rho is floored at 1: such rows
+    * degrade the estimate (they carry junk leading-zero statistics), never
+    * the job. */
   final class HllDistinct(m: Int, maxRho: Int) extends Aggregator[Long, HllBuf, Double] {
     override def zero: HllBuf = HllBuf(Vector.fill(m)(0))
     private def rho(v: Long): Int =
-      if (v == 0L) maxRho else maxRho - java.lang.Long.toBinaryString(v).length
+      if (v == 0L) maxRho
+      else math.max(1, maxRho - java.lang.Long.toBinaryString(v).length)
     override def reduce(b: HllBuf, h: Long): HllBuf = {
-      val bucket = (h % m).toInt
-      val r = rho(h / m)
+      val u = h & Long.MaxValue // no-op in [0, P); rescues negative hashes
+      val bucket = (u % m).toInt
+      val r = rho(u / m)
       if (r <= b.regs(bucket)) b else HllBuf(b.regs.updated(bucket, r))
     }
     override def merge(a: HllBuf, b: HllBuf): HllBuf =

@@ -95,10 +95,20 @@ object SketchQueries {
     * sequential keys onto an evenly-spaced lattice whose leading-zero
     * statistics are badly skewed (measured +56% estimate bias). One
     * quadratic term breaks the lattice: h = ((k² mod P)·A + 7919k + 13)
-    * mod P — still plain BIGINT arithmetic, overflow-safe to k ≈ 2·10⁹
-    * (k² mod P < 2³⁰, ×A < 2⁶²), and bit-exactly replicable in SQL. */
-  private[graft] def hllHashSql(k: String): String =
-    s"((($k * $k) % ${Portable.P}) * 2654435761 + $k * 7919 + 13) % ${Portable.P}"
+    * mod P — still plain BIGINT arithmetic, bit-exactly replicable in SQL.
+    *
+    * Total on the FULL BIGINT domain: k is reduced mod P before the
+    * square (|k mod P|² < 1.1·10¹⁸ and ×A after the second mod < 2.7·10¹⁸,
+    * both inside Long — a raw k² would hit Spark 4's ANSI overflow error
+    * for snowflake-scale ids), and the final `(x % P + P) % P` folds the
+    * truncating remainder's negative branch into [0, P). Both are exact
+    * no-ops for the keys the gated queries feed (0 ≤ k < P), so oracle
+    * hashes are unchanged. */
+  private[graft] def hllHashSql(k: String): String = {
+    val p = Portable.P
+    val km = s"($k % $p)"
+    s"(((($km * $km) % $p) * 2654435761 + $km * 7919 + 13) % $p + $p) % $p"
+  }
 
   def q34HllDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -73,6 +73,21 @@ class SketchAndScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(e1 - 5000.0) / 5000.0 < 0.15, s"estimate $e1 too far from 5000")
   }
 
+  test("HLL survives out-of-domain ids (negative / overflow-range hashes)") {
+    import spark.implicits._
+    val hll = udaf(new Aggregators.HllDistinct(SketchQueries.HllM, SketchQueries.HllMaxRho))
+    // Snowflake-style ids: k*k overflows Long, hllHashSql goes negative.
+    // Pre-fix this threw ArrayIndexOutOfBoundsException in reduce.
+    val ids = (1 to 2000).map(i => 1234567890123456789L + i * 1000003L) ++
+      (1 to 500).map(i => -987654321098765L - i)
+    val est = ids.toDF("user_id").repartition(8)
+      .select(expr(SketchQueries.hllHashSql("user_id")).as("h"))
+      .agg(hll($"h")).first().getDouble(0)
+    assert(est > 0.0 && !est.isNaN)
+    // In-domain behavior unchanged: sign-bit mask and rho floor are no-ops
+    // for hashes in [0, P) — the q34 parity test above still pins that.
+  }
+
   test("salted join (q31) == plain join (lossless rewrite)") {
     import spark.implicits._
     val salted = RelationalQueries.q31SaltedJoin(spark, sf).collect()
