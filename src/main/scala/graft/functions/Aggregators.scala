@@ -62,6 +62,49 @@ object Aggregators {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Count-Min sketch buffer: d×w counter matrix, flattened row-major. */
+  final case class CmsBuf(counts: Seq[Long])
+
+  /** Single-pass mergeable Count-Min frequency sketch: row r hashes the
+    * key into one of w counters and increments it; the frequency estimate
+    * for a key is the MIN of its d counters — an upper bound on the true
+    * count (counters only ever over-count, by whatever shares the
+    * bucket), within εN with probability 1-δ for w = e/ε, d = ln(1/δ).
+    * State is fixed d·w longs and merge is elementwise sum, so Catalyst
+    * runs it with full map-side partial aggregation: the heavy-hitter
+    * question that exactly needs a per-key shuffle (`groupBy(key).count`)
+    * becomes O(d·w) bytes per map task regardless of key cardinality.
+    * Estimator math and the oracle-checked declarative twin live in
+    * [[graft.operators.SketchQueries]] (q35); [[SketchAndScaleSpec]]
+    * verifies the two paths equal and the never-undercounts bound.
+    *
+    * Keys are reduced mod P before the row hash (floorMod — total on the
+    * full BIGINT domain, a no-op for the non-negative gated keys). */
+  final class CmsSketch(d: Int, w: Int, rowA: Seq[Long], rowB: Seq[Long])
+      extends Aggregator[Long, CmsBuf, Seq[Long]] {
+    require(rowA.length == d && rowB.length == d)
+    override def zero: CmsBuf = CmsBuf(Vector.fill(d * w)(0L))
+    private[graft] def bucket(k: Long, r: Int): Int = {
+      val km = Math.floorMod(k, graft.functions.Portable.P)
+      (Math.floorMod(km * rowA(r) + rowB(r), graft.functions.Portable.P) % w).toInt
+    }
+    override def reduce(b: CmsBuf, k: Long): CmsBuf = {
+      var c = b.counts
+      var r = 0
+      while (r < d) { val i = r * w + bucket(k, r); c = c.updated(i, c(i) + 1L); r += 1 }
+      CmsBuf(c)
+    }
+    override def merge(a: CmsBuf, b: CmsBuf): CmsBuf =
+      CmsBuf(a.counts.lazyZip(b.counts).map(_ + _))
+    override def finish(b: CmsBuf): Seq[Long] = b.counts
+    /** Point estimate from a finished sketch. */
+    def estimate(counts: Seq[Long], k: Long): Long =
+      (0 until d).map(r => counts(r * w + bucket(k, r))).min
+    override def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** HyperLogLog register buffer: `regs(b)` = max rho seen in bucket b
     * (0 = bucket never hit). */
   final case class HllBuf(regs: Seq[Int])

@@ -282,6 +282,64 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom geometry for d9: 16384 positions × 3 hash probes. At ~475
+    * eval-doc shingle hashes the fill is ~8%, FP rate ≈ fill³ ≈ 0.06% —
+    * and the bit array is 2 KB regardless of how large the eval set
+    * grows, which is the whole point (see [[d9BloomDecontaminate]]). */
+  private val BloomM = 16384L
+  private val BloomJ = 3
+  private val BloomA = Seq(2654435761L, 2246822519L, 3266489917L)
+
+  /** Probe-j Bloom position of a shingle hash h ∈ [0, P):
+    * ((h·A_j + B_j) mod P) mod M — h·A_j < 3.3·10¹⁸ stays in BIGINT. */
+  private def bloomPos(h: org.apache.spark.sql.Column, j: Int) =
+    ((h * BloomA(j) + lit(j * 7919L + 13L)) % Portable.P) % BloomM
+
+  /** d9: Bloom-filter decontamination — d7's gate rebuilt for the regime
+    * where the eval set's exact shingle-hash set is too big to broadcast
+    * raw: what broadcasts instead is a fixed-size Bloom bit array
+    * ([[BloomM]] bits no matter how many benchmarks pile up), each train
+    * shingle is probed map-side against all [[BloomJ]] positions, and
+    * only Bloom-passing candidates — true matches plus a provably tiny
+    * false-positive tail — proceed to the exact-verify join, which at
+    * scale can be an ordinary shuffle join over a candidate set orders of
+    * magnitude smaller than the corpus. Bloom filters never yield false
+    * negatives, so n_verified is EXACTLY d7's n_shared (asserted in
+    * BloomDecontamSpec); the reported candidate/verified split makes the
+    * false-positive tail itself oracle-checked. The bit array is modeled
+    * as the distinct set of set positions — the declarative twin of a bit
+    * vector — and membership as a conjunction of three broadcast
+    * semi-joins; the oracle replicates positions exactly. */
+  def d9BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = docs(s, d).select(col("id"),
+        explode(Portable.shingleHashes(col("text"), DecontamK)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSh = sh.where(col("id") % 20 === 0).select("h").distinct()
+    val bits = evalSh.select(explode(array(
+      (0 until BloomJ).map(j => bloomPos(col("h"), j)): _*)).as("p")).distinct()
+    val train = sh.where(col("id") % 20 =!= 0)
+    // Conjunction of the three probes = chain of broadcast LEFT SEMI
+    // joins: each strips the candidates that miss one position; the
+    // train postings never shuffle.
+    val cand = (0 until BloomJ).foldLeft(train) { (acc, j) =>
+      acc.join(broadcast(bits.select(col("p").as(s"p$j"))),
+        bloomPos(col("h"), j) === col(s"p$j"), "left_semi")
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = cand.groupBy(col("id")).agg(count(lit(1)).as("n_candidates"))
+    val nVer = cand.join(broadcast(evalSh), "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_verified"))
+    docs(s, d).select(col("id")).where(col("id") % 20 =!= 0)
+      .join(nCand, Seq("id"), "left_outer")
+      .join(nVer, Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        (coalesce(col("n_candidates"), lit(0L)) -
+          coalesce(col("n_verified"), lit(0L))).as("n_false_pos"),
+        (coalesce(col("n_verified"), lit(0L)) >= DecontamMinShared).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1Exact,
     "d2_ngram_jaccard" -> d2NgramJaccard,
@@ -290,7 +348,8 @@ object DedupQueries {
     "d5_embedding_cosine" -> d5EmbeddingCosine,
     "d6_dedup_clusters" -> d6DedupClusters,
     "d7_decontaminate" -> d7Decontaminate,
-    "d8_corpus_select" -> d8CorpusSelect)
+    "d8_corpus_select" -> d8CorpusSelect,
+    "d9_bloom_decontaminate" -> d9BloomDecontaminate)
 
   // ---- DuckDB oracles ----
 
@@ -435,6 +494,36 @@ object DedupQueries {
          |SELECT d.doc_id, coalesce(n_shared, 0) AS n_shared,
          |  coalesce(n_shared, 0) >= $DecontamMinShared AS contaminated
          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.id
+         |WHERE d.doc_id % 20 != 0 ORDER BY doc_id""".stripMargin
+    },
+    "d9_bloom_decontaminate" -> {
+      val gram = (0 until DecontamK).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+      def pos(h: String, j: Int) =
+        s"(($h * ${BloomA(j)} + ${j * 7919 + 13}) % ${Portable.P}) % $BloomM"
+      val bitsUnion = (0 until BloomJ)
+        .map(j => s"SELECT DISTINCT ${pos("h", j)} AS p FROM ev").mkString(" UNION ")
+      s"""WITH wd AS (SELECT doc_id AS id, string_split(text, ' ') AS words FROM documents),
+         |sh AS (SELECT id, unnest(list_distinct(list_transform(
+         |    list_transform(range(1, greatest(len(words)-${DecontamK - 1}, 0)+1),
+         |      i -> $gram),
+         |    s -> ${sqlCharHash("s")}))) AS h FROM wd),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE id % 20 = 0),
+         |bits AS ($bitsUnion),
+         |cand AS (SELECT id, h FROM sh WHERE id % 20 != 0
+         |  AND ${pos("h", 0)} IN (SELECT p FROM bits)
+         |  AND ${pos("h", 1)} IN (SELECT p FROM bits)
+         |  AND ${pos("h", 2)} IN (SELECT p FROM bits)),
+         |nc AS (SELECT id, count(*) AS n_candidates FROM cand GROUP BY id),
+         |nv AS (SELECT cand.id, count(*) AS n_verified
+         |  FROM cand JOIN ev USING (h) GROUP BY cand.id)
+         |SELECT d.doc_id,
+         |  coalesce(n_candidates, 0) AS n_candidates,
+         |  coalesce(n_verified, 0) AS n_verified,
+         |  coalesce(n_candidates, 0) - coalesce(n_verified, 0) AS n_false_pos,
+         |  coalesce(n_verified, 0) >= $DecontamMinShared AS contaminated
+         |FROM documents d
+         |LEFT JOIN nc ON d.doc_id = nc.id
+         |LEFT JOIN nv ON d.doc_id = nv.id
          |WHERE d.doc_id % 20 != 0 ORDER BY doc_id""".stripMargin
     },
     "d5_embedding_cosine" ->

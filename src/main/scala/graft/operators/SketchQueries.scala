@@ -133,9 +133,55 @@ object SketchQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Count-Min geometry: 4 independent rows × 256 counters (8 KB of
+    * longs). Row-hash multipliers are the classic public mixing primes
+    * (Knuth 2654435761; xxHash 2246822519 / 3266489917 / 668265263). */
+  val CmsD = 4
+  val CmsW = 256L
+  val CmsA: Seq[Long] = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  private[graft] def cmsB(r: Int): Long = r * 7919L + 13L
+
+  /** Row-r CMS bucket of key expression `k`, as portable SQL: reduce mod
+    * P first (|k mod P|·A < 3.3·10¹⁸ stays in BIGINT for any input), then
+    * an affine row hash mod P, then the counter index mod w. */
+  private[graft] def cmsBucketSql(k: String, r: Int): String =
+    s"((($k % ${Portable.P}) * ${CmsA(r)} + ${cmsB(r)}) % ${Portable.P}) % $CmsW"
+
+  /** q35: heavy-hitter users over the events stream via a Count-Min
+    * frequency sketch, beside the exact per-key count. The declarative
+    * sketch is two hash aggregates: posexplode each event into its d
+    * (row, bucket) cells (map-combinable count per cell — the counter
+    * table is at most d·w = 1024 rows TOTAL, independent of event or key
+    * cardinality), then probe each candidate key's d cells and take the
+    * min. The counter table broadcasts; the exact `groupBy(key).count`
+    * beside it is the per-key shuffle the sketch exists to avoid — at
+    * 100 TB only the sketch's O(d·w)-bytes-per-map-task plan survives,
+    * and the gate proves estimate ≥ exact (CMS never undercounts).
+    * Production single-pass path: [[graft.functions.Aggregators.CmsSketch]]
+    * (one d·w-long buffer per map task, elementwise-sum merge), verified
+    * cell-identical to this formulation in SketchAndScaleSpec. */
+  def q35CmsTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.core.Tables.events(s, d).select($"user_id")
+    val cells = array((0 until CmsD).map(r =>
+      expr(cmsBucketSql("user_id", r))): _*)
+    val counters = ev.select(posexplode(cells).as(Seq("r", "bucket")))
+      .groupBy($"r", $"bucket").agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    val probes = exact.select($"user_id", $"n_events",
+      posexplode(cells).as(Seq("r", "bucket")))
+    val est = probes.join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy($"user_id", $"n_events").agg(min($"cnt").as("cms_estimate"))
+    est.orderBy($"n_events".desc, $"user_id").limit(20)
+      .select($"user_id", $"n_events", $"cms_estimate",
+        ($"cms_estimate" - $"n_events").as("overcount"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_kmv_distinct" -> q29KmvDistinct,
-    "q34_hll_distinct" -> q34HllDistinct)
+    "q34_hll_distinct" -> q34HllDistinct,
+    "q35_cms_topk" -> q35CmsTopk)
 
   val oracle: Map[String, String] = Map(
     "q29_kmv_distinct" ->
@@ -175,5 +221,21 @@ object SketchQueries {
          |SELECT e.l_returnflag, n_exact,
          |  round(est, 4) AS hll_estimate,
          |  round(est/n_exact, 4) AS ratio
-         |FROM e JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)
+         |FROM e JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    "q35_cms_topk" -> {
+      val rowsCte = (0 until CmsD).map(r =>
+        s"SELECT $r AS r, ${CmsA(r)} AS a, ${cmsB(r)} AS b").mkString(" UNION ALL ")
+      val bucket = s"(((user_id % ${Portable.P}) * a + b) % ${Portable.P}) % $CmsW"
+      s"""WITH rows AS ($rowsCte),
+         |pr AS (SELECT user_id, r, $bucket AS bucket FROM events, rows),
+         |ctr AS (SELECT r, bucket, count(*) AS cnt FROM pr GROUP BY r, bucket),
+         |ex AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+         |prb AS (SELECT user_id, n_events, r, $bucket AS bucket FROM ex, rows),
+         |est AS (SELECT user_id, n_events, min(cnt) AS cms_estimate
+         |  FROM prb JOIN ctr USING (r, bucket) GROUP BY user_id, n_events),
+         |top AS (SELECT * FROM est ORDER BY n_events DESC, user_id LIMIT 20)
+         |SELECT user_id, n_events, cms_estimate,
+         |  CAST(cms_estimate - n_events AS BIGINT) AS overcount
+         |FROM top ORDER BY user_id""".stripMargin
+    })
 }

@@ -261,6 +261,30 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t9 split fractions (bucket ∈ [0,100): <90 train, <95 val, else test). */
+  private val SplitTrainLt = 90L
+  private val SplitValLt = 95L
+
+  /** t9: deterministic train/val/test split — the assignment a pipeline
+    * must make reproducibly, with no RNG state and no reshuffling when
+    * the corpus regenerates. The bucket is a hash of the CONTENT, not the
+    * doc id: byte-identical documents always land in the same split, so
+    * an exact duplicate can never straddle train and test (the id-hash
+    * variant leaks every unnoticed dup across the boundary — this is the
+    * split-time complement of d1's dedup and d7's decontamination gates).
+    * Row-local projection, zero shuffles beyond the output sort; the
+    * portable rolling hash makes the oracle bit-exact. */
+  def t9Split(s: SparkSession, d: String): DataFrame = {
+    val bucket = Portable.charHash(col("text")) % 100
+    docs(s, d).select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < SplitTrainLt, lit("train"))
+          .when(bucket < SplitValLt, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_token_stats" -> t1TokenStats,
     "t2_langid" -> t2LangId,
@@ -269,7 +293,8 @@ object TextQueries {
     "t5_tfidf" -> t5Tfidf,
     "t6_scrub" -> t6Scrub,
     "t7_repetition" -> t7Repetition,
-    "t8_pack" -> t8Pack)
+    "t8_pack" -> t8Pack,
+    "t9_split" -> t9Split)
 
   // ---- DuckDB oracles ----
 
@@ -374,6 +399,14 @@ object TextQueries {
          |  start_off // $PackBudget AS seq_id,
          |  start_off % $PackBudget AS offset_in_seq
          |FROM c ORDER BY doc_id""".stripMargin,
+    "t9_split" ->
+      s"""WITH b AS (SELECT doc_id, ${sqlCharHash("text")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < $SplitTrainLt THEN 'train'
+         |       WHEN bucket < $SplitValLt THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "t5_tfidf" ->
       s"""WITH wh AS (SELECT doc_id,
          |    unnest(list_transform($sqlWords, w -> ${sqlCharHash("w")})) AS h

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 corpus-pipeline gates: the Bloom decontamination path must be
+  * a lossless (no-false-negative) rewrite of d7's exact broadcast gate,
+  * and the content-hash split must be duplicate-consistent. */
+class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.core.GraftSession.builder("4").getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d9 Bloom gate: n_verified == d7 n_shared (no false negatives)") {
+    val exact = DedupQueries.d7Decontaminate(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = DedupQueries.d9BloomDecontaminate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bloom.map(_._1).toSet === exact.keySet)
+    bloom.foreach { case (id, nCand, nVer, nFp) =>
+      assert(nVer === exact(id), s"doc $id: bloom verified differs from exact")
+      assert(nCand >= nVer, s"doc $id: candidates must cover verified")
+      assert(nFp === nCand - nVer)
+    }
+  }
+
+  test("t9 split: byte-identical docs land in the same split, fractions sane") {
+    import spark.implicits._
+    val out = TextQueries.t9Split(spark, sf)
+    val byText = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val split = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // Same text → same bucket → same split (the property an id-hash split lacks).
+    byText.groupBy(_._2).values.filter(_.size > 1).foreach { dups =>
+      val assignments = dups.keys.map(split).toSet
+      assert(assignments.size === 1, s"dup group straddles splits: $assignments")
+    }
+    split.values.foreach { case (b, s) =>
+      assert(b >= 0 && b < 100)
+      assert(s === (if (b < 90) "train" else if (b < 95) "val" else "test"))
+    }
+    // Roughly 90/5/5: train must dominate (loose bound; hash is uniform-ish).
+    val n = split.size.toDouble
+    val nTrain = split.values.count(_._2 == "train")
+    assert(nTrain / n > 0.75, s"train fraction ${nTrain / n} implausibly low")
+  }
+}

@@ -88,6 +88,37 @@ class SketchAndScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // for hashes in [0, P) — the q34 parity test above still pins that.
   }
 
+  test("CmsSketch Aggregator cells == declarative counter table (q35)") {
+    import spark.implicits._
+    val cms = new Aggregators.CmsSketch(SketchQueries.CmsD, SketchQueries.CmsW.toInt,
+      SketchQueries.CmsA, (0 until SketchQueries.CmsD).map(SketchQueries.cmsB))
+    val ev = graft.core.Tables.events(spark, sf).select($"user_id")
+    val cmsUdaf = udaf(cms)
+    val counts = ev.repartition(8).agg(cmsUdaf($"user_id")).first()
+      .getSeq[Long](0)
+    // Declarative twin: the q35 posexplode counter table.
+    val cells = array((0 until SketchQueries.CmsD).map(r =>
+      expr(SketchQueries.cmsBucketSql("user_id", r))): _*)
+    val declared = ev.select(posexplode(cells).as(Seq("r", "bucket")))
+      .groupBy($"r", $"bucket").agg(count(lit(1)).as("cnt"))
+      .collect().map(x => (x.getInt(0), x.getLong(1).toInt) -> x.getLong(2)).toMap
+    val w = SketchQueries.CmsW.toInt
+    for (r <- 0 until SketchQueries.CmsD; b <- 0 until w)
+      assert(counts(r * w + b) === declared.getOrElse((r, b), 0L),
+        s"cell ($r,$b) mismatch")
+  }
+
+  test("CMS never undercounts and is exact at this load factor's scale") {
+    import spark.implicits._
+    val est = SketchQueries.q35CmsTopk(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(est.nonEmpty)
+    est.foreach { case (exact, cms, over) =>
+      assert(cms >= exact, "CMS must never undercount")
+      assert(over === cms - exact)
+    }
+  }
+
   test("salted join (q31) == plain join (lossless rewrite)") {
     import spark.implicits._
     val salted = RelationalQueries.q31SaltedJoin(spark, sf).collect()
