@@ -178,10 +178,59 @@ object SketchQueries {
       .orderBy($"user_id")
   }
 
+  /** q36: approximate quantiles via a log₂-binned histogram sketch — the
+    * quantile member of the sketch family (distinct = q29 KMV / q34 HLL,
+    * frequency = q35 CMS). The classic mergeable quantile sketches
+    * (GK, t-digest) are merge-ORDER-dependent, so their results aren't
+    * reproducible across partitionings, let alone engines; the fixed-bin
+    * histogram is both: state is a count per power-of-two bin (≤ 64 longs
+    * per group, map-combinable hash aggregate — the exact
+    * `percentile()` beside it buffers every value per group), merge is
+    * elementwise sum, and the answer depends only on the multiset. The
+    * estimate (the target rank's bin lower bound) is within 2× of the
+    * true order statistic by construction — the within-bin guarantee the
+    * spec asserts. Bin = bit length of the integer-cents value (`bin()`,
+    * the same libm-free log₂ used by q34's rho); rank = ceil(q·N) in
+    * integer arithmetic; the cumulative walk is a tiny per-group window
+    * over ≤ 64 bin rows. */
+  def q36HistQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val cents = expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    val hist = li.select($"l_returnflag", length(bin(cents)).cast("long").as("b"))
+      .groupBy($"l_returnflag", $"b").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"l_returnflag")))
+    def estQ(pct: Int) = min(when(
+      $"cum" >= expr(s"(n * $pct + 99) DIV 100"), $"b"))
+    val sk = cum.groupBy($"l_returnflag").agg(
+      max($"n").as("n_rows"),
+      estQ(50).as("b50"), estQ(90).as("b90"), estQ(99).as("b99"))
+    // 2^(b-1) cents (the bin's lower bound) in dollars: one exact shift,
+    // one IEEE division — bit-identical cross-engine.
+    def dollars(bCol: String) =
+      // CAST the divisor: a bare 100.0 is a DECIMAL literal in Spark SQL
+      // and would make the division decimal, not the IEEE double op.
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST($bCol AS INT) - 1) / CAST(100 AS DOUBLE)")
+    val exact = li.groupBy($"l_returnflag").agg(
+      round(percentile($"l_extendedprice", lit(0.5)), 4).as("exact_p50"),
+      round(percentile($"l_extendedprice", lit(0.9)), 4).as("exact_p90"),
+      round(percentile($"l_extendedprice", lit(0.99)), 4).as("exact_p99"))
+    sk.join(exact, "l_returnflag")
+      .select($"l_returnflag", $"n_rows",
+        dollars("b50").as("hist_p50"), $"exact_p50",
+        dollars("b90").as("hist_p90"), $"exact_p90",
+        dollars("b99").as("hist_p99"), $"exact_p99")
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_kmv_distinct" -> q29KmvDistinct,
     "q34_hll_distinct" -> q34HllDistinct,
-    "q35_cms_topk" -> q35CmsTopk)
+    "q35_cms_topk" -> q35CmsTopk,
+    "q36_hist_quantiles" -> q36HistQuantiles)
 
   val oracle: Map[String, String] = Map(
     "q29_kmv_distinct" ->
@@ -237,5 +286,31 @@ object SketchQueries {
          |SELECT user_id, n_events, cms_estimate,
          |  CAST(cms_estimate - n_events AS BIGINT) AS overcount
          |FROM top ORDER BY user_id""".stripMargin
+    },
+    "q36_hist_quantiles" -> {
+      def bq(pct: Int) =
+        s"min(CASE WHEN cum >= (n * $pct + 99) // 100 THEN b END) AS b$pct"
+      s"""WITH h AS (SELECT l_returnflag,
+         |    CAST(length(bin(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))) AS BIGINT) AS b
+         |  FROM lineitem),
+         |hist AS (SELECT l_returnflag, b, count(*) AS cnt FROM h GROUP BY l_returnflag, b),
+         |c AS (SELECT l_returnflag, b,
+         |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+         |  FROM hist),
+         |sk AS (SELECT l_returnflag, max(n) AS n_rows,
+         |    ${bq(50)}, ${bq(90)}, ${bq(99)}
+         |  FROM c GROUP BY l_returnflag),
+         |ex AS (SELECT l_returnflag,
+         |    round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+         |    round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+         |    round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT sk.l_returnflag, n_rows,
+         |  (CAST(1 AS BIGINT) << (b50 - 1)) / 100.0 AS hist_p50, exact_p50,
+         |  (CAST(1 AS BIGINT) << (b90 - 1)) / 100.0 AS hist_p90, exact_p90,
+         |  (CAST(1 AS BIGINT) << (b99 - 1)) / 100.0 AS hist_p99, exact_p99
+         |FROM sk JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
     })
 }

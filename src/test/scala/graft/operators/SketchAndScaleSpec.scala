@@ -119,6 +119,25 @@ class SketchAndScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("histogram quantile sketch (q36): within-bin bound and monotone") {
+    val rows = SketchQueries.q36HistQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (h50, e50) = (r.getDouble(2), r.getDouble(3))
+      val (h90, e90) = (r.getDouble(4), r.getDouble(5))
+      val (h99, e99) = (r.getDouble(6), r.getDouble(7))
+      // Estimate = the target rank's bin LOWER bound: the rank's order
+      // stat lives in [h, 2h); the interpolated exact can sit one order
+      // stat away, so assert the loose two-sided factor bound.
+      Seq((h50, e50), (h90, e90), (h99, e99)).foreach { case (h, e) =>
+        assert(h * 100.0 == math.pow(2, math.round(math.log(h * 100.0) / math.log(2.0))),
+          s"estimate $h is not a power-of-two bin bound")
+        assert(e / h > 0.5 && e / h < 2.5, s"estimate $h too far from exact $e")
+      }
+      assert(h50 <= h90 && h90 <= h99, "quantile estimates must be monotone")
+    }
+  }
+
   test("salted join (q31) == plain join (lossless rewrite)") {
     import spark.implicits._
     val salted = RelationalQueries.q31SaltedJoin(spark, sf).collect()
