@@ -83,6 +83,38 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("approx_users"))
   }
 
+  /** Per-window approximate event rates for a watchlist of users via the
+    * mergeable Count-Min `Aggregator` ([[graft.functions.Aggregators
+    * .CmsSketch]], the q35 sketch) — the streaming face of the frequency
+    * sketch, beside [[approxDistinctUsers]]'s HLL: per-window state is
+    * one fixed d·w counter buffer merged across micro-batches by the
+    * state store, so an unbounded stream of keys costs O(d·w) bytes per
+    * open window, where the exact per-(window, user) count keys state by
+    * user — unbounded. The watchlist probe is a post-aggregation
+    * projection (least over the d probed cells), so which users are
+    * watched can change without touching the state. Batch and streaming
+    * produce identical estimates on the same data (counter sums are
+    * order/batching independent — EventStreamsSpec). */
+  def watchedUserRates(events: DataFrame, watchlist: Seq[Long],
+                       windowLen: String = "1 hour",
+                       watermarkDelay: String = "2 hours"): DataFrame = {
+    import graft.operators.SketchQueries.{CmsA, CmsD, CmsW, cmsB}
+    val cms = udaf(new graft.functions.Aggregators.CmsSketch(
+      CmsD, CmsW.toInt, CmsA, (0 until CmsD).map(cmsB)))
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    val sketched = src.groupBy(window(col("ts"), windowLen))
+      .agg(cms(col("user_id")).as("counts"))
+    val probes = explode(array(watchlist.map(k => lit(k)): _*))
+    sketched.select(col("window.start").as("window_start"),
+        probes.as("user_id"), col("counts"))
+      .select(col("window_start"), col("user_id"),
+        least((0 until CmsD).map { r =>
+          val bucket = expr(graft.operators.SketchQueries.cmsBucketSql("user_id", r))
+          // element_at is 1-based; counts is row-major d x w.
+          element_at(col("counts"), (lit(r) * lit(CmsW) + bucket + 1).cast("int"))
+        }: _*).as("approx_events"))
+  }
+
   /** Stream-stream interval join: match each click to the view by the
     * same user that happened at or up to `horizon` before it. Both sides
     * are watermarked, and the join condition bounds event-time distance

@@ -82,6 +82,36 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchRows.values.forall(v => v > 0.0 && !v.isNaN && !v.isInfinite))
   }
 
+  test("watchedUserRates: streaming CMS across micro-batches == batch, >= exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val watch = Seq(1L, 2L, 99L) // 99 never occurs: estimate may be >0 (collision) but is whatever batch says
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = EventStreams.watchedUserRates(df, watch, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    val streamed = try {
+      // window 1: user 1 x3 (split over micro-batches), user 2 x1;
+      // counter merging spans batches via the state store
+      mem.addData((ts(5), 1L), (ts(10), 2L))
+      q.processAllAvailable()
+      mem.addData((ts(15), 1L), (ts(20), 1L), (ts(70), 2L))
+      q.processAllAvailable()
+      spark.table("cms_out").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    } finally q.stop()
+    val data = Seq((ts(5), 1L), (ts(10), 2L), (ts(15), 1L), (ts(20), 1L), (ts(70), 2L))
+    val batch = EventStreams.watchedUserRates(
+        data.toDF("ts", "user_id"), watch, "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    // CMS never undercounts: window-1 user 1 has 3 events, user 2 has 1.
+    val w1 = streamed.keys.map(_._1).min
+    assert(streamed((w1, 1L)) >= 3L)
+    assert(streamed((w1, 2L)) >= 1L)
+  }
+
   test("sessionizeWithState: in-batch gap splitting matches expectations") {
     import spark.implicits._
     val events = Seq(
