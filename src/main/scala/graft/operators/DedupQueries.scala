@@ -340,6 +340,36 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Salt decorrelating d10's keep draw from t9's split draw: both hash
+    * the text, and an unsalted draw would make "kept" correlate with
+    * "train" (every hash-derived decision on the same key must use a
+    * distinct salt — the standard independent-coupons rule). */
+  private val MixSalt = "mix1"
+
+  /** d10: deterministic source mixing / corpus resampling — the static
+    * data-mixture stage of a pretraining pipeline (up/down-weighting
+    * sources to target proportions): each document is kept iff its
+    * salted content-hash draw falls under its source's keep rate. No RNG
+    * state, reproducible under corpus regeneration, and byte-identical
+    * duplicates get identical verdicts. The per-source rate table here is
+    * derived from the source name hash (self-contained constants for the
+    * gate); in production it is exactly this shape — a tiny dim table
+    * broadcast onto the corpus, the filter evaluated map-side, zero
+    * shuffles over the documents. */
+  def d10SourceMix(s: SparkSession, d: String): DataFrame = {
+    val dd = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(col("doc_id"))
+    val rates = Tables.documents(s, d).select(col("source")).distinct()
+      .select(col("source"),
+        (lit(25L) + Portable.charHash(col("source")) % 75L).as("keep_pct"))
+    val draw = Portable.charHash(concat(col("text"), lit(MixSalt))) % 100L
+    dd.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("keep_pct"),
+        draw.as("draw"), (draw < col("keep_pct")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1Exact,
     "d2_ngram_jaccard" -> d2NgramJaccard,
@@ -349,7 +379,8 @@ object DedupQueries {
     "d6_dedup_clusters" -> d6DedupClusters,
     "d7_decontaminate" -> d7Decontaminate,
     "d8_corpus_select" -> d8CorpusSelect,
-    "d9_bloom_decontaminate" -> d9BloomDecontaminate)
+    "d9_bloom_decontaminate" -> d9BloomDecontaminate,
+    "d10_source_mix" -> d10SourceMix)
 
   // ---- DuckDB oracles ----
 
@@ -413,6 +444,17 @@ object DedupQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "d10_source_mix" ->
+      s"""WITH rates AS (SELECT source,
+         |    25 + ${sqlCharHash("source")} % 75 AS keep_pct
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |dr AS (SELECT doc_id, source,
+         |    ${sqlCharHash(s"text || '$MixSalt'")} % 100 AS draw
+         |  FROM documents)
+         |SELECT doc_id, dr.source, CAST(keep_pct AS BIGINT) AS keep_pct,
+         |  draw, draw < keep_pct AS kept
+         |FROM dr JOIN rates ON dr.source = rates.source
+         |ORDER BY doc_id""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT doc_id, sha256(text) AS text_sha,
         |  min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,

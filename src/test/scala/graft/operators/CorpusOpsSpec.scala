@@ -27,6 +27,21 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d10 source mix: rates in range, verdict consistent with draw, per-source") {
+    val rows = DedupQueries.d10SourceMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, pct, draw, kept) =>
+      assert(pct >= 25 && pct < 100, s"keep_pct $pct out of range")
+      assert(draw >= 0 && draw < 100)
+      assert(kept === (draw < pct))
+    }
+    // One rate per source, and at least one source down-weighted (< 100%).
+    val bySource = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    assert(bySource.values.forall(_.size == 1), "a source must have ONE rate")
+    assert(bySource.values.exists(_.head < 100L))
+  }
+
   test("t9 split: byte-identical docs land in the same split, fractions sane") {
     import spark.implicits._
     val out = TextQueries.t9Split(spark, sf)
