@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated form of the per-round manual plan sweep: every gated query's
+  * physical plan must be free of the two scale-killer join shapes. A
+  * CartesianProduct anywhere is a bug outright; BroadcastNestedLoopJoin
+  * is legal only for the documented broadcast-SCALAR cross joins (a
+  * literal handful of rows replicated to every partition — d4's band ids,
+  * s1's 5 probe vectors, s3's anchor cells, t5's n_docs scalar, and their
+  * reuses). Any new query that sneaks in an undeclared nested-loop join
+  * fails here before it ever reaches the bench. */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.core.GraftSession.builder("4").getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately contains BroadcastNestedLoopJoin:
+    * broadcast-scalar cross joins only (see Scaladoc at each site). */
+  private val allowedBnlj = Set(
+    "d4_simhash",        // fingerprint × 3 band ids (dedup/SimHash.bandedPairs)
+    "s1_ann_bruteforce", // corpus × 5 broadcast probe vectors (deliberate baseline)
+    "s3_ann_ivf",        // vectors × broadcast anchor cells
+    "t5_tfidf")          // tf × broadcast n_docs scalar
+
+  test("no CartesianProduct in any gated plan; BNLJ only where documented") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+        val bnlj = if (plan.contains("BroadcastNestedLoopJoin") && !allowedBnlj(name))
+          Seq(s"$name: undeclared BroadcastNestedLoopJoin") else Nil
+        cart ++ bnlj
+    }
+    assert(offenders.isEmpty, s"scale-killer join shapes:\n${offenders.mkString("\n")}")
+  }
+}
