@@ -39,6 +39,32 @@ object PageRank {
   /** Reference-compat damping (d=0.5, `/root/reference/algorithms.h:30`). */
   def compat(graph: PropertyGraph): PageRankRun = apply(graph, damping = 0.5)
 }
+
+/** Personalized PageRank: the teleport term returns ALL restart mass to a
+  * seed set instead of spreading 1/n everywhere — the query-biased
+  * ranking used for related-item retrieval ("rank parts by relevance to
+  * THESE parts"). Same map/reduce as [[PageRank]] (value/deg along edges,
+  * sum combine); only the update differs: seeds get (1-d)/|S|, non-seeds
+  * get pure propagated mass. The seed indicator rides the static-column
+  * channel (like deg), so the superstep stays one join + one aggregate;
+  * on a dangling-free graph total mass stays exactly 1 per superstep
+  * (spec-asserted). Seeds = ids ≡ 0 mod `seedMod` — a deterministic,
+  * oracle-replicable predicate. */
+final class PersonalizedPageRank(nSeeds: Long, seedMod: Int,
+                                 damping: Double = 0.85) extends VertexProgram {
+  override def initial(vertices: DataFrame): DataFrame =
+    vertices.select(col("id"),
+      when(col("id") % seedMod === 0, lit(1.0 / nSeeds))
+        .otherwise(lit(0.0)).as("value"),
+      col("deg"), (col("id") % seedMod === 0).as("seed"))
+  override def messages(v: DataFrame, e: DataFrame): DataFrame =
+    e.join(v, e("src") === v("id"))
+      .select(e("dst").as("id"), (v("value") / v("deg")).as("msg"))
+  override def combiner: Column = sum(col("msg"))
+  override def updated(old: Column, agg: Column): Column =
+    when(col("seed"), lit((1.0 - damping) / nSeeds)).otherwise(lit(0.0)) +
+      lit(damping) * coalesce(agg, lit(0.0))
+}
 final case class PageRankRun(graph: PropertyGraph, program: VertexProgram) {
   def fixed(iterations: Int): DataFrame =
     GmrRunner.runFixed(graph, program, iterations).select("id", "value")

@@ -126,6 +126,29 @@ object GraphQueries {
        |SELECT id, round(v, 8) AS rank FROM pr$iters ORDER BY id""".stripMargin
   }
 
+  /** Unrolled personalized-PageRank supersteps: the g1 unroll with the
+    * teleport term gated on the seed indicator (id ≡ 0 mod seedMod). */
+  private def pprSql(iters: Int, seedMod: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""pp$k AS (
+         |  SELECT t.id,
+         |    (CASE WHEN t.id % $seedMod = 0
+         |          THEN 0.15/(SELECT n FROM ns) ELSE 0 END)
+         |      + 0.85*coalesce(m.s, 0) AS v
+         |  FROM verts t LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.v / d.deg) AS s
+         |    FROM edges e JOIN pp${k - 1} p ON e.src = p.id
+         |                 JOIN deg d ON d.id = e.src
+         |    GROUP BY e.dst) m ON t.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |ns AS (SELECT count(*) AS n FROM verts WHERE id % $seedMod = 0),
+       |pp0 AS (SELECT id, CASE WHEN id % $seedMod = 0
+       |    THEN 1.0/(SELECT n FROM ns) ELSE CAST(0 AS DOUBLE) END AS v FROM verts),
+       |$steps
+       |SELECT id, round(v, 8) AS pprank FROM pp$iters ORDER BY id""".stripMargin
+  }
+
   /** Unrolled Bellman-Ford supersteps; `stepExpr` is the relaxation edge
     * message (`p.v + e.w` for weighted SSSP, `p.v + 1` for BFS hops).
     * NULL = unreached (least() skips NULLs in Spark and DuckDB alike). */
@@ -174,6 +197,24 @@ object GraphQueries {
   def g1Pagerank(s: SparkSession, d: String): DataFrame = {
     val pr = PageRank(partGraph(s, d)).fixed(PrIters)
     pr.select(col("id"), round(col("value"), 8).as("rank")).orderBy("id")
+  }
+
+  /** g12 seed predicate: part ids ≡ 0 mod 100 (deterministic, tiny seed
+    * set — 1% of vertices — so personalization is visible in the ranks). */
+  private val PprSeedMod = 100
+  private val PprIters = 5
+
+  /** g12: personalized PageRank — restart mass returns to the seed parts
+    * only ([[graft.graph.PersonalizedPageRank]]), ranking every part by
+    * co-purchase relevance TO the seed set (related-item retrieval). Same
+    * superstep shape as g1; the oracle unrolls the same rounds with the
+    * seed-indicator teleport. */
+  def g12Ppr(s: SparkSession, d: String): DataFrame = {
+    val g = partGraph(s, d)
+    val nSeeds = g.degrees.where(col("id") % PprSeedMod === 0).count()
+    GmrRunner.runFixed(PropertyGraph(g.degrees, g.edges),
+        new PersonalizedPageRank(nSeeds, PprSeedMod), PprIters)
+      .select(col("id"), round(col("value"), 8).as("pprank")).orderBy("id")
   }
 
   private def sourceVertex(g: PropertyGraph): Long =
@@ -485,7 +526,8 @@ object GraphQueries {
     "g8_labelprop" -> g8LabelProp,
     "g9_scc" -> g9Scc,
     "g10_matmul" -> g10Matmul,
-    "g11_kcore" -> g11KCore)
+    "g11_kcore" -> g11KCore,
+    "g12_ppr" -> g12Ppr)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),
@@ -504,5 +546,6 @@ object GraphQueries {
     "g8_labelprop" -> labelPropSql(LpIters),
     "g9_scc" -> sccSql(rounds = 6, fwdIters = 12, bwdIters = 12),
     "g10_matmul" -> matmulSql,
-    "g11_kcore" -> kcoreSql(KCoreRounds))
+    "g11_kcore" -> kcoreSql(KCoreRounds),
+    "g12_ppr" -> pprSql(PprIters, PprSeedMod))
 }

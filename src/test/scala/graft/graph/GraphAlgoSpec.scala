@@ -109,6 +109,22 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(compat.values.sum - 1.0) < 1e-6)
   }
 
+  test("personalized PageRank: mass conserved, concentrated toward the seed") {
+    // star with seeded center 100 (id % 100 == 0), leaves 1,2,3 plus a
+    // distance-2 tail 3-4: relevance decays with distance from the seed
+    val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(
+      edgeDf(100L -> 1L, 100L -> 2L, 100L -> 3L, 3L -> 4L)))
+    val pr = GmrRunner.runFixed(PropertyGraph(g.degrees, g.edges),
+        new PersonalizedPageRank(nSeeds = 1, seedMod = 100), 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // dangling-free graph: teleport + propagation conserve total mass 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(pr(100L) > pr(1L), "seed must outrank a leaf")
+    assert(math.abs(pr(1L) - pr(2L)) < 1e-12, "symmetric leaves rank equal")
+    assert(pr(3L) > pr(4L), "tail end ranks below its attachment")
+    assert(pr.values.forall(_ >= 0.0))
+  }
+
   test("PageRank convergence mode stops under the iteration cap") {
     val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(
       edgeDf(1L -> 2L, 2L -> 3L, 3L -> 1L)))
