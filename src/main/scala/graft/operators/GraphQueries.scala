@@ -217,6 +217,47 @@ object GraphQueries {
       .select(col("id"), round(col("value"), 8).as("pprank")).orderBy("id")
   }
 
+  /** g13 knobs: link prediction runs on the strong-tie subgraph (edge
+    * weight ≥ 2 shared orders, the g11 filter) and reports candidate
+    * pairs with ≥ 2 common neighbors. The threshold is not just
+    * semantics — it is THE complexity bound: wedge expansion is
+    * Σ deg², 27.8M on the full sf0.01 graph (the g5 lesson: never
+    * enumerate full-graph wedges) vs thousands on the strong-tie
+    * subgraph, and at 100 TB the weight floor is the knob that keeps
+    * Σ deg² proportional to the signal, not the noise. */
+  private val LinkMinWeight = 2.0
+  private val LinkMinCommon = 2
+
+  /** g13: link prediction by common-neighbor counting — rank
+    * NON-adjacent part pairs by shared strong-tie neighbors
+    * (recommendation: "parts bought with the same things are likely
+    * bought together next"). Score = count + a resource-allocation index
+    * with the integer surrogate `Σ 1e6 DIV deg(center)` (the t5 idf
+    * trick: division of doubles summed per group is order-dependent;
+    * integer RA is exact and preserves the ranking). One wedge self-join
+    * equi-keyed on the center vertex, one aggregate, one anti-join
+    * against existing edges — no step beyond O(Σ deg²) of the
+    * THRESHOLDED graph. */
+  def g13LinkPredict(s: SparkSession, d: String): DataFrame = {
+    val te = partPairsMaterialized(s, d).where(col("weight") >= LinkMinWeight)
+      .select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val se = te.union(te.select(col("dst").as("src"), col("src").as("dst")))
+    val sdeg = se.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
+    val wedges = se.as("l").join(se.as("r"),
+        col("l.dst") === col("r.src") && col("l.src") < col("r.dst"))
+      .select(col("l.src").as("a"), col("r.dst").as("b"), col("l.dst").as("c"))
+    val cand = wedges.join(sdeg, col("c") === col("id"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 DIV dg")).as("ra_score"))
+    cand.join(te, col("a") === col("src") && col("b") === col("dst"), "left_anti")
+      .where(col("n_common") >= LinkMinCommon)
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("n_common"), col("ra_score"))
+      .orderBy("id_a", "id_b")
+  }
+
   private def sourceVertex(g: PropertyGraph): Long =
     g.vertices.agg(min(col("id"))).first().getLong(0)
 
@@ -527,7 +568,8 @@ object GraphQueries {
     "g9_scc" -> g9Scc,
     "g10_matmul" -> g10Matmul,
     "g11_kcore" -> g11KCore,
-    "g12_ppr" -> g12Ppr)
+    "g12_ppr" -> g12Ppr,
+    "g13_link_predict" -> g13LinkPredict)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),
@@ -547,5 +589,21 @@ object GraphQueries {
     "g9_scc" -> sccSql(rounds = 6, fwdIters = 12, bwdIters = 12),
     "g10_matmul" -> matmulSql,
     "g11_kcore" -> kcoreSql(KCoreRounds),
-    "g12_ppr" -> pprSql(PprIters, PprSeedMod))
+    "g12_ppr" -> pprSql(PprIters, PprSeedMod),
+    "g13_link_predict" ->
+      s"""WITH $edgeCtes,
+         |te AS (SELECT src, dst FROM cpairs WHERE w >= ${LinkMinWeight.toInt}),
+         |se AS (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te),
+         |sdeg AS (SELECT src AS id, count(*) AS dg FROM se GROUP BY src),
+         |wedge AS (SELECT l.src AS a, r.dst AS b, l.dst AS c
+         |  FROM se l JOIN se r ON l.dst = r.src AND l.src < r.dst),
+         |cand AS (SELECT a, b, count(*) AS n_common,
+         |    CAST(sum(1000000 // dg) AS BIGINT) AS ra_score
+         |  FROM wedge JOIN sdeg ON c = sdeg.id GROUP BY a, b),
+         |fresh AS (SELECT cand.* FROM cand
+         |  LEFT JOIN te ON cand.a = te.src AND cand.b = te.dst
+         |  WHERE te.src IS NULL)
+         |SELECT a AS id_a, b AS id_b, n_common, ra_score
+         |FROM fresh WHERE n_common >= $LinkMinCommon
+         |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -69,9 +69,46 @@ object TemporalQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q37: time-series resampling with gap fill — the densification step
+    * before any ML-on-metrics or feature-store export: aggregate events
+    * to an hourly grid per type, GENERATE the missing hours (an outer
+    * time spine), and forward-fill the last observed total across gaps.
+    *
+    * Scale shape: the hourly aggregate is one map-combinable shuffle; the
+    * spine is sequence+explode from each type's (min, max) hour — O(span)
+    * rows generated distributed, never a driver loop; the fill is one
+    * running `last(ignoreNulls)` window per type over the already-grouped
+    * grid (hours, not raw events). Determinism: totals accumulate in
+    * integer cents; the grid timestamp is formatted to a string (engine
+    * timestamp reprs differ); gaps are exact by construction. */
+  def q37GapFill(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("total_cents"))
+    val spine = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hr"), "left_outer")
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("total_cents"), lit(0L)).as("total_cents"),
+        coalesce(last(col("total_cents"), ignoreNulls = true).over(w), lit(0L))
+          .as("filled_cents"),
+        col("n_events").isNull.as("is_gap"))
+      .orderBy("event_type", "hour_ts")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_asof_join" -> q24AsofJoin,
-    "q25_range_join" -> q25RangeJoin)
+    "q25_range_join" -> q25RangeJoin,
+    "q37_gap_fill" -> q37GapFill)
 
   // ---- DuckDB oracles ----
 
@@ -94,5 +131,25 @@ object TemporalQueries {
          |FROM events a JOIN events b
          |ON a.user_id = b.user_id AND epoch_us(a.ts) < epoch_us(b.ts)
          |   AND epoch_us(b.ts) - epoch_us(a.ts) <= $GapUs
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q37_gap_fill" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |bounds AS (SELECT event_type, date_trunc('hour', min(ts)) AS h0,
+        |    date_trunc('hour', max(ts)) AS h1 FROM events GROUP BY event_type),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds),
+        |grid AS (SELECT s.event_type, s.hr, n_events, total_cents
+        |  FROM spine s LEFT JOIN hourly h
+        |  ON s.event_type = h.event_type AND s.hr = h.hr)
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |  coalesce(n_events, 0) AS n_events,
+        |  coalesce(total_cents, 0) AS total_cents,
+        |  coalesce(last_value(total_cents IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled_cents,
+        |  n_events IS NULL AS is_gap
+        |FROM grid ORDER BY event_type, hour_ts""".stripMargin)
 }

@@ -27,6 +27,26 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g13 link prediction matches a local common-neighbor reference") {
+    val te = GraphQueries.partPairsMaterialized(spark, sf)
+      .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    te.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val edgeSet = te.toSet
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val expected = (for {
+      (a, na) <- adj.toSeq
+      c <- na; b <- adj(c) if a < b && !edgeSet((a, b))
+    } yield ((a, b), c)).groupBy(_._1).collect {
+      case ((a, b), ws) if ws.size >= 2 =>
+        (a, b) -> ((ws.size.toLong, ws.map(w => 1000000L / deg(w._2)).sum))
+    }.toMap
+    val got = GraphQueries.g13LinkPredict(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+  }
+
   test("d10 source mix: rates in range, verdict consistent with draw, per-source") {
     val rows = DedupQueries.d10SourceMix(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
