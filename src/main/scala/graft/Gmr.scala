@@ -79,6 +79,13 @@ object Gmr {
       case "scc" | "stronglyconnectedcomponents" =>
         // reference stub `algorithms.h:207` — edge direction as loaded
         (Scc.strongComponents(g.edges).orderBy("id"), 1)
+      case "ppr" | "personalizedpagerank" =>
+        // personalization toward vertex 1 — the sssp source convention
+        val r = GmrRunner.run(
+          PropertyGraph(g.degrees, g.edges),
+          new PersonalizedPageRank(nSeeds = 1, isSeed = col("id") === 1))
+        (r.vertices.select(col("id"), round(col("value"), 8).as("value"))
+          .orderBy("id"), r.iterations)
       case "labelprop" | "lpa" =>
         (GraphOps.labelPropagation(g, 5)
           .select(col("id"), col("label").as("community")).orderBy("id"), 5)

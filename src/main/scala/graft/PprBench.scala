@@ -27,7 +27,7 @@ object PprBench {
     val ppr = t("PPR 5 supersteps") {
       graft.graph.GmrRunner.loopTimed(
         graft.graph.PropertyGraph(degs, g.edges),
-        new graft.graph.PersonalizedPageRank(nSeeds, 100), 5)
+        new graft.graph.PersonalizedPageRank(nSeeds, col("id") % 100 === 0), 5)
     }
     ppr.supersteps.zipWithIndex.foreach { case (s, i) =>
       println(f"[pprbench]   ppr superstep ${i + 1}: $s%6.2f s") }

@@ -48,15 +48,16 @@ object PageRank {
   * get pure propagated mass. The seed indicator rides the static-column
   * channel (like deg), so the superstep stays one join + one aggregate;
   * on a dangling-free graph total mass stays exactly 1 per superstep
-  * (spec-asserted). Seeds = ids ≡ 0 mod `seedMod` — a deterministic,
-  * oracle-replicable predicate. */
-final class PersonalizedPageRank(nSeeds: Long, seedMod: Int,
+  * (spec-asserted). `isSeed` is any deterministic predicate over the id
+  * column (g12 uses id ≡ 0 mod 100, oracle-replicable; the CLI uses
+  * id = 1, the sssp source convention); `nSeeds` must be its true
+  * cardinality. */
+final class PersonalizedPageRank(nSeeds: Long, isSeed: Column,
                                  damping: Double = 0.85) extends VertexProgram {
   override def initial(vertices: DataFrame): DataFrame =
     vertices.select(col("id"),
-      when(col("id") % seedMod === 0, lit(1.0 / nSeeds))
-        .otherwise(lit(0.0)).as("value"),
-      col("deg"), (col("id") % seedMod === 0).as("seed"))
+      when(isSeed, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("value"),
+      col("deg"), isSeed.as("seed"))
   override def messages(v: DataFrame, e: DataFrame): DataFrame =
     e.join(v, e("src") === v("id"))
       .select(e("dst").as("id"), (v("value") / v("deg")).as("msg"))

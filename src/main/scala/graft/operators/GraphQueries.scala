@@ -213,7 +213,7 @@ object GraphQueries {
     val g = partGraph(s, d)
     val nSeeds = g.degrees.where(col("id") % PprSeedMod === 0).count()
     GmrRunner.runFixed(PropertyGraph(g.degrees, g.edges),
-        new PersonalizedPageRank(nSeeds, PprSeedMod), PprIters)
+        new PersonalizedPageRank(nSeeds, col("id") % PprSeedMod === 0), PprIters)
       .select(col("id"), round(col("value"), 8).as("pprank")).orderBy("id")
   }
 

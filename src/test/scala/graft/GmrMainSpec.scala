@@ -69,6 +69,15 @@ class GmrMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sccs === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("ppr on small.graph: mass conserved, seed vertex 1 holds teleport mass") {
+    val (df, iters) = Gmr.run(spark, "ppr", s"$ref/small.graph")
+    val pr = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(iters >= 1)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-4) // ranks rounded to 8 decimals
+    assert(pr(1L) === pr.values.max, "seed must hold the maximal rank")
+    assert(pr.values.forall(_ >= 0.0))
+  }
+
   test("labelprop on small.graph: labels drawn from vertex ids, one per vertex") {
     val (df, _) = Gmr.run(spark, "labelprop", s"$ref/small.graph")
     val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1))

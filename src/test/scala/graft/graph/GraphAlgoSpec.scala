@@ -115,7 +115,7 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
     val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(
       edgeDf(100L -> 1L, 100L -> 2L, 100L -> 3L, 3L -> 4L)))
     val pr = GmrRunner.runFixed(PropertyGraph(g.degrees, g.edges),
-        new PersonalizedPageRank(nSeeds = 1, seedMod = 100), 20)
+        new PersonalizedPageRank(nSeeds = 1, isSeed = col("id") % 100 === 0), 20)
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     // dangling-free graph: teleport + propagation conserve total mass 1
     assert(math.abs(pr.values.sum - 1.0) < 1e-6)
