@@ -145,6 +145,62 @@ object GraphLoaders {
       .select(explode(split(trim(col("value")), "\\s+")).as("tok"))
       .where(col("tok") =!= "")
       .select(col("tok").cast("long").as("n"))
+
+  /** Writer for the pre-partitioned subgraph format [[metisSubgraph]]
+    * reads — the output side of the reference's partition-and-scatter
+    * pre-processing (`graph.h` writes `<file>.subgraph.<p>` per rank with
+    * the `sprintf("%04zu", fmt)` header, fmt = 1111: vid, vwgt, and per
+    * edge `nbr nbrloc ewgt`). Owner = `id mod parts` (the hash-partition
+    * convention, SURVEY §2.1 O7); neighbors are listed in ascending id
+    * order so the output is deterministic.
+    *
+    * The line construction is fully distributed (per-vertex adjacency
+    * grouping — one shuffle); only the final per-part file emission is a
+    * coalesce(1) text write + rename, which is faithful to what it
+    * replaces: the reference's own partitioner runs in-memory on rank 0.
+    * Round-trip proven in GraphLoadersSpec: write → [[metisSubgraph]]
+    * per part → union == original graph. */
+  def writeMetisSubgraphs(g: PropertyGraph, parts: Int, basePath: String): Unit = {
+    val spark = g.edges.sparkSession
+    val nbrs = g.edges
+      .select(col("src"), col("dst"), coalesce(col("weight"), lit(1.0)).as("w"))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("dst"),
+        pmod(col("dst"), lit(parts)).as("dpart"), col("w")))).as("ns"))
+    val lines = g.vertices.select(col("id"))
+      .join(nbrs, col("id") === col("src"), "left_outer")
+      .select(col("id"), pmod(col("id"), lit(parts)).as("part"),
+        concat_ws(" ",
+          col("id").cast("string"), lit("1"), // vid, vwgt (ncon=1)
+          concat_ws(" ", flatten(transform(
+            coalesce(col("ns"), array().cast("array<struct<dst:bigint,dpart:bigint,w:double>>")),
+            n => array(n.getField("dst").cast("string"),
+              n.getField("dpart").cast("string"),
+              n.getField("w").cast("int").cast("string")))))).as("line"),
+        coalesce(size(col("ns")), lit(0)).as("ne"))
+    lines.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until parts).foreach { p =>
+        val mine = lines.where(col("part") === p)
+        val (nv, ne) = {
+          val r = mine.agg(count(lit(1)), sum(col("ne"))).first()
+          (r.getLong(0), Option(r.get(1)).map(_.toString.toLong).getOrElse(0L))
+        }
+        val tmp = s"$basePath.subgraph.$p.tmp"
+        mine.orderBy("id").select(col("line").as("value"))
+          .coalesce(1).write.mode("overwrite").text(tmp)
+        val dir = new java.io.File(tmp)
+        val partFile = dir.listFiles().find(_.getName.startsWith("part-")).get
+        val out = new java.io.File(s"$basePath.subgraph.$p")
+        val w = new java.io.PrintWriter(out)
+        try {
+          w.println(s"$nv $ne 1111 1")
+          scala.io.Source.fromFile(partFile).getLines().foreach(w.println)
+        } finally w.close()
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    } finally lines.unpersist(blocking = false)
+  }
 }
 
 /** The reference's global sample sort (`/root/reference/samplesort.cpp`,

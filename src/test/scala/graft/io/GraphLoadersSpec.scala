@@ -76,6 +76,25 @@ class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sub.vertices.count() > 0 && sub.edges.count() > 0)
   }
 
+  test("subgraph writer roundtrip: write 3 parts, read back == original") {
+    val src = GraphLoaders.edgeList(spark, "/root/reference/graph/small.graph")
+    val base = java.nio.file.Files.createTempDirectory("graft-sgw").toString + "/small"
+    GraphLoaders.writeMetisSubgraphs(src, parts = 3, base)
+    val back = (0 until 3).map(p => GraphLoaders.metisSubgraph(spark, s"$base.subgraph.$p"))
+    val origE = src.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val backE = back.flatMap(_.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))).toSet
+    assert(backE === origE)
+    val origV = src.vertices.collect().map(_.getLong(0)).toSet
+    val backV = back.flatMap(_.vertices.collect().map(_.getLong(0))).toSet
+    assert(backV === origV)
+    // owners in the files follow the id-mod-parts convention
+    val owners = back.flatMap(_.edges.select("dst", "dst_part").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)))
+    owners.foreach { case (dst, dp) => assert(dp === (dst % 3).toInt) }
+  }
+
   test("integer files + SampleSort ≡ sorted concatenation (O22)") {
     val df = GraphLoaders.integers(spark, res("numbers.part.0").stripSuffix(".0") + ".*")
     val sorted = SampleSort.sort(df, "n").collect().map(_.getLong(0)).toSeq
