@@ -100,8 +100,32 @@ object Gmr {
     }
   }
 
+  /** The reference's partition-and-scatter pre-processing as a CLI verb:
+    * `runMain graft.Gmr partition <graphfile> [P] [outBase]` loads any of
+    * the three formats and writes `outBase.subgraph.0..P-1` in the
+    * fmt=1111 layout (GraphLoaders.writeMetisSubgraphs) — files the
+    * reference's ranks (and our own subgraph loader) read directly. */
+  def partitionFiles(spark: SparkSession, graphfile: String, parts: Int,
+                     outBase: String): Unit =
+    GraphLoaders.writeMetisSubgraphs(load(spark, graphfile), parts, outBase)
+
   def main(args: Array[String]): Unit = {
     val algorithm = args.headOption.getOrElse("trianglecount")
+    if (algorithm == "partition") {
+      val graphfile = if (args.length > 1) args(1)
+        else "/root/reference/graph/rdsmall.graph"
+      val parts = if (args.length > 2) args(2).toInt else 3
+      val outBase = if (args.length > 3) args(3)
+        else s"${sys.props("user.dir")}/target/partitioned/" +
+          new java.io.File(graphfile).getName
+      new java.io.File(outBase).getParentFile.mkdirs()
+      val spark = graft.core.GraftSession.get(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      partitionFiles(spark, graphfile, parts, outBase)
+      println(s"[gmr] wrote $parts subgraph files at $outBase.subgraph.*")
+      spark.stop()
+      return
+    }
     val partition = if (args.length > 1) args(1) else "random"
     val graphfile = if (args.length > 2) args(2)
       else "/root/reference/graph/rdsmall.graph"

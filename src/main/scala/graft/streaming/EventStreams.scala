@@ -139,6 +139,22 @@ object EventStreams {
         col("c_value"), col("v_value"))
   }
 
+  /** Stream-static enrichment join: attach a slowly-changing dimension
+    * (user attributes, feature-store rows) to every event. The static
+    * side broadcasts — re-resolved each micro-batch, so a dim refresh on
+    * disk is picked up without restarting the query — and the stream
+    * side needs no watermark or state at all: stream-static joins are
+    * stateless by construction (each event joins the dim as-of its own
+    * micro-batch). left_outer keeps events with no dim row (`dim_miss`
+    * flags them), the standard skew-free enrichment shape at any scale.
+    * Works identically on a batch DataFrame. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String = "user_id"): DataFrame = {
+    val dimCols = dim.columns.filterNot(_ == key)
+    events.join(broadcast(dim), Seq(key), "left_outer")
+      .withColumn("dim_miss", col(dimCols.head).isNull)
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -69,6 +69,30 @@ class GmrMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sccs === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("partition verb: written parts reload and rerun identically") {
+    val base = java.nio.file.Files.createTempDirectory("gmr-part").toString + "/small"
+    Gmr.partitionFiles(spark, s"$ref/small.graph", 3, base)
+    // triangle count over the re-united partition files == over the original
+    val (orig, _) = Gmr.run(spark, "trianglecount", s"$ref/small.graph")
+    val (part0, _) = Gmr.run(spark, "trianglecount", s"$base.subgraph.0")
+    assert(part0.columns.toSeq === orig.columns.toSeq) // shape parity
+    val reunited = (0 until 3)
+      .map(p => graft.io.GraphLoaders.metisSubgraph(spark, s"$base.subgraph.$p").edges)
+      .reduce(_ union _)
+    val n = graft.graph.GraphOps.triangleCountViaIntersect(
+      reunited.select(
+        org.apache.spark.sql.functions.least(
+          org.apache.spark.sql.functions.col("src"),
+          org.apache.spark.sql.functions.col("dst")).as("src"),
+        org.apache.spark.sql.functions.greatest(
+          org.apache.spark.sql.functions.col("src"),
+          org.apache.spark.sql.functions.col("dst")).as("dst"))
+        .where(org.apache.spark.sql.functions.col("src") =!=
+          org.apache.spark.sql.functions.col("dst")).distinct())
+      .first().getLong(0)
+    assert(n === orig.first().getLong(0))
+  }
+
   test("ppr on small.graph: mass conserved, seed vertex 1 holds teleport mass") {
     val (df, iters) = Gmr.run(spark, "ppr", s"$ref/small.graph")
     val pr = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -112,6 +112,32 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed((w1, 2L)) >= 1L)
   }
 
+  test("enrichWithDim: stream-static join == batch join, misses flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val q = EventStreams.enrichWithDim(df, dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData((ts(5), 1L, 1.0), (ts(10), 2L, 2.0), (ts(15), 9L, 3.0))
+      q.processAllAvailable()
+      spark.table("enrich_out")
+        .select("user_id", "tier", "dim_miss").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getBoolean(2))).toSet
+    } finally q.stop()
+    assert(streamed === Set((1L, Some("gold"), false),
+      (2L, Some("silver"), false), (9L, None, true)))
+    val batch = EventStreams.enrichWithDim(
+        Seq((ts(5), 1L, 1.0), (ts(10), 2L, 2.0), (ts(15), 9L, 3.0))
+          .toDF("ts", "user_id", "value"), dim)
+      .select("user_id", "tier", "dim_miss").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getBoolean(2))).toSet
+    assert(batch === streamed)
+  }
+
   test("sessionizeWithState: in-batch gap splitting matches expectations") {
     import spark.implicits._
     val events = Seq(
