@@ -213,12 +213,81 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** PQ geometry: 4 subspaces × 16 dims over the 64-dim vectors; each
+    * subspace gets its own [[KmK]]-entry codebook trained with the s4
+    * integer-quantized Lloyd's (same [[KmIters]] rounds). */
+  private val PqM = 4
+  private val PqSubDims = Dim / PqM
+
+  /** s6: product-quantization ANN with asymmetric distance computation
+    * (ADC) — the compression leg of the production ANN stack (IVF-PQ):
+    * each vector is stored as [[PqM]] small codebook indices (here
+    * 4×2 bits vs 64 floats), and query-to-vector distance is
+    * approximated by summing precomputed query-to-codeword distances per
+    * subspace. The whole pipeline is the s4 kernel with a subspace key:
+    * codebook training is Lloyd's grouped by (sub, cluster), assignment
+    * an argmin per (vec, sub), and ADC one broadcast join of the
+    * q×M×k distance table (tiny by construction) against the code table
+    * — the full vectors are never touched at query time, which is the
+    * entire point at 100 TB: the scan reads M bytes per vector, not the
+    * embedding column. Integer micro-unit arithmetic end-to-end (the s4
+    * trick), so distances are exact BIGINTs and the oracle unrolls
+    * bit-identically. */
+  def s6AnnPq(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).select(col("vec_id"),
+        posexplode(transform(col("embedding"),
+          x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")))
+          .as(Seq("dim", "qd")))
+      .withColumn("sub", expr(s"dim DIV $PqSubDims"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-(vec, sub) argmin over the sub's clusters; join on dim implies sub
+    def assign(centroids: DataFrame): DataFrame = {
+      val d2 = (col("qd") - col("cd")) * (col("qd") - col("cd"))
+      val dist = q.join(broadcast(centroids.drop("sub")), "dim")
+        .groupBy(col("vec_id"), col("sub"), col("cluster")).agg(sum(d2).as("d2"))
+      val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("cluster"))
+      dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cluster"))
+    }
+    var centroids = q.where(col("vec_id") < KmK)
+      .select(col("sub"), col("vec_id").as("cluster"), col("dim"), col("qd").as("cd"))
+    for (_ <- 1 to KmIters) {
+      val sums = q.join(assign(centroids), Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("cluster"), col("dim"))
+        .agg(expr("sum(qd) DIV count(1)").as("ncd"))
+      centroids = centroids
+        .join(sums, Seq("sub", "cluster", "dim"), "left_outer")
+        .select(col("sub"), col("cluster"), col("dim"),
+          coalesce(col("ncd"), col("cd")).as("cd"))
+        .localCheckpoint(true)
+    }
+    val codes = assign(centroids)
+    // ADC: query-to-codeword distance table, q × M × k rows — broadcast
+    val dq = q.where(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("dim"), col("qd").as("pq"))
+      .join(broadcast(centroids.drop("sub")), "dim")
+      .withColumn("sub", expr(s"dim DIV $PqSubDims"))
+      .groupBy(col("query_id"), col("sub"), col("cluster"))
+      .agg(sum((col("pq") - col("cd")) * (col("pq") - col("cd"))).as("pd2"))
+    val approx = codes.join(broadcast(dq), Seq("sub", "cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("approx_d2"))
+    val w = Window.partitionBy("query_id").orderBy(col("approx_d2"), col("vec_id"))
+    approx.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("approx_d2"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_ann_bruteforce" -> s1AnnBruteforce,
     "s2_ann_lsh" -> s2AnnLsh,
     "s3_ann_ivf" -> s3AnnIvf,
     "s4_kmeans" -> s4Kmeans,
-    "s5_quantize" -> s5Quantize)
+    "s5_quantize" -> s5Quantize,
+    "s6_ann_pq" -> s6AnnPq)
 
   // ---- DuckDB oracles ----
 
@@ -328,6 +397,47 @@ object SimilarityQueries {
          |${assignCte("aout", s"c$KmIters")}
          |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2
          |FROM aout ORDER BY vec_id""".stripMargin
+    },
+    "s6_ann_pq" -> {
+      def assignCte(name: String, c: String) =
+        s"""$name AS (SELECT vec_id, sub, cluster FROM (
+           |  SELECT q.vec_id, q.sub, c.cluster,
+           |    row_number() OVER (PARTITION BY q.vec_id, q.sub
+           |      ORDER BY sum((q.qd - c.cd) * (q.qd - c.cd)), c.cluster) AS rn
+           |  FROM q JOIN $c c ON q.dim = c.dim
+           |  GROUP BY q.vec_id, q.sub, c.cluster) WHERE rn = 1)""".stripMargin
+      def updateCte(name: String, a: String, prev: String) =
+        s"""$name AS (SELECT p.sub, p.cluster, p.dim, coalesce(n.ncd, p.cd) AS cd
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT a.sub, a.cluster, q.dim,
+           |      CAST(sum(q.qd) AS BIGINT) // count(*) AS ncd
+           |    FROM q JOIN $a a ON q.vec_id = a.vec_id AND q.sub = a.sub
+           |    GROUP BY a.sub, a.cluster, q.dim) n
+           |  ON p.sub = n.sub AND p.cluster = n.cluster AND p.dim = n.dim)""".stripMargin
+      val rounds = (1 to KmIters).map { i =>
+        assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i", s"c${i - 1}")
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id, u.pos - 1 AS dim,
+         |    (u.pos - 1) // $PqSubDims AS sub,
+         |    CAST(round((CAST(u.x AS DOUBLE) + 1.0) * $QScale) AS BIGINT) AS qd
+         |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS x,
+         |    generate_subscripts(embedding, 1) AS pos) u),
+         |c0 AS (SELECT sub, vec_id AS cluster, dim, qd AS cd FROM q WHERE vec_id < $KmK),
+         |$rounds,
+         |${assignCte("codes", s"c$KmIters")},
+         |dq AS (SELECT p.vec_id AS query_id, c.sub, c.cluster,
+         |    CAST(sum((p.qd - c.cd) * (p.qd - c.cd)) AS BIGINT) AS pd2
+         |  FROM q p JOIN c$KmIters c ON p.dim = c.dim WHERE p.vec_id < $NQueryVecs
+         |  GROUP BY p.vec_id, c.sub, c.cluster),
+         |ad AS (SELECT dq.query_id, k.vec_id AS neighbor_id,
+         |    CAST(sum(pd2) AS BIGINT) AS approx_d2
+         |  FROM codes k JOIN dq ON k.sub = dq.sub AND k.cluster = dq.cluster
+         |  WHERE k.vec_id != dq.query_id
+         |  GROUP BY dq.query_id, k.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY approx_d2, neighbor_id) AS rank FROM ad)
+         |SELECT query_id, neighbor_id, approx_d2, rank
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
     },
     "s5_quantize" ->
       s"""WITH e AS (SELECT vec_id,
