@@ -31,6 +31,42 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === Map(1L -> 0, 2L -> 2))
   }
 
+  test("streamingSignatureDedup: re-crawls suppressed across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = (1 to 40).map(i => s"token$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("id", "text", "ts")
+    val q = MinHashLsh.streamingSignatureDedup(df)
+      .writeStream.format("memory").queryName("sigdedup_out")
+      .outputMode("append").start()
+    val survivors = try {
+      mem.addData((1L, text, new java.sql.Timestamp(60000L)))
+      q.processAllAvailable()
+      // batch 2: a re-crawl of doc 1 (identical content, new id) + a new doc
+      mem.addData((2L, text, new java.sql.Timestamp(120000L)),
+        (3L, other, new java.sql.Timestamp(180000L)))
+      q.processAllAvailable()
+      spark.table("sigdedup_out").select("id").collect().map(_.getLong(0)).toSet
+    } finally q.stop()
+    assert(survivors === Set(1L, 3L), "the re-crawl must be suppressed by state")
+  }
+
+  test("streamingSignatureDedup batch mode: short docs are NOT cross-suppressed") {
+    import spark.implicits._
+    // both docs are below the 3-word shingle floor — empty shingle sets;
+    // the content-hash fallback must keep them distinct
+    val docs = Seq((1L, "one two", ts0), (2L, "red blue", ts0))
+      .toDF("id", "text", "ts")
+    val out = MinHashLsh.streamingSignatureDedup(docs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L))
+  }
+
+  private def ts0 = new java.sql.Timestamp(0L)
+
   test("MinHashLsh finds a planted near-duplicate and skips unrelated docs") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
