@@ -119,6 +119,26 @@ class SketchAndScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CMS property: never undercounts on seeded random multisets") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, rng}
+    val cms = new Aggregators.CmsSketch(SketchQueries.CmsD, SketchQueries.CmsW.toInt,
+      SketchQueries.CmsA, (0 until SketchQueries.CmsD).map(SketchQueries.cmsB))
+    val cmsUdaf = udaf(cms)
+    val genKeys: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(-5000L, 5000L))
+    (1 to 5).foreach { i =>
+      genKeys(Gen.Parameters.default.withSize(300), rng.Seed(i.toLong)).foreach { keys =>
+        val counts = spark.createDataset(keys).toDF("k").repartition(5)
+          .agg(cmsUdaf($"k")).first().getSeq[Long](0)
+        val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+        exact.foreach { case (k, n) =>
+          assert(cms.estimate(counts, k) >= n,
+            s"seed $i key $k: estimate ${cms.estimate(counts, k)} < exact $n")
+        }
+      }
+    }
+  }
+
   test("histogram quantile sketch (q36): within-bin bound and monotone") {
     val rows = SketchQueries.q36HistQuantiles(spark, sf).collect()
     assert(rows.nonEmpty)
