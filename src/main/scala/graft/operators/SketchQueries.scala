@@ -214,6 +214,10 @@ object SketchQueries {
       // CAST the divisor: a bare 100.0 is a DECIMAL literal in Spark SQL
       // and would make the division decimal, not the IEEE double op.
       expr(s"shiftleft(CAST(1 AS BIGINT), CAST($bCol AS INT) - 1) / CAST(100 AS DOUBLE)")
+    // Exact comparison column: plain interpolated percentiles. (A
+    // percentile-with-frequency rewrite over (value, count) was measured
+    // and reverted: l_extendedprice is near-unique per row, so the
+    // pre-aggregation added a shuffle without shrinking the buffer.)
     val exact = li.groupBy($"l_returnflag").agg(
       round(percentile($"l_extendedprice", lit(0.5)), 4).as("exact_p50"),
       round(percentile($"l_extendedprice", lit(0.9)), 4).as("exact_p90"),
