@@ -149,6 +149,57 @@ object GraphQueries {
        |SELECT id, round(v, 8) AS pprank FROM pp$iters ORDER BY id""".stripMargin
   }
 
+  /** Unrolled Brandes betweenness: BFS relaxation (bd), per-level σ
+    * (bs), back-propagated δ (bl, bct) — the g14 three-phase chain. */
+  private def betweennessSql(depth: Int, nSrc: Int): String = {
+    // Every unrolled step is AS MATERIALIZED: a step references its
+    // predecessor twice (t + p), and DuckDB's default CTE inlining turns
+    // that into 2^depth plan copies — EXPLAIN alone blew up at depth 12.
+    val relax = (1 to depth).map { k =>
+      s"""bd$k AS MATERIALIZED (
+         |  SELECT t.q, t.id, least(t.v, m.mv) AS v
+         |  FROM bd${k - 1} t LEFT JOIN (
+         |    SELECT p.q, e.dst AS id, min(p.v + 1) AS mv
+         |    FROM se e JOIN bd${k - 1} p ON e.src = p.id AND p.v IS NOT NULL
+         |    GROUP BY p.q, e.dst) m
+         |  ON t.q = m.q AND t.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    val sig = (1 to depth).map { l =>
+      s"""bs$l AS MATERIALIZED (SELECT p.q, e.dst AS id, CAST(sum(p.sg) AS BIGINT) AS sg
+         |  FROM bs${l - 1} p JOIN se e ON p.id = e.src
+         |  JOIN rd t ON t.q = p.q AND t.id = e.dst AND t.v = $l
+         |  GROUP BY p.q, e.dst)""".stripMargin
+    }.mkString(",\n")
+    val del = ((depth - 1) to 0 by -1).map { l =>
+      s"""bct$l AS MATERIALIZED (SELECT v.q, v.id,
+         |    sum(CAST(v.sg AS DOUBLE) / w.sg * (1 + w.dl)) AS c
+         |  FROM bs$l v JOIN se e ON v.id = e.src
+         |  JOIN bl${l + 1} w ON w.q = v.q AND w.id = e.dst
+         |  GROUP BY v.q, v.id),
+         |bl$l AS MATERIALIZED (SELECT v.q, v.id, v.sg, coalesce(c.c, 0) AS dl
+         |  FROM bs$l v LEFT JOIN bct$l c ON c.q = v.q AND c.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    val unionDl = (1 to depth).map(l => s"SELECT id, dl FROM bl$l").mkString(" UNION ALL ")
+    // se/sv/rd are referenced by every unrolled level: MATERIALIZED stops
+    // DuckDB's default CTE inlining from re-expanding the lineitem scan
+    // ~40x (observed: "Too many open files" from the inlined plan).
+    s"""WITH $edgeCtes,
+       |te AS (SELECT src, dst FROM cpairs WHERE w >= ${LinkMinWeight.toInt}),
+       |se AS MATERIALIZED (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te),
+       |sv AS MATERIALIZED (SELECT DISTINCT src AS id FROM se),
+       |bq AS MATERIALIZED (SELECT id AS q FROM sv ORDER BY id LIMIT $nSrc),
+       |bd0 AS MATERIALIZED (SELECT q, id, CASE WHEN id = q THEN CAST(0 AS BIGINT) END AS v FROM sv, bq),
+       |$relax,
+       |rd AS MATERIALIZED (SELECT q, id, v FROM bd$depth WHERE v IS NOT NULL),
+       |bs0 AS MATERIALIZED (SELECT q, id, CAST(1 AS BIGINT) AS sg FROM rd WHERE v = 0),
+       |$sig,
+       |bl$depth AS MATERIALIZED (SELECT q, id, sg, CAST(0 AS DOUBLE) AS dl FROM bs$depth),
+       |$del,
+       |bc AS (SELECT id, sum(dl) AS b FROM ($unionDl) GROUP BY id)
+       |SELECT sv.id, round(coalesce(b, 0), 6) AS betweenness
+       |FROM sv LEFT JOIN bc USING (id) ORDER BY sv.id""".stripMargin
+  }
+
   /** Unrolled Bellman-Ford supersteps; `stepExpr` is the relaxation edge
     * message (`p.v + e.w` for weighted SSSP, `p.v + 1` for BFS hops).
     * NULL = unreached (least() skips NULLs in Spark and DuckDB alike). */
@@ -256,6 +307,84 @@ object GraphQueries {
       .select(col("a").as("id_a"), col("b").as("id_b"),
         col("n_common"), col("ra_score"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** g14 knobs: betweenness from the 5 smallest-id sources over the
+    * strong-tie subgraph (the g13 weight floor — Brandes is O(sources ×
+    * E), and sampled-source betweenness IS the standard scale form; exact
+    * all-sources betweenness is O(V·E) and not a 100 TB operation).
+    * BFS depth 12 covers the measured eccentricity ≤ 10 with slack —
+    * min-relaxation is monotone, so extra rounds are no-ops. */
+  private val BcSources = 5
+  private val BcDepth = 12
+
+  /** g14: sampled-source betweenness centrality (Brandes) — "which parts
+    * broker the co-purchase network". Three phases, each vectorized over
+    * all sources at once (source id is just a key column):
+    * (1) BFS distances by unrolled min-relaxation; (2) shortest-path
+    * counts σ level-by-level over the FIXED distance table (each level is
+    * one equi-join + one integer aggregate — no iteration-order
+    * ambiguity); (3) dependency back-propagation δ from the deepest level
+    * with σ-ratio weights. σ is exact BIGINT; δ is double but each term
+    * is one division and one multiply (the PageRank float-sum class,
+    * rounded to 6). The oracle unrolls the identical three chains. */
+  def g14Betweenness(s: SparkSession, d: String): DataFrame = {
+    val te = partPairsMaterialized(s, d).where(col("weight") >= LinkMinWeight)
+      .select("src", "dst")
+    val se = te.union(te.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = se.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val srcs = verts.orderBy("id").limit(BcSources).select(col("id").as("q"))
+    // (1) BFS distances keyed by (q, id)
+    var dist = verts.crossJoin(broadcast(srcs))
+      .select(col("q"), col("id"),
+        when(col("id") === col("q"), lit(0L)).as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to BcDepth) {
+      val m = dist.where(col("v").isNotNull)
+        .join(se, dist("id") === se("src"))
+        .groupBy(col("q"), col("dst")).agg(min(col("v") + 1).as("mv"))
+        .select(col("q"), col("dst").as("id"), col("mv"))
+      dist = dist.join(m, Seq("q", "id"), "left_outer")
+        .select(col("q"), col("id"), least(col("v"), col("mv")).as("v"))
+        .localCheckpoint(true)
+    }
+    val reached = dist.where(col("v").isNotNull)
+    // (2) σ per level over the fixed distance table
+    val levels = new Array[DataFrame](BcDepth + 1)
+    levels(0) = reached.where(col("v") === 0)
+      .select(col("q"), col("id"), lit(1L).as("sg")).localCheckpoint(true)
+    for (l <- 1 to BcDepth) {
+      levels(l) = levels(l - 1).join(se, col("id") === col("src"))
+        .select(col("q"), col("dst").as("id"), col("sg"))
+        .join(reached.where(col("v") === l).select(col("q"), col("id")), Seq("q", "id"))
+        .groupBy(col("q"), col("id")).agg(sum(col("sg")).as("sg"))
+        .localCheckpoint(true)
+    }
+    // (3) δ back-propagation: deepest level first, σ-ratio weights
+    val deltas = new Array[DataFrame](BcDepth + 1)
+    deltas(BcDepth) = levels(BcDepth)
+      .select(col("q"), col("id"), col("sg"), lit(0.0).as("dl"))
+    for (l <- (BcDepth - 1) to 0 by -1) {
+      val succ = deltas(l + 1)
+        .select(col("q").as("wq"), col("id").as("wid"),
+          col("sg").as("wsg"), col("dl").as("wdl"))
+      val contrib = levels(l).join(se, col("id") === col("src"))
+        .join(succ, col("wq") === col("q") && col("wid") === col("dst"))
+        .groupBy(col("q"), col("id"))
+        .agg(sum(col("sg").cast("double") / col("wsg") * (lit(1.0) + col("wdl")))
+          .as("c"))
+      deltas(l) = levels(l).join(contrib, Seq("q", "id"), "left_outer")
+        .select(col("q"), col("id"), col("sg"),
+          coalesce(col("c"), lit(0.0)).as("dl"))
+        .localCheckpoint(true)
+    }
+    val bc = (1 to BcDepth).map(deltas(_).select(col("id"), col("dl")))
+      .reduce(_ union _)
+      .groupBy(col("id")).agg(sum(col("dl")).as("b"))
+    verts.join(bc, Seq("id"), "left_outer")
+      .select(col("id"), round(coalesce(col("b"), lit(0.0)), 6).as("betweenness"))
+      .orderBy("id")
   }
 
   private def sourceVertex(g: PropertyGraph): Long =
@@ -569,7 +698,8 @@ object GraphQueries {
     "g10_matmul" -> g10Matmul,
     "g11_kcore" -> g11KCore,
     "g12_ppr" -> g12Ppr,
-    "g13_link_predict" -> g13LinkPredict)
+    "g13_link_predict" -> g13LinkPredict,
+    "g14_betweenness" -> g14Betweenness)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),
@@ -590,6 +720,7 @@ object GraphQueries {
     "g10_matmul" -> matmulSql,
     "g11_kcore" -> kcoreSql(KCoreRounds),
     "g12_ppr" -> pprSql(PprIters, PprSeedMod),
+    "g14_betweenness" -> betweennessSql(BcDepth, BcSources),
     "g13_link_predict" ->
       s"""WITH $edgeCtes,
          |te AS (SELECT src, dst FROM cpairs WHERE w >= ${LinkMinWeight.toInt}),

@@ -47,6 +47,45 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("g14 betweenness matches a local Brandes reference") {
+    val te = GraphQueries.partPairsMaterialized(spark, sf)
+      .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    te.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+    val verts = adj.keys.toArray.sorted
+    val bc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    verts.take(5).foreach { s =>
+      // Brandes single-source: BFS orders, sigma counts, delta back-prop
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L).withDefaultValue(0L)
+      val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val queue = scala.collection.mutable.Queue(s)
+      while (queue.nonEmpty) {
+        val u = queue.dequeue(); order += u
+        adj(u).foreach { v =>
+          if (!dist.contains(v)) { dist(v) = dist(u) + 1; queue.enqueue(v) }
+          if (dist(v) == dist(u) + 1) sigma(v) += sigma(u)
+        }
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      order.reverseIterator.foreach { w =>
+        adj(w).foreach { v =>
+          if (dist.contains(v) && dist(v) == dist(w) - 1)
+            delta(v) += sigma(v).toDouble / sigma(w) * (1.0 + delta(w))
+        }
+        if (w != s) bc(w) += delta(w)
+      }
+    }
+    val got = GraphQueries.g14Betweenness(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === verts.toSet)
+    verts.foreach { v =>
+      assert(math.abs(got(v) - bc(v)) < 1e-4,
+        s"vertex $v: engine ${got(v)} vs local ${bc(v)}")
+    }
+  }
+
   test("d10 source mix: rates in range, verdict consistent with draw, per-source") {
     val rows = DedupQueries.d10SourceMix(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
