@@ -396,7 +396,7 @@ object DedupQueries {
        |  list_transform(range(1, greatest(len(words)-2, 0)+1),
        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]),
        |  s -> ${sqlCharHash("s")})) AS sh FROM wd),
-       |ne AS (SELECT * FROM sets WHERE len(sh) > 0)""".stripMargin
+       |ne AS MATERIALIZED (SELECT * FROM sets WHERE len(sh) > 0)""".stripMargin
 
   private val jaccardExpr =
     "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))"
@@ -412,21 +412,21 @@ object DedupQueries {
        |  FROM range(0, ${cfg.numPerms})),
        |mins AS (SELECT id, perm, min((a*h + b) % ${Portable.P}) AS minv
        |  FROM ex, perms GROUP BY id, perm),
-       |bands AS (SELECT id, perm // ${cfg.rowsPerBand} AS band,
+       |bands AS MATERIALIZED (SELECT id, perm // ${cfg.rowsPerBand} AS band,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(minv ORDER BY perm)),
        |    (x, y) -> (x*31 + y) % ${Portable.P}) AS sig
        |  FROM mins GROUP BY id, perm // ${cfg.rowsPerBand}),
        |cand AS (SELECT DISTINCT x.id AS ida, y.id AS idb
        |  FROM bands x JOIN bands y
        |  ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
-       |lshpairs AS (SELECT ida, idb, $jaccardExpr AS j
+       |lshpairs AS MATERIALIZED (SELECT ida, idb, $jaccardExpr AS j
        |  FROM cand JOIN ne a ON ida = a.id JOIN ne b ON idb = b.id)""".stripMargin
 
   /** d6 oracle: d3's pair pipeline + unrolled min-label propagation over
     * the symmetrized pair graph, seeded with every document's own id. */
   private def dedupClustersSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
-      s"""c$k AS (
+      s"""c$k AS MATERIALIZED (
          |  SELECT t.id, least(t.v, m.mv) AS v
          |  FROM c${k - 1} t LEFT JOIN (
          |    SELECT e.dst AS id, min(p.v) AS mv
@@ -435,7 +435,7 @@ object DedupQueries {
     }.mkString(",\n")
     s"""WITH $lshPairsCte,
        |dp AS (SELECT ida, idb FROM lshpairs WHERE j >= ${cfg.threshold}),
-       |de AS (SELECT ida AS src, idb AS dst FROM dp
+       |de AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM dp
        |       UNION ALL SELECT idb, ida FROM dp),
        |c0 AS (SELECT doc_id AS id, CAST(doc_id AS BIGINT) AS v FROM documents),
        |$steps

@@ -97,21 +97,26 @@ object GraphQueries {
 
   // ---- oracle SQL derivation (shared CTE prefix) ----
 
+  /** Shared derivation CTEs, all MATERIALIZED: every unrolled superstep
+    * CTE references `edges`/`deg`, and DuckDB 1.0's default CTE inlining
+    * would re-run the lineitem self-join once per superstep per
+    * reference (the g14 lesson — 2^depth in the worst double-reference
+    * case). Values are unchanged; this is purely plan physicality. */
   private val edgeCtes: String =
-    """op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-      |cpairs AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
+    """op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |cpairs AS MATERIALIZED (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
       |           FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
       |           GROUP BY a.p, b.p),
-      |edges AS (SELECT src, dst, w FROM cpairs
+      |edges AS MATERIALIZED (SELECT src, dst, w FROM cpairs
       |          UNION ALL SELECT dst, src, w FROM cpairs),
-      |verts AS (SELECT DISTINCT src AS id FROM edges),
-      |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)""".stripMargin
+      |verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+      |deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)""".stripMargin
 
   /** Unrolled PageRank supersteps (damping 0.85, global n — the standard
     * variant; reference-compat d=0.5 lives in [[graft.graph.PageRank.compat]]). */
   private def pagerankSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
-      s"""pr$k AS (
+      s"""pr$k AS MATERIALIZED (
          |  SELECT t.id, 0.15/(SELECT n FROM nn) + 0.85*coalesce(m.s, 0) AS v
          |  FROM verts t LEFT JOIN (
          |    SELECT e.dst AS id, sum(p.v / d.deg) AS s
@@ -130,7 +135,7 @@ object GraphQueries {
     * teleport term gated on the seed indicator (id ≡ 0 mod seedMod). */
   private def pprSql(iters: Int, seedMod: Int): String = {
     val steps = (1 to iters).map { k =>
-      s"""pp$k AS (
+      s"""pp$k AS MATERIALIZED (
          |  SELECT t.id,
          |    (CASE WHEN t.id % $seedMod = 0
          |          THEN 0.15/(SELECT n FROM ns) ELSE 0 END)
@@ -205,7 +210,7 @@ object GraphQueries {
     * NULL = unreached (least() skips NULLs in Spark and DuckDB alike). */
   private def relaxSql(iters: Int, stepExpr: String, outName: String): String = {
     val steps = (1 to iters).map { k =>
-      s"""d$k AS (
+      s"""d$k AS MATERIALIZED (
          |  SELECT t.id, least(t.v, m.mv) AS v
          |  FROM d${k - 1} t LEFT JOIN (
          |    SELECT e.dst AS id, min($stepExpr) AS mv
@@ -223,7 +228,7 @@ object GraphQueries {
   /** Unrolled min-label propagation for connected components. */
   private def componentsSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
-      s"""c$k AS (
+      s"""c$k AS MATERIALIZED (
          |  SELECT t.id, least(t.v, m.mv) AS v
          |  FROM c${k - 1} t LEFT JOIN (
          |    SELECT e.dst AS id, min(p.v) AS mv
@@ -617,7 +622,7 @@ object GraphQueries {
 
   private def labelPropSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
-      s"""l$k AS (
+      s"""l$k AS MATERIALIZED (
          |  SELECT t.id, coalesce(m.nl, t.label) AS label
          |  FROM l${k - 1} t LEFT JOIN (
          |    SELECT id, nl FROM (
