@@ -105,6 +105,40 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** One (measure, id) candidate held by [[BottomK]]. */
+  final case class ScoredId(m: Long, id: Long)
+
+  /** Bottom-k buffer: the k smallest (measure, id) pairs seen, ascending
+    * lexicographic. */
+  final case class TopKBuf(pairs: Seq[ScoredId])
+
+  /** Bounded top-k selection as a mergeable aggregate: keeps the k
+    * lexicographically-smallest (measure, id) pairs per group. The
+    * Window-function form (`row_number() OVER (ORDER BY measure)` then
+    * `rank <= k`) SORTS every row of every group before discarding all
+    * but k — a full per-group sort at scale. This buffer is O(k) per
+    * group, reduce is an insert-if-smaller, and merge is associative, so
+    * Catalyst runs it with map-side partial aggregation: each map task
+    * ships at most k pairs per group no matter how many candidates it
+    * scanned. Ties are impossible when `id` is unique within the group
+    * (the ANN use), and broken by id otherwise — the same total order as
+    * `ORDER BY m, id`, so results match the windowed form row-for-row. */
+  final class BottomK(k: Int) extends Aggregator[(Long, Long), TopKBuf, Seq[ScoredId]] {
+    private val ord: Ordering[ScoredId] = Ordering.by(s => (s.m, s.id))
+    override def zero: TopKBuf = TopKBuf(Vector.empty)
+    override def reduce(b: TopKBuf, in: (Long, Long)): TopKBuf = {
+      val s = ScoredId(in._1, in._2)
+      if (b.pairs.length == k && ord.gteq(s, b.pairs.last)) b
+      else TopKBuf((b.pairs :+ s).sorted(ord).take(k))
+    }
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf((a.pairs ++ b.pairs).sorted(ord).take(k))
+    override def finish(b: TopKBuf): Seq[ScoredId] = b.pairs
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+  }
+
   /** HyperLogLog register buffer: `regs(b)` = max rho seen in bucket b
     * (0 = bucket never hit). */
   final case class HllBuf(regs: Seq[Int])

@@ -232,7 +232,14 @@ object SimilarityQueries {
     * entire point at 100 TB: the scan reads M bytes per vector, not the
     * embedding column. Integer micro-unit arithmetic end-to-end (the s4
     * trick), so distances are exact BIGINTs and the oracle unrolls
-    * bit-identically. */
+    * bit-identically.
+    *
+    * The plan is deliberately Window-free ([[PlanAuditSpec]] asserts it):
+    * codebook assignment is the `min(struct)` argmax trick (hash
+    * aggregate, not a per-(vec,sub) sort), and the final per-query
+    * ranking is the bounded [[graft.functions.Aggregators.BottomK]]
+    * heap — O(k) state per query with map-side partial merge, where the
+    * `row_number` form would sort all N approx distances per query. */
   def s6AnnPq(s: SparkSession, d: String): DataFrame = {
     val q = Tables.embeddings(s, d).select(col("vec_id"),
         posexplode(transform(col("embedding"),
@@ -240,14 +247,16 @@ object SimilarityQueries {
           .as(Seq("dim", "qd")))
       .withColumn("sub", expr(s"dim DIV $PqSubDims"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-(vec, sub) argmin over the sub's clusters; join on dim implies sub
+    // per-(vec, sub) argmin over the sub's clusters; join on dim implies
+    // sub. min(struct(d2, cluster)) == ORDER BY d2, cluster LIMIT 1 — a
+    // hash aggregate instead of a window sort.
     def assign(centroids: DataFrame): DataFrame = {
       val d2 = (col("qd") - col("cd")) * (col("qd") - col("cd"))
       val dist = q.join(broadcast(centroids.drop("sub")), "dim")
         .groupBy(col("vec_id"), col("sub"), col("cluster")).agg(sum(d2).as("d2"))
-      val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("cluster"))
-      dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("cluster"))
+      dist.groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("am"))
+        .select(col("vec_id"), col("sub"), col("am.cluster").as("cluster"))
     }
     var centroids = q.where(col("vec_id") < KmK)
       .select(col("sub"), col("vec_id").as("cluster"), col("dim"), col("qd").as("cd"))
@@ -273,11 +282,16 @@ object SimilarityQueries {
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pd2")).as("approx_d2"))
-    val w = Window.partitionBy("query_id").orderBy(col("approx_d2"), col("vec_id"))
-    approx.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("approx_d2"), col("rank"))
+    // Bounded top-k heap per query (O(k) state, map-side merge) — never a
+    // full per-query sort of the N approx distances.
+    val topk = udaf(new graft.functions.Aggregators.BottomK(TopK),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    approx.groupBy(col("query_id"))
+      .agg(topk(col("approx_d2"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.m").as("approx_d2"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
 

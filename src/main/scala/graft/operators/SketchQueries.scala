@@ -192,7 +192,14 @@ object SketchQueries {
     * spec asserts. Bin = bit length of the integer-cents value (`bin()`,
     * the same libm-free log₂ used by q34's rho); rank = ceil(q·N) in
     * integer arithmetic; the cumulative walk is a tiny per-group window
-    * over ≤ 64 bin rows. */
+    * over ≤ 64 bin rows.
+    *
+    * The gated query emits ONLY the sketch: an exact `percentile()`
+    * comparison column (the q29/q34/q35 pattern) would itself be a
+    * SortAggregate buffering every near-unique value per group — the
+    * very plan the sketch exists to avoid, and it dominated the bench.
+    * The sketch-vs-exact 2× bound proof lives in [[SketchAndScaleSpec]]
+    * at small SF instead. */
   def q36HistQuantiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
@@ -214,19 +221,10 @@ object SketchQueries {
       // CAST the divisor: a bare 100.0 is a DECIMAL literal in Spark SQL
       // and would make the division decimal, not the IEEE double op.
       expr(s"shiftleft(CAST(1 AS BIGINT), CAST($bCol AS INT) - 1) / CAST(100 AS DOUBLE)")
-    // Exact comparison column: plain interpolated percentiles. (A
-    // percentile-with-frequency rewrite over (value, count) was measured
-    // and reverted: l_extendedprice is near-unique per row, so the
-    // pre-aggregation added a shuffle without shrinking the buffer.)
-    val exact = li.groupBy($"l_returnflag").agg(
-      round(percentile($"l_extendedprice", lit(0.5)), 4).as("exact_p50"),
-      round(percentile($"l_extendedprice", lit(0.9)), 4).as("exact_p90"),
-      round(percentile($"l_extendedprice", lit(0.99)), 4).as("exact_p99"))
-    sk.join(exact, "l_returnflag")
-      .select($"l_returnflag", $"n_rows",
-        dollars("b50").as("hist_p50"), $"exact_p50",
-        dollars("b90").as("hist_p90"), $"exact_p90",
-        dollars("b99").as("hist_p99"), $"exact_p99")
+    sk.select($"l_returnflag", $"n_rows",
+        dollars("b50").as("hist_p50"),
+        dollars("b90").as("hist_p90"),
+        dollars("b99").as("hist_p99"))
       .orderBy($"l_returnflag")
   }
 
@@ -305,16 +303,11 @@ object SketchQueries {
          |  FROM hist),
          |sk AS (SELECT l_returnflag, max(n) AS n_rows,
          |    ${bq(50)}, ${bq(90)}, ${bq(99)}
-         |  FROM c GROUP BY l_returnflag),
-         |ex AS (SELECT l_returnflag,
-         |    round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
-         |    round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
-         |    round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99
-         |  FROM lineitem GROUP BY l_returnflag)
-         |SELECT sk.l_returnflag, n_rows,
-         |  (CAST(1 AS BIGINT) << (b50 - 1)) / 100.0 AS hist_p50, exact_p50,
-         |  (CAST(1 AS BIGINT) << (b90 - 1)) / 100.0 AS hist_p90, exact_p90,
-         |  (CAST(1 AS BIGINT) << (b99 - 1)) / 100.0 AS hist_p99, exact_p99
-         |FROM sk JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
+         |  FROM c GROUP BY l_returnflag)
+         |SELECT l_returnflag, n_rows,
+         |  (CAST(1 AS BIGINT) << (b50 - 1)) / 100.0 AS hist_p50,
+         |  (CAST(1 AS BIGINT) << (b90 - 1)) / 100.0 AS hist_p90,
+         |  (CAST(1 AS BIGINT) << (b99 - 1)) / 100.0 AS hist_p99
+         |FROM sk ORDER BY l_returnflag""".stripMargin
     })
 }

@@ -38,4 +38,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(offenders.isEmpty, s"scale-killer join shapes:\n${offenders.mkString("\n")}")
   }
+
+  test("s6_ann_pq plan is Window-free (bounded top-k, not a per-query sort)") {
+    val plan = graft.SparkEntry.queries("s6_ann_pq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "s6 must rank with the bounded BottomK aggregate; a Window node " +
+        "means a full per-query sort of every candidate crept back in")
+  }
+
+  test("q36_hist_quantiles plan has no exact-percentile SortAggregate") {
+    val plan = graft.SparkEntry.queries("q36_hist_quantiles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile"),
+      "the gated q36 must emit only the histogram sketch; exact " +
+        "percentile() buffers every value per group (proof lives in " +
+        "SketchAndScaleSpec at spec SF)")
+  }
 }

@@ -140,12 +140,23 @@ class SketchAndScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("histogram quantile sketch (q36): within-bin bound and monotone") {
-    val rows = SketchQueries.q36HistQuantiles(spark, sf).collect()
+    import spark.implicits._
+    // The exact percentiles are computed HERE, not in the gated query:
+    // percentile() is a SortAggregate buffering every value per group —
+    // fine at spec SF, the anti-pattern the sketch replaces at scale.
+    val exact = graft.core.Tables.lineitem(spark, sf).groupBy($"l_returnflag").agg(
+      percentile($"l_extendedprice", lit(0.5)).as("e50"),
+      percentile($"l_extendedprice", lit(0.9)).as("e90"),
+      percentile($"l_extendedprice", lit(0.99)).as("e99"))
+    val rows = SketchQueries.q36HistQuantiles(spark, sf)
+      .join(exact, "l_returnflag")
+      .select($"hist_p50", $"e50", $"hist_p90", $"e90", $"hist_p99", $"e99")
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (h50, e50) = (r.getDouble(2), r.getDouble(3))
-      val (h90, e90) = (r.getDouble(4), r.getDouble(5))
-      val (h99, e99) = (r.getDouble(6), r.getDouble(7))
+      val (h50, e50) = (r.getDouble(0), r.getDouble(1))
+      val (h90, e90) = (r.getDouble(2), r.getDouble(3))
+      val (h99, e99) = (r.getDouble(4), r.getDouble(5))
       // Estimate = the target rank's bin LOWER bound: the rank's order
       // stat lives in [h, 2h); the interpolated exact can sit one order
       // stat away, so assert the loose two-sided factor bound.
