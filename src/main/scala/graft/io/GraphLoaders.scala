@@ -156,12 +156,31 @@ object GraphLoaders {
     *
     * The line construction is fully distributed (per-vertex adjacency
     * grouping — one shuffle); only the final per-part file emission is a
-    * coalesce(1) text write + rename, which is faithful to what it
+    * coalesce(1) text write + header-concat, which is faithful to what it
     * replaces: the reference's own partitioner runs in-memory on rank 0.
+    * The concat step goes through the Hadoop FileSystem API, so the
+    * writer works against whatever filesystem `basePath` resolves to
+    * (local, HDFS, S3A), not just driver-local disk.
+    *
+    * Weights: integral weights are written as integer tokens (the
+    * reference's default `iss >> iewgt` path); if ANY edge weight is
+    * fractional, ALL weights are written as float tokens instead — the
+    * reference's `isfewgts` float path (`graph.h:609-612,692-695`). A
+    * file mixes the two never, since the reader parses one type.
+    *
+    * Every part must be non-empty: the reference reader errexits on
+    * `nvtxs<=0 || nedges<=0` (`graph.h:587-588`), so this writer refuses
+    * to emit a file the reference's ranks cannot read — choose `parts`
+    * small enough that every `id mod parts` class has vertices and edges.
     * Round-trip proven in GraphLoadersSpec: write → [[metisSubgraph]]
     * per part → union == original graph. */
   def writeMetisSubgraphs(g: PropertyGraph, parts: Int, basePath: String): Unit = {
     val spark = g.edges.sparkSession
+    val allIntegral = g.edges.where(
+      coalesce(col("weight"), lit(1.0)) =!=
+        floor(coalesce(col("weight"), lit(1.0)))).isEmpty
+    def wTok(c: org.apache.spark.sql.Column) =
+      if (allIntegral) c.cast("long").cast("string") else c.cast("string")
     val nbrs = g.edges
       .select(col("src"), col("dst"), coalesce(col("weight"), lit(1.0)).as("w"))
       .groupBy(col("src"))
@@ -176,28 +195,38 @@ object GraphLoaders {
             coalesce(col("ns"), array().cast("array<struct<dst:bigint,dpart:bigint,w:double>>")),
             n => array(n.getField("dst").cast("string"),
               n.getField("dpart").cast("string"),
-              n.getField("w").cast("int").cast("string")))))).as("line"),
+              wTok(n.getField("w"))))))).as("line"),
         coalesce(size(col("ns")), lit(0)).as("ne"))
     lines.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val hconf = spark.sparkContext.hadoopConfiguration
       (0 until parts).foreach { p =>
         val mine = lines.where(col("part") === p)
         val (nv, ne) = {
           val r = mine.agg(count(lit(1)), sum(col("ne"))).first()
           (r.getLong(0), Option(r.get(1)).map(_.toString.toLong).getOrElse(0L))
         }
-        val tmp = s"$basePath.subgraph.$p.tmp"
+        require(nv > 0 && ne > 0,
+          s"part $p of $parts is empty (nvtxs=$nv nedges=$ne): the reference " +
+            "reader rejects empty subgraphs (graph.h:587-588) — use fewer parts")
+        val tmp = new org.apache.hadoop.fs.Path(s"$basePath.subgraph.$p.tmp")
+        val fs = tmp.getFileSystem(hconf)
         mine.orderBy("id").select(col("line").as("value"))
-          .coalesce(1).write.mode("overwrite").text(tmp)
-        val dir = new java.io.File(tmp)
-        val partFile = dir.listFiles().find(_.getName.startsWith("part-")).get
-        val out = new java.io.File(s"$basePath.subgraph.$p")
-        val w = new java.io.PrintWriter(out)
+          .coalesce(1).write.mode("overwrite").text(tmp.toString)
+        val partFile = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        val out = new java.io.PrintWriter(
+          fs.create(new org.apache.hadoop.fs.Path(s"$basePath.subgraph.$p"), true))
         try {
-          w.println(s"$nv $ne 1111 1")
-          scala.io.Source.fromFile(partFile).getLines().foreach(w.println)
-        } finally w.close()
-        dir.listFiles().foreach(_.delete()); dir.delete()
+          out.println(s"$nv $ne 1111 1")
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(partFile), java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            var line = in.readLine()
+            while (line != null) { out.println(line); line = in.readLine() }
+          } finally in.close()
+        } finally out.close()
+        fs.delete(tmp, true)
       }
     } finally lines.unpersist(blocking = false)
   }

@@ -284,20 +284,23 @@ object GraphQueries {
   private val LinkMinWeight = 2.0
   private val LinkMinCommon = 2
 
-  /** g13: link prediction by common-neighbor counting — rank
-    * NON-adjacent part pairs by shared strong-tie neighbors
-    * (recommendation: "parts bought with the same things are likely
-    * bought together next"). Score = count + a resource-allocation index
-    * with the integer surrogate `Σ 1e6 DIV deg(center)` (the t5 idf
-    * trick: division of doubles summed per group is order-dependent;
-    * integer RA is exact and preserves the ranking). One wedge self-join
-    * equi-keyed on the center vertex, one aggregate, one anti-join
-    * against existing edges — no step beyond O(Σ deg²) of the
-    * THRESHOLDED graph. */
+  /** g13: link prediction by common-neighbor counting — rank part pairs
+    * NOT adjacent at any co-purchase weight by shared strong-tie
+    * neighbors (recommendation: "parts bought with the same things are
+    * likely bought together next"). Wedges and degrees come from the
+    * thresholded subgraph (that is the complexity bound above); the
+    * existing-link anti-join runs against the FULL edge set, so a pair
+    * already co-purchased even once is never "predicted". Score = count
+    * + a resource-allocation index with the integer surrogate
+    * `Σ 1e6 DIV deg(center)` (the t5 idf trick: division of doubles
+    * summed per group is order-dependent; integer RA is exact and
+    * preserves the ranking). One wedge self-join equi-keyed on the
+    * center vertex, one aggregate, one anti-join — no step beyond
+    * O(Σ deg²) of the THRESHOLDED graph. */
   def g13LinkPredict(s: SparkSession, d: String): DataFrame = {
-    val te = partPairsMaterialized(s, d).where(col("weight") >= LinkMinWeight)
-      .select("src", "dst")
+    val cpairs = partPairsMaterialized(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val te = cpairs.where(col("weight") >= LinkMinWeight).select("src", "dst")
     val se = te.union(te.select(col("dst").as("src"), col("src").as("dst")))
     val sdeg = se.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
     val wedges = se.as("l").join(se.as("r"),
@@ -307,7 +310,11 @@ object GraphQueries {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_common"),
         sum(expr("1000000 DIV dg")).as("ra_score"))
-    cand.join(te, col("a") === col("src") && col("b") === col("dst"), "left_anti")
+    // Anti-join against the FULL co-purchase edge set (both canonical
+    // src<dst), not just the strong ties the wedges ran on: a pair
+    // already co-purchased at ANY weight is an existing link, not a
+    // prediction.
+    cand.join(cpairs, col("a") === col("src") && col("b") === col("dst"), "left_anti")
       .where(col("n_common") >= LinkMinCommon)
       .select(col("a").as("id_a"), col("b").as("id_b"),
         col("n_common"), col("ra_score"))
@@ -737,8 +744,8 @@ object GraphQueries {
          |    CAST(sum(1000000 // dg) AS BIGINT) AS ra_score
          |  FROM wedge JOIN sdeg ON c = sdeg.id GROUP BY a, b),
          |fresh AS (SELECT cand.* FROM cand
-         |  LEFT JOIN te ON cand.a = te.src AND cand.b = te.dst
-         |  WHERE te.src IS NULL)
+         |  LEFT JOIN cpairs ce ON cand.a = ce.src AND cand.b = ce.dst
+         |  WHERE ce.src IS NULL)
          |SELECT a AS id_a, b AS id_b, n_common, ra_score
          |FROM fresh WHERE n_common >= $LinkMinCommon
          |ORDER BY id_a, id_b""".stripMargin)

@@ -143,9 +143,21 @@ object SketchQueries {
 
   /** Row-r CMS bucket of key expression `k`, as portable SQL: reduce mod
     * P first (|k mod P|·A < 3.3·10¹⁸ stays in BIGINT for any input), then
-    * an affine row hash mod P, then the counter index mod w. */
+    * an affine row hash mod P, then the counter index mod w.
+    *
+    * `pmod` (not `%`) for the row hash so the bucket agrees with
+    * [[graft.functions.Aggregators.CmsSketch.bucket]]'s floorMod on the
+    * FULL Long domain: (k % P)·A + b is congruent mod P to
+    * floorMod(k,P)·A + b, so pmod picks the same non-negative
+    * representative the UDAF buckets by — a probe built from this
+    * expression reads the cell the sketch incremented even for negative
+    * keys (a truncating `%` read a different cell, silently voiding the
+    * never-undercount bound through [[graft.streaming.EventStreams
+    * .watchedUserRates]]). The final `% $CmsW` sees a non-negative value,
+    * so truncation == floor there. The q35 DuckDB oracle keeps plain `%`
+    * — identical for the gated non-negative keys. */
   private[graft] def cmsBucketSql(k: String, r: Int): String =
-    s"((($k % ${Portable.P}) * ${CmsA(r)} + ${cmsB(r)}) % ${Portable.P}) % $CmsW"
+    s"pmod(($k % ${Portable.P}) * ${CmsA(r)} + ${cmsB(r)}, ${Portable.P}) % $CmsW"
 
   /** q35: heavy-hitter users over the events stream via a Count-Min
     * frequency sketch, beside the exact per-key count. The declarative

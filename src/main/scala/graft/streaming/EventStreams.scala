@@ -150,9 +150,13 @@ object EventStreams {
     * Works identically on a batch DataFrame. */
   def enrichWithDim(events: DataFrame, dim: DataFrame,
                     key: String = "user_id"): DataFrame = {
-    val dimCols = dim.columns.filterNot(_ == key)
-    events.join(broadcast(dim), Seq(key), "left_outer")
-      .withColumn("dim_miss", col(dimCols.head).isNull)
+    // Explicit presence marker: deriving dim_miss from a data column
+    // would misreport a matched row whose first attribute is NULL (and
+    // depend on dim.columns ordering).
+    val marked = dim.withColumn("__dim_present", lit(true))
+    events.join(broadcast(marked), Seq(key), "left_outer")
+      .withColumn("dim_miss", col("__dim_present").isNull)
+      .drop("__dim_present")
   }
 
   // ---- custom state: flatMapGroupsWithState sessionization ----

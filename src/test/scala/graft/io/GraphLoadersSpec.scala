@@ -76,11 +76,14 @@ class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sub.vertices.count() > 0 && sub.edges.count() > 0)
   }
 
-  test("subgraph writer roundtrip: write 3 parts, read back == original") {
+  test("subgraph writer roundtrip: write 2 parts, read back == original") {
+    // parts = 2: the one split of this fixture where every id-mod-parts
+    // class keeps both vertices and edges — at 3 parts the writer now
+    // (correctly) refuses the edgeless part 0, see the empty-part test.
     val src = GraphLoaders.edgeList(spark, "/root/reference/graph/small.graph")
     val base = java.nio.file.Files.createTempDirectory("graft-sgw").toString + "/small"
-    GraphLoaders.writeMetisSubgraphs(src, parts = 3, base)
-    val back = (0 until 3).map(p => GraphLoaders.metisSubgraph(spark, s"$base.subgraph.$p"))
+    GraphLoaders.writeMetisSubgraphs(src, parts = 2, base)
+    val back = (0 until 2).map(p => GraphLoaders.metisSubgraph(spark, s"$base.subgraph.$p"))
     val origE = src.edges.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val backE = back.flatMap(_.edges.collect()
@@ -92,7 +95,40 @@ class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     // owners in the files follow the id-mod-parts convention
     val owners = back.flatMap(_.edges.select("dst", "dst_part").collect()
       .map(r => r.getLong(0) -> r.getInt(1)))
-    owners.foreach { case (dst, dp) => assert(dp === (dst % 3).toInt) }
+    owners.foreach { case (dst, dp) => assert(dp === (dst % 2).toInt) }
+  }
+
+  test("subgraph writer: fractional weights roundtrip via the float path") {
+    import spark.implicits._
+    // Weights 0.5/2.25 must NOT truncate to 0/2 (the pre-fix int cast);
+    // the writer switches every weight token to the reference's isfewgts
+    // float representation when any weight is fractional.
+    val edges = Seq((1L, 2L, 0.5), (2L, 1L, 0.5), (1L, 3L, 2.25), (3L, 1L, 2.25),
+      (2L, 3L, 1.0), (3L, 2L, 1.0)).toDF("src", "dst", "weight")
+    val g = graft.graph.PropertyGraph(
+      spark.range(1, 4).select(org.apache.spark.sql.functions.col("id")), edges)
+    val base = java.nio.file.Files.createTempDirectory("graft-sgwf").toString + "/frac"
+    GraphLoaders.writeMetisSubgraphs(g, parts = 1, base)
+    val back = GraphLoaders.metisSubgraph(spark, s"$base.subgraph.0")
+    val backE = back.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(backE === edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
+  test("subgraph writer refuses an empty part (reference reader errexits on it)") {
+    import spark.implicits._
+    // 2 vertices, parts=3 → at least one id-mod-parts class is empty; the
+    // reference's graph_Read rejects nvtxs<=0||nedges<=0 (graph.h:587-588),
+    // so the writer must fail loudly instead of emitting an unreadable file.
+    val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0)).toDF("src", "dst", "weight")
+    val g = graft.graph.PropertyGraph(
+      spark.range(1, 3).select(org.apache.spark.sql.functions.col("id")), edges)
+    val base = java.nio.file.Files.createTempDirectory("graft-sgwe").toString + "/empty"
+    val ex = intercept[IllegalArgumentException] {
+      GraphLoaders.writeMetisSubgraphs(g, parts = 3, base)
+    }
+    assert(ex.getMessage.contains("empty"))
   }
 
   test("integer files + SampleSort ≡ sorted concatenation (O22)") {

@@ -112,6 +112,34 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed((w1, 2L)) >= 1L)
   }
 
+  test("watchedUserRates: negative keys probe the cell the sketch incremented") {
+    import spark.implicits._
+    // A truncating % in the probe bucket read a DIFFERENT cell than the
+    // UDAF's floorMod increment for negative keys — pmod congruence fixes
+    // it; never-undercount must hold on the full Long domain.
+    val negUser = -987654321098765L
+    val data = Seq((ts(5), negUser), (ts(10), negUser), (ts(15), -7L), (ts(20), 3L))
+    val out = EventStreams.watchedUserRates(
+        data.toDF("ts", "user_id"), Seq(negUser, -7L, 3L), "1 hour")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(negUser) >= 2L, s"CMS undercounted negative key: $out")
+    assert(out(-7L) >= 1L)
+    assert(out(3L) >= 1L)
+  }
+
+  test("enrichWithDim: matched dim row with NULL first attribute is not a miss") {
+    import spark.implicits._
+    // dim_miss must come from the join marker, not from a data column:
+    // user 1's only dim attribute is legitimately NULL.
+    val dim = Seq((1L, Option.empty[String]), (2L, Some("silver")))
+      .toDF("user_id", "tier")
+    val out = EventStreams.enrichWithDim(
+        Seq((ts(5), 1L, 1.0), (ts(10), 9L, 2.0)).toDF("ts", "user_id", "value"), dim)
+      .select("user_id", "dim_miss").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(1L -> false, 9L -> true))
+  }
+
   test("enrichWithDim: stream-static join == batch join, misses flagged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
