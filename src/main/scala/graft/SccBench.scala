@@ -1,5 +1,6 @@
 package graft
 
+import graft.graph.Materialize.MaterializeOps
 import org.apache.spark.sql.functions._
 
 /** Builder-side microbench: decomposes g9_scc wall time into derivation /
@@ -27,7 +28,7 @@ object SccBench {
     }
     val verts = t("vertex set") {
       val v = de.select(col("src").as("id")).union(de.select(col("dst").as("id")))
-        .distinct().localCheckpoint(true)
+        .distinct().materialize()
       println(s"[sccbench] vertices: ${v.count()}")
       v
     }

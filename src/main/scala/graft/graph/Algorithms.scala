@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.graph.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -131,7 +132,7 @@ object GraphOps {
   def kCore(symEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val e2 = symEdges.select("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val s0 = e2.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val s0 = e2.select(col("src").as("id")).distinct().materialize()
     var surv = s0
     val snapshots = Seq.newBuilder[DataFrame]
     for (_ <- 1 to rounds) {
@@ -139,7 +140,7 @@ object GraphOps {
         .join(surv.select(col("id").as("src")), "src")
         .join(surv.select(col("id").as("dst")), "dst")
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      surv = deg.where(col("deg") >= k).select("id").localCheckpoint(true)
+      surv = deg.where(col("deg") >= k).select("id").materialize()
       snapshots += surv
     }
     val mc = snapshots.result().reduce(_ union _)
@@ -258,7 +259,7 @@ object GraphOps {
       labels = labels.join(pick, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint()
+        .materialize()
     }
     labels
   }

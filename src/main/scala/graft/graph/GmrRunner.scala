@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.graph.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -77,9 +78,14 @@ trait VertexProgram {
   *  - callers should persist `edges` (it is re-joined every superstep);
   *    [[run]] repartitions it once by `src` so the per-superstep join
   *    co-locates without re-shuffling the static side.
-  *  - vertex state is checkpointed (`localCheckpoint`) every
+  *  - vertex state is checkpointed ([[Materialize]]) every
   *    `checkpointInterval` supersteps to truncate lineage — unbounded
-  *    lineage is the classic iterative-Spark failure mode.
+  *    lineage is the classic iterative-Spark failure mode. The
+  *    durability mode is session conf: default `localCheckpoint`
+  *    (right for local[*]), `spark.graft.checkpoint.reliable=true`
+  *    switches every loop in the engine to reliable `checkpoint()`
+  *    against a checkpoint dir so executor loss cannot kill a
+  *    long-running BSP job at cluster scale.
   *  - convergence mode runs one action per superstep (inherent: BSP);
   *    fixed-iteration mode runs one action per checkpoint interval only.
   */
@@ -127,7 +133,7 @@ object GmrRunner {
     // ambiguous-self-join resolution issues.
     var state = program.initial(graph.vertices)
       .withColumn("_delta", lit(Double.MaxValue)) // everything is frontier at iter 0
-      .localCheckpoint(true)
+      .materialize()
     val staticCols = state.columns
       .filterNot(c => c == "id" || c == "value" || c == "_delta")
 
@@ -148,7 +154,7 @@ object GmrRunner {
           staticCols.map(col): _*)
       iter += 1
       val checkpointNow = convergenceCheck || iter % checkpointInterval == 0 || iter == maxIter
-      val next = if (checkpointNow) stepped.localCheckpoint(true) else stepped
+      val next = if (checkpointNow) stepped.materialize() else stepped
       if (convergenceCheck) {
         lastDelta = next.agg(max(col("_delta"))).first().getDouble(0)
         converged = lastDelta < program.tolerance

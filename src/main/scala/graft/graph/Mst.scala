@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.graph.Materialize.MaterializeOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -41,7 +42,7 @@ object Mst {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var comp = edges.select(col("src").as("id")).union(edges.select(col("dst").as("id")))
       .distinct().select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+      .materialize()
     var forest = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "weight")
     // Edges inside one component can never be picked again — merging only
     // grows components, so filtering on the current labels is sound and
@@ -54,7 +55,7 @@ object Mst {
         .join(comp.select(col("id").as("src"), col("comp").as("csrc")), "src")
         .join(comp.select(col("id").as("dst"), col("comp").as("cdst")), "dst")
         .where(col("csrc") =!= col("cdst"))
-        .localCheckpoint(true)
+        .materialize()
       liveEdges = labeled.select("src", "dst", "weight")
       // Local finish (the standard distributed-MST endgame): the
       // contracted inter-component graph shrinks geometrically per round;
@@ -75,15 +76,15 @@ object Mst {
           col("weight"), col("csrc")))
       val w = Window.partitionBy("c").orderBy(col("weight"), col("src"), col("dst"))
       val picked = cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .localCheckpoint(true)
+        .materialize()
       if (picked.isEmpty) done = true
       else {
         forest = forest.union(picked.select("src", "dst", "weight").distinct())
-          .localCheckpoint(true)
+          .materialize()
         // contract the components linked by the picked edges
         val links = picked.select(least(col("c"), col("cdst")).as("src"),
           greatest(col("c"), col("cdst")).as("dst")).distinct()
-          .localCheckpoint(true)
+          .materialize()
         val nLinks = links.count()
         val mapping =
           if (nLinks <= driverMergeLimit) driverUnionFind(links)
@@ -94,7 +95,7 @@ object Mst {
           }
         comp = comp.join(mapping, Seq("comp"), "left_outer")
           .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
-          .localCheckpoint(true)
+          .materialize()
       }
       }
       round += 1

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.graph.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -65,10 +66,10 @@ object Scc {
                        localFinishLimit: Long = 100000L): DataFrame = {
     val spark = directedEdges.sparkSession
     import spark.implicits._
-    var activeEdges = directedEdges.select(col("src"), col("dst")).localCheckpoint(true)
+    var activeEdges = directedEdges.select(col("src"), col("dst")).materialize()
     var active = activeEdges.select(col("src").as("id"))
       .union(activeEdges.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().materialize()
     var result = Seq.empty[(Long, Long)].toDF("id", "scc")
     var round = 0
     var finished = false
@@ -83,7 +84,7 @@ object Scc {
           PropertyGraph(active, activeEdges.withColumn("weight", lit(1.0))),
           ConnectedComponentsProgram).vertices
         .select(col("id"), col("value").cast("long").as("color"))
-        .localCheckpoint(true)
+        .materialize()
       val ec = activeEdges
         .join(colors.select(col("id").as("src"), col("color").as("csrc")), "src")
         .join(colors.select(col("id").as("dst"), col("color").as("cdst")), "dst")
@@ -93,18 +94,18 @@ object Scc {
       // a message join whose two sides expose the same attr ids trips the
       // analyzer's ambiguous-self-join detection.
       val rev = ec.select(col("dst").as("src"), col("src").as("dst"),
-        lit(1.0).as("weight")).localCheckpoint(true)
+        lit(1.0).as("weight")).materialize()
       val marked = GmrRunner.run(PropertyGraph(colors, rev), BackwardMark).vertices
         .select(col("id"), col("color"), col("value").isNotNull.as("m"))
-        .localCheckpoint(true)
+        .materialize()
       result = result
         .union(marked.where(col("m")).select(col("id"), col("color").as("scc")))
-        .localCheckpoint(true)
-      active = marked.where(!col("m")).select("id").localCheckpoint(true)
+        .materialize()
+      active = marked.where(!col("m")).select("id").materialize()
       activeEdges = activeEdges
         .join(active.select(col("id").as("src")), "src")
         .join(active.select(col("id").as("dst")), "dst")
-        .select("src", "dst").localCheckpoint(true)
+        .select("src", "dst").materialize()
       }
       round += 1
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.graph.Materialize.MaterializeOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -345,13 +346,13 @@ object GraphQueries {
       .select("src", "dst")
     val se = te.union(te.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verts = se.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val verts = se.select(col("src").as("id")).distinct().materialize()
     val srcs = verts.orderBy("id").limit(BcSources).select(col("id").as("q"))
     // (1) BFS distances keyed by (q, id)
     var dist = verts.crossJoin(broadcast(srcs))
       .select(col("q"), col("id"),
         when(col("id") === col("q"), lit(0L)).as("v"))
-      .localCheckpoint(true)
+      .materialize()
     for (_ <- 1 to BcDepth) {
       val m = dist.where(col("v").isNotNull)
         .join(se, dist("id") === se("src"))
@@ -359,19 +360,19 @@ object GraphQueries {
         .select(col("q"), col("dst").as("id"), col("mv"))
       dist = dist.join(m, Seq("q", "id"), "left_outer")
         .select(col("q"), col("id"), least(col("v"), col("mv")).as("v"))
-        .localCheckpoint(true)
+        .materialize()
     }
     val reached = dist.where(col("v").isNotNull)
     // (2) σ per level over the fixed distance table
     val levels = new Array[DataFrame](BcDepth + 1)
     levels(0) = reached.where(col("v") === 0)
-      .select(col("q"), col("id"), lit(1L).as("sg")).localCheckpoint(true)
+      .select(col("q"), col("id"), lit(1L).as("sg")).materialize()
     for (l <- 1 to BcDepth) {
       levels(l) = levels(l - 1).join(se, col("id") === col("src"))
         .select(col("q"), col("dst").as("id"), col("sg"))
         .join(reached.where(col("v") === l).select(col("q"), col("id")), Seq("q", "id"))
         .groupBy(col("q"), col("id")).agg(sum(col("sg")).as("sg"))
-        .localCheckpoint(true)
+        .materialize()
     }
     // (3) δ back-propagation: deepest level first, σ-ratio weights
     val deltas = new Array[DataFrame](BcDepth + 1)
@@ -389,7 +390,7 @@ object GraphQueries {
       deltas(l) = levels(l).join(contrib, Seq("q", "id"), "left_outer")
         .select(col("q"), col("id"), col("sg"),
           coalesce(col("c"), lit(0.0)).as("dl"))
-        .localCheckpoint(true)
+        .materialize()
     }
     val bc = (1 to BcDepth).map(deltas(_).select(col("id"), col("dl")))
       .reduce(_ union _)

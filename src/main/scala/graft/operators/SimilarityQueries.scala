@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.graph.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -177,7 +178,7 @@ object SimilarityQueries {
       centroids = centroids
         .join(sums, Seq("cluster", "dim"), "left_outer")
         .select(col("cluster"), col("dim"), coalesce(col("ncd"), col("cd")).as("cd"))
-        .localCheckpoint(true)
+        .materialize()
     }
     assign(centroids).orderBy("vec_id")
   }
@@ -268,7 +269,7 @@ object SimilarityQueries {
         .join(sums, Seq("sub", "cluster", "dim"), "left_outer")
         .select(col("sub"), col("cluster"), col("dim"),
           coalesce(col("ncd"), col("cd")).as("cd"))
-        .localCheckpoint(true)
+        .materialize()
     }
     val codes = assign(centroids)
     // ADC: query-to-codeword distance table, q × M × k rows — broadcast
