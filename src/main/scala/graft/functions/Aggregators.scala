@@ -174,9 +174,19 @@ object Aggregators {
     }
     override def merge(a: HllBuf, b: HllBuf): HllBuf =
       HllBuf(a.regs.lazyZip(b.regs).map(math.max))
+    /** Loglog estimate with the standard linear-counting small-range
+      * correction: below 2.5·m the raw estimator's collision-blind bias
+      * dominates, but with V empty registers the occupancy itself is a
+      * (much better) estimator — m·ln(m/V), the coupon-collector MLE.
+      * The ln here is JVM Math.log: the declarative twin embeds the SAME
+      * JVM-computed values as literals (and the DuckDB oracle as %.17g
+      * round-trip-exact literals), so all three paths stay bit-equal
+      * without trusting cross-libm ln (the no-libm gate rule). */
     override def finish(b: HllBuf): Double = {
       val invSum = b.regs.map(r => 1.0 / (1L << r).toDouble).sum
-      0.7213 / (1.0 + 1.079 / m) * m * m / invSum
+      val raw = 0.7213 / (1.0 + 1.079 / m) * m * m / invSum
+      val v = b.regs.count(_ == 0)
+      if (raw <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else raw
     }
     override def bufferEncoder: Encoder[HllBuf] = Encoders.product[HllBuf]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble

@@ -110,6 +110,20 @@ object SketchQueries {
     s"(((($km * $km) % $p) * 2654435761 + $km * 7919 + 13) % $p + $p) % $p"
   }
 
+  /** Linear-counting table for the small-range correction: entry V
+    * (1-based) = m·ln(m/V), V = number of empty registers. Generated
+    * ONCE in the JVM and shared by all three paths — the
+    * [[graft.functions.Aggregators.HllDistinct]] finish computes the
+    * same `Math.log` expression, the Spark declarative side embeds
+    * these doubles as literals, and the DuckDB oracle parses them from
+    * %.17g round-trip-exact literals — so the correction never trusts
+    * ln agreeing across libms (the no-libm gate rule). */
+  private[graft] val HllLinearTable: IndexedSeq[Double] =
+    (1 to HllM).map(v => HllM * math.log(HllM.toDouble / v))
+  private val HllLinearSqlList: String =
+    HllLinearTable.map(x => String.format(java.util.Locale.ROOT, "%.17g", Double.box(x)))
+      .mkString("[", ", ", "]")
+
   def q34HllDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
@@ -123,7 +137,11 @@ object SketchQueries {
     val g = regs.groupBy($"l_returnflag").agg(
       sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), r)").cast("double")).as("occ"),
       count(lit(1)).as("nb"))
-    val est = lit(HllAlphaM2) / ($"occ" + (lit(HllM) - $"nb").cast("double"))
+    val raw = lit(HllAlphaM2) / ($"occ" + (lit(HllM) - $"nb").cast("double"))
+    val linArr = array(HllLinearTable.map(lit): _*)
+    val est = when(raw <= lit(2.5 * HllM) && $"nb" < lit(HllM.toLong),
+        element_at(linArr, (lit(HllM) - $"nb").cast("int")))
+      .otherwise(raw)
     val exact = li.groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("n_exact"))
     g.join(exact, "l_returnflag")
@@ -277,8 +295,12 @@ object SketchQueries {
          |    sum(1.0/CAST(CAST(1 AS BIGINT) << r AS DOUBLE)) AS occ,
          |    count(*) AS nb
          |  FROM r GROUP BY l_returnflag),
+         |e0 AS (SELECT l_returnflag, nb,
+         |    $HllAlphaM2Sql/(occ + CAST($HllM - nb AS DOUBLE)) AS raw FROM g),
          |e AS (SELECT l_returnflag,
-         |    $HllAlphaM2Sql/(occ + CAST($HllM - nb AS DOUBLE)) AS est FROM g),
+         |    CASE WHEN raw <= CAST(${(2.5 * HllM).toInt} AS DOUBLE) AND nb < $HllM
+         |         THEN ($HllLinearSqlList)[CAST($HllM - nb AS INT)]
+         |         ELSE raw END AS est FROM e0),
          |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
          |  FROM lineitem GROUP BY l_returnflag)
          |SELECT e.l_returnflag, n_exact,

@@ -73,6 +73,18 @@ class SketchAndScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(e1 - 5000.0) / 5000.0 < 0.15, s"estimate $e1 too far from 5000")
   }
 
+  test("HLL linear-counting: 50 distinct lands within 5%") {
+    import spark.implicits._
+    // The raw loglog estimator reads high below ~2.5m; the linear-counting
+    // switch (m·ln(m/V) on V empty registers) must bring the small range
+    // inside 5%, matching the declarative q34 form bit-for-bit.
+    val hll = udaf(new Aggregators.HllDistinct(SketchQueries.HllM, SketchQueries.HllMaxRho))
+    val est = (1 to 500).map(i => (i % 50).toLong).toDF("k").repartition(8)
+      .select(expr(SketchQueries.hllHashSql("k")).as("h"))
+      .agg(hll($"h")).first().getDouble(0)
+    assert(math.abs(est - 50.0) / 50.0 < 0.05, s"estimate $est too far from 50")
+  }
+
   test("HLL survives out-of-domain ids (negative / overflow-range hashes)") {
     import spark.implicits._
     val hll = udaf(new Aggregators.HllDistinct(SketchQueries.HllM, SketchQueries.HllMaxRho))

@@ -74,12 +74,13 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
         (ts(70), 1L), (ts(80), 4L)).toDF("ts", "user_id"), "1 hour")
       .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
     assert(batchRows === batch)
-    // Two windows, finite positive estimates. (No accuracy band: raw HLL
-    // without the linear-counting small-range correction — skipped for
-    // libm-free determinism, see q34 — reads high at tiny cardinalities;
-    // the accuracy property is covered at 5k distinct in SketchAndScaleSpec.)
+    // Two windows; with the linear-counting small-range correction the
+    // estimates are tight even at tiny cardinalities (window 1: 3
+    // distinct users, window 2: 2).
     assert(batchRows.size === 2)
-    assert(batchRows.values.forall(v => v > 0.0 && !v.isNaN && !v.isInfinite))
+    val ests = batchRows.toSeq.sortBy(_._1.getTime).map(_._2)
+    assert(math.abs(ests.head - 3.0) < 0.5, s"window-1 estimate ${ests.head} far from 3")
+    assert(math.abs(ests(1) - 2.0) < 0.5, s"window-2 estimate ${ests(1)} far from 2")
   }
 
   test("watchedUserRates: streaming CMS across micro-batches == batch, >= exact") {
