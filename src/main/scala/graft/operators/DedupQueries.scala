@@ -48,59 +48,124 @@ object DedupQueries {
     * boilerplate/license-header shingles (endemic in web-scale training
     * data) are exactly such keys, and a single 1M-doc shingle would emit
     * 10¹² pairs into one reducer. The cap bounds per-key expansion at
-    * DfCap²; a pair whose every common shingle is capped is (by
-    * construction) boilerplate-only overlap, the standard trade. The
-    * oracle replicates the cap, so the gate stays exact. */
+    * DfCap²; pairs whose every common shingle is capped are recovered by
+    * d2's bounded hot-dominated-doc pass (see [[d2NgramJaccard]]). The
+    * oracle replicates cap and recovery, so the gate stays exact. */
   private val DfCap = 64L
 
-  /** d2: n-gram (3-word shingle) jaccard near-dup pairs over the
-    * df-capped shingle universe, blocked by language.
+  /** d2: n-gram (3-word shingle) jaccard near-dup pairs — df-capped
+    * candidate generation, a bounded recovery pass for hot-only overlap,
+    * and an exact FULL-universe jaccard verify; blocked by language.
     *
-    * Shingles with document frequency > [[DfCap]] are dropped from the
-    * shingle SETS themselves (not merely from candidate generation) —
-    * the standard boilerplate filter: a license header shared by half the
-    * corpus carries no dedup signal, and jaccard over the filtered
-    * universe is what web-scale pipelines actually rank by. With the
-    * universe capped, the inverted-index count formulation is exact
-    * again: explode, drop capped shingles (df is a map-combinable count —
-    * hot keys never materialize a posting list), self-join on the shingle
-    * hash — a high-cardinality, well-distributed key whose per-key pair
-    * expansion is bounded at DfCap² — count common shingles per pair, and
-    * derive jaccard = c / (|A|+|B|-c) from exact integer counts. Only
-    * narrow (id, lang, h) rows ever shuffle; no array payloads (an
-    * array-shipping exact-verify variant measured 4× slower at sf0.1). */
+    * Candidate generation is the inverted index with shingles of
+    * document frequency > [[DfCap]] dropped (the boilerplate filter): df
+    * is a map-combinable count — hot keys never materialize a posting
+    * list — and the self-join on the remaining shingle hash has per-key
+    * pair expansion bounded at DfCap². That alone would make a pair
+    * whose EVERY common shingle is hot invisible (round-2's documented
+    * trade). The recovery pass closes that class: a full-universe
+    * jaccard ≥ t with no uncapped common shingle forces BOTH docs to be
+    * ≥ t hot-shingled (|A∩B| ⊆ hot and |A∩B| ≥ t·|A| pigeonholes), so
+    * candidates are re-generated from hot postings restricted to
+    * hot-dominated docs (2·kept ≤ total), re-capped at DfCap within that
+    * restricted posting set. The residual invisible class — pairs whose
+    * every common shingle is hot even among hot-dominated docs — is
+    * pathological boilerplate-of-boilerplate, and d3's MinHash path
+    * (which samples the full universe uniformly) still covers it.
+    *
+    * Candidates are prefiltered with a SOUND integer bound before any
+    * array ever ships: with c = capped common count and per-doc full /
+    * hot shingle counts (ntot, nhot), full-universe common ≤ c +
+    * min(nhotA, nhotB) and union ≥ ntotA + ntotB − that, so
+    * `3·(c + min(nhot)) ≥ ntotA + ntotB` is implied by j_full ≥ 0.5 —
+    * pairs failing it are discarded on counts alone (at sf0.1 this cuts
+    * the verify set from ~290k shingle-sharing pairs to ~10²). Survivors
+    * (and every recovery candidate) are then verified with the exact
+    * jaccard over the FULL shingle sets (array intersect — the d3 verify
+    * shape, O(pairs·|set|)), so the reported jaccard is the true
+    * full-universe value, not the capped-universe surrogate. Only narrow
+    * (id, lang, h) rows shuffle in candidate generation; arrays ship
+    * only for bound-surviving candidates. */
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // Persist the exploded postings — narrow (id, lang, h) rows feeding
+    // the hot-list count, the capped index, the per-doc sizes, and the
+    // recovery postings. The full shingle ARRAYS are never cached: the
+    // exact verify re-hashes only the candidate docs (a tiny broadcast
+    // semi-join against the raw table), so the dominant hashing
+    // projection runs exactly once over the corpus.
     val sets = docs(s, d).select(col("id"), col("lang"),
         Portable.shingleHashes(col("text"), cfg.shingleWords).as("sh"))
       .where(size(col("sh")) > 0)
-    // Persist the RAW postings: they feed the hot-list count AND (via the
-    // anti-join) all three capped consumers — without the persist the doc
-    // shingle hashing (the dominant projection) runs once per consumer.
-    // Narrow (id, lang, h) rows, so the cache is tiny.
     val ex = sets.select(col("id"), col("lang"), explode(col("sh")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The cap is applied as a broadcast ANTI-join against the HOT list
-    // (shingles with df > cap): that list is small by construction —
-    // ≤ total_postings/DfCap keys — so the postings themselves never
-    // shuffle for the filter (an equi-join against the kept set would
-    // shuffle the full index a second time). The df count is a
-    // map-combinable hash aggregate, so hot keys never materialize a
-    // posting list anywhere. Downstream consumers re-run only the cheap
-    // broadcast probe over the cached postings.
-    val hot = broadcast(ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .where(col("df") > DfCap).select("h"))
+    // The df count table is cached (both the anti-join's hot list and
+    // the recovery's hot-posting join derive from it); the HOT list
+    // (df > cap) broadcasts — small by construction
+    // (≤ total_postings/DfCap keys), so the postings never shuffle for
+    // the cap filter.
+    val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = broadcast(dfc.where(col("df") > DfCap).select("h"))
     val cex = ex.join(hot, Seq("h"), "left_anti")
-    val sizes = cex.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-doc sizes over the full and capped universes; nhot = shingles
+    // the cap dropped for this doc.
+    val szs = ex.groupBy(col("id")).agg(count(lit(1)).as("ntot"))
+      .join(cex.groupBy(col("id")).agg(count(lit(1)).as("nkept")), Seq("id"), "left_outer")
+      .select(col("id"), col("ntot"),
+        (col("ntot") - coalesce(col("nkept"), lit(0L))).as("nhot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cex.as("a"); val b = cex.as("b")
     val common = a.join(b, col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
         col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("id").as("doc_a"), col("nsh").as("na")), "doc_a")
-      .join(sizes.select(col("id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+    val scored = common
+      .join(broadcast(szs.select(col("id").as("doc_a"), col("ntot").as("ta"), col("nhot").as("ha"))), "doc_a")
+      .join(broadcast(szs.select(col("id").as("doc_b"), col("ntot").as("tb"), col("nhot").as("hb"))), "doc_b")
+      .where(lit(3) * (col("c") + least(col("ha"), col("hb"))) >= col("ta") + col("tb"))
+    // When either doc lost nothing to the cap, the capped common count
+    // IS the full common count (common hot shingles would need to be hot
+    // in BOTH) — jaccard closes in integer form, no arrays:
+    val closed = scored.where(least(col("ha"), col("hb")) === 0)
       .select(col("doc_a"), col("doc_b"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")).as("j"))
+        (col("c").cast("double") / (col("ta") + col("tb") - col("c")).cast("double")).as("j"))
+    val cand1 = scored.where(least(col("ha"), col("hb")) > 0)
+      .select("doc_a", "doc_b")
+    // Recovery: hot-dominated docs (at least half the shingles capped
+    // away), hot postings restricted to them, re-capped within the
+    // restriction so per-key expansion stays ≤ DfCap².
+    val hdocs = broadcast(szs.where(col("nhot") * 2 >= col("ntot")).select("id"))
+    val hx = ex.join(hot, Seq("h")).join(hdocs, Seq("id"))
+    val hkeep = hx.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+      .where(col("dfh") <= DfCap).select("h")
+    val hxk = hx.join(hkeep, Seq("h"))
+    val ha2 = hxk.as("ha"); val hb2 = hxk.as("hb")
+    val cand2 = ha2.join(hb2, col("ha.h") === col("hb.h") && col("ha.lang") === col("hb.lang") &&
+        col("ha.id") < col("hb.id"))
+      .select(col("ha.id").as("doc_a"), col("hb.id").as("doc_b")).distinct()
+    // Exact full-universe verify on the bound survivors + recovery
+    // pairs: re-hash ONLY the candidate docs (broadcast semi-join on the
+    // raw table — the corpus is never re-hashed wholesale).
+    val cand = cand1.union(cand2).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(col("doc_a").as("id"))
+      .union(cand.select(col("doc_b").as("id"))).distinct()
+    // Raw table WITHOUT the docs() repartition: that repartition is a
+    // full shuffle of the text corpus — pointless here, where the
+    // broadcast semi-join keeps ~|cand| docs before any hashing.
+    val vsets = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text"))
+      .join(broadcast(candIds), Seq("id"))
+      .select(col("id"), Portable.shingleHashes(col("text"), cfg.shingleWords).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = size(array_intersect(col("sha"), col("shb")))
+    val j = c.cast("double") / (size(col("sha")) + size(col("shb")) - c).cast("double")
+    val verified = broadcast(cand)
+      .join(vsets.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(vsets.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), j.as("j"))
+    closed.union(verified)
       .where(col("j") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -462,19 +527,43 @@ object DedupQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d2_ngram_jaccard" ->
       s"""WITH $setsCte,
-         |ex AS (SELECT id, lang, unnest(sh) AS h FROM ne),
-         |dft AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= $DfCap),
-         |cex AS (SELECT ex.id, ex.lang, ex.h FROM ex JOIN dft ON ex.h = dft.h),
-         |szs AS (SELECT id, count(*) AS nsh FROM cex GROUP BY id),
+         |ex AS MATERIALIZED (SELECT id, lang, unnest(sh) AS h FROM ne),
+         |dfc AS MATERIALIZED (SELECT h, count(*) AS df FROM ex GROUP BY h),
+         |cex AS MATERIALIZED (SELECT ex.id, ex.lang, ex.h
+         |  FROM ex JOIN (SELECT h FROM dfc WHERE df <= $DfCap) dft ON ex.h = dft.h),
+         |tot AS (SELECT id, count(*) AS ntot FROM ex GROUP BY id),
+         |kept AS (SELECT id, count(*) AS nkept FROM cex GROUP BY id),
+         |szs AS MATERIALIZED (SELECT tot.id, ntot,
+         |    ntot - coalesce(nkept, 0) AS nhot
+         |  FROM tot LEFT JOIN kept ON tot.id = kept.id),
          |cmn AS (SELECT x.id AS doc_a, y.id AS doc_b, count(*) AS c
          |  FROM cex x JOIN cex y
          |  ON x.h = y.h AND x.lang = y.lang AND x.id < y.id
-         |  GROUP BY x.id, y.id)
-         |SELECT doc_a, doc_b,
-         |  round(CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c), 6) AS jaccard
-         |FROM cmn JOIN szs sa ON doc_a = sa.id JOIN szs sb ON doc_b = sb.id
-         |WHERE CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |  GROUP BY x.id, y.id),
+         |scored AS (SELECT doc_a, doc_b, c, sa.ntot AS ta, sb.ntot AS tb,
+         |    sa.nhot AS ha, sb.nhot AS hb
+         |  FROM cmn JOIN szs sa ON doc_a = sa.id JOIN szs sb ON doc_b = sb.id
+         |  WHERE 3 * (c + least(sa.nhot, sb.nhot)) >= sa.ntot + sb.ntot),
+         |closed AS (SELECT doc_a, doc_b,
+         |    CAST(c AS DOUBLE) / (ta + tb - c) AS j
+         |  FROM scored WHERE least(ha, hb) = 0),
+         |cand1 AS (SELECT doc_a, doc_b FROM scored WHERE least(ha, hb) > 0),
+         |hdocs AS (SELECT id FROM szs WHERE nhot * 2 >= ntot),
+         |hx AS MATERIALIZED (SELECT ex.id, ex.lang, ex.h FROM ex
+         |  JOIN (SELECT h FROM dfc WHERE df > $DfCap) hot ON ex.h = hot.h
+         |  JOIN hdocs ON ex.id = hdocs.id),
+         |hxk AS (SELECT hx.* FROM hx
+         |  JOIN (SELECT h FROM hx GROUP BY h HAVING count(*) <= $DfCap) hk
+         |  ON hx.h = hk.h),
+         |cand2 AS (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+         |  FROM hxk x JOIN hxk y
+         |  ON x.h = y.h AND x.lang = y.lang AND x.id < y.id),
+         |cand AS (SELECT doc_a, doc_b FROM cand1 UNION SELECT doc_a, doc_b FROM cand2),
+         |v AS (SELECT doc_a, doc_b, $jaccardExpr AS j
+         |  FROM cand JOIN ne a ON doc_a = a.id JOIN ne b ON doc_b = b.id),
+         |allp AS (SELECT * FROM closed UNION ALL SELECT * FROM v)
+         |SELECT doc_a, doc_b, round(j, 6) AS jaccard
+         |FROM allp WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH $lshPairsCte
          |SELECT ida AS doc_a, idb AS doc_b, round(j, 6) AS jaccard

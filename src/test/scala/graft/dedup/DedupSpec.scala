@@ -108,6 +108,30 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded.toSeq === Seq((1L, 2L)))
   }
 
+  test("d2 recovery: a pair sharing ONLY hot shingles is still found") {
+    import spark.implicits._
+    // Corpus: 70 docs all containing the same boilerplate header (every
+    // boilerplate shingle has df=70 > DfCap=64 → hot). Docs 1 and 2 are
+    // the bare boilerplate (jaccard 1.0, every common shingle hot — the
+    // class the df-cap alone makes invisible); docs 3..70 append a long
+    // unique tail so they are NOT hot-dominated and stay out of the
+    // recovery restriction.
+    val boiler = (1 to 12).map(i => s"license term$i common header").mkString(" ")
+    val rows = Seq((1L, "en", boiler), (2L, "en", boiler)) ++
+      (3 to 70).map { i =>
+        (i.toLong, "en",
+          boiler + " " + (1 to 60).map(w => s"unique${i}word$w").mkString(" "))
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-d2rec").toString
+    rows.toDF("doc_id", "lang", "text").withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.DedupQueries.d2NgramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 },
+      s"hot-only pair (1,2) not recovered: ${out.mkString(", ")}")
+  }
+
   test("d6 clusters: canonical assignment is the transitive closure of d3 pairs") {
     import graft.operators.DedupQueries
     val d = "/root/testdata/sf0.001"
