@@ -43,10 +43,51 @@ object StreamingQueries {
         col("event_id").as("first_event_id"), col("n_in_group"))
       .orderBy("user_id", "event_type", "minute")
 
+  /** q38: stream-static dimension enrichment (the
+    * [[EventStreams.enrichWithDim]] face, batch form — streaming
+    * execution with a broadcast dim re-resolved per micro-batch is
+    * covered in EventStreamsSpec). The dim is the customer table
+    * restricted to custkey < 100 (a deliberately partial dim: events
+    * from users 100+ exercise the dim_miss marker), and the enriched
+    * stream is rolled up per (user, segment) — the join itself is the
+    * stateless broadcast enrich, the rollup keeps the gate output
+    * compact. */
+  def q38EnrichDim(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d).where(col("c_custkey") < 100)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    EventStreams.enrichWithDim(Tables.events(s, d), dim)
+      .groupBy(col("user_id"), col("c_mktsegment").as("segment"), col("dim_miss"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  /** q39 watchlist: a fixed set of watched users plus one id absent from
+    * the stream (its estimate is whatever its cells collided into —
+    * deterministic, oracle-replicated; CMS answers point queries, it
+    * does not enumerate keys). */
+  private[operators] val WatchList: Seq[Long] = (0L to 9L) :+ 9000L
+
+  /** q39: per-hour-window approximate event rates for the watchlist via
+    * the mergeable Count-Min sketch (the [[EventStreams.watchedUserRates]]
+    * face, batch form — micro-batch counter merging through the state
+    * store is covered in EventStreamsSpec). Per-window state is one d·w
+    * counter buffer regardless of user cardinality; the probe is a
+    * post-aggregation projection, so the watchlist can change without
+    * touching state. The oracle rebuilds the identical counter tables
+    * per window declaratively (the q35 machinery, windowed). */
+  def q39WatchRates(s: SparkSession, d: String): DataFrame =
+    EventStreams.watchedUserRates(Tables.events(s, d), WatchList, "1 hour")
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("user_id"), col("approx_events"))
+      .orderBy("window_start", "user_id")
+
   val queries: Map[String, Q] = Map(
     "q17_sessions" -> q17Sessions,
     "q18_windowed_stats" -> q18WindowedStats,
-    "q28_stream_dedup" -> q28StreamDedup)
+    "q28_stream_dedup" -> q28StreamDedup,
+    "q38_enrich_dim" -> q38EnrichDim,
+    "q39_watch_rates" -> q39WatchRates)
 
   val oracle: Map[String, String] = Map(
     "q17_sessions" ->
@@ -71,5 +112,40 @@ object StreamingQueries {
         |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
         |  min(event_id) AS first_event_id, count(*) AS n_in_group
         |FROM events GROUP BY user_id, event_type, date_trunc('minute', ts)
-        |ORDER BY user_id, event_type, minute""".stripMargin)
+        |ORDER BY user_id, event_type, minute""".stripMargin,
+    "q38_enrich_dim" ->
+      """WITH dim AS (SELECT c_custkey AS user_id, c_mktsegment FROM customer
+        |  WHERE c_custkey < 100),
+        |e AS (SELECT ev.user_id, dim.c_mktsegment AS segment,
+        |    dim.user_id IS NULL AS dim_miss, ev.value
+        |  FROM events ev LEFT JOIN dim ON ev.user_id = dim.user_id)
+        |SELECT user_id, segment, dim_miss,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM e GROUP BY user_id, segment, dim_miss ORDER BY user_id""".stripMargin,
+    "q39_watch_rates" -> {
+      import SketchQueries.{CmsA, CmsD, CmsW, cmsB}
+      val p = graft.functions.Portable.P
+      val rowsCte = (0 until CmsD).map(r =>
+        s"SELECT $r AS r, ${CmsA(r)} AS a, ${cmsB(r)} AS b").mkString(" UNION ALL ")
+      val watchCte = StreamingQueries.WatchList
+        .map(u => s"SELECT CAST($u AS BIGINT) AS user_id").mkString(" UNION ALL ")
+      // Plain % == the Spark side's pmod for these non-negative keys.
+      val bucket = s"(((user_id % $p) * a + b) % $p) % $CmsW"
+      s"""WITH rows AS ($rowsCte),
+         |watch AS ($watchCte),
+         |we AS (SELECT date_trunc('hour', ts) AS w, user_id FROM events),
+         |pr AS (SELECT w, user_id, r, $bucket AS bucket FROM we, rows),
+         |ctr AS (SELECT w, r, bucket, count(*) AS cnt
+         |  FROM pr GROUP BY w, r, bucket),
+         |prb AS (SELECT wins.w, watch.user_id, r, $bucket AS bucket
+         |  FROM (SELECT DISTINCT w FROM we) wins, watch, rows),
+         |est AS (SELECT prb.w, prb.user_id,
+         |    min(coalesce(ctr.cnt, 0)) AS approx_events
+         |  FROM prb LEFT JOIN ctr
+         |  ON prb.w = ctr.w AND prb.r = ctr.r AND prb.bucket = ctr.bucket
+         |  GROUP BY prb.w, prb.user_id)
+         |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |  user_id, approx_events
+         |FROM est ORDER BY window_start, user_id""".stripMargin
+    })
 }
