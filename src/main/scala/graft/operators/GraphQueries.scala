@@ -363,16 +363,23 @@ object GraphQueries {
         .materialize()
     }
     val reached = dist.where(col("v").isNotNull)
+    // The BFS above MUST materialize every step (dist references itself
+    // twice per relaxation — a lazy chain is a 2^k recompute tree). The
+    // σ and δ chains below are linear, so a sparser checkpoint cadence is
+    // SEMANTICALLY safe — but measured SLOWER: every level is referenced
+    // 2-3× downstream (σ step l+1, δ contrib, δ join, final union), and
+    // at cadence 3 the re-evaluated join segments cost 13.0 s vs 5.8 s
+    // per-level at sf0.1. Per-level it stays.
+    def mat(df: DataFrame, l: Int): DataFrame = { val _ = l; df.materialize() }
     // (2) σ per level over the fixed distance table
     val levels = new Array[DataFrame](BcDepth + 1)
     levels(0) = reached.where(col("v") === 0)
       .select(col("q"), col("id"), lit(1L).as("sg")).materialize()
     for (l <- 1 to BcDepth) {
-      levels(l) = levels(l - 1).join(se, col("id") === col("src"))
+      levels(l) = mat(levels(l - 1).join(se, col("id") === col("src"))
         .select(col("q"), col("dst").as("id"), col("sg"))
         .join(reached.where(col("v") === l).select(col("q"), col("id")), Seq("q", "id"))
-        .groupBy(col("q"), col("id")).agg(sum(col("sg")).as("sg"))
-        .materialize()
+        .groupBy(col("q"), col("id")).agg(sum(col("sg")).as("sg")), l)
     }
     // (3) δ back-propagation: deepest level first, σ-ratio weights
     val deltas = new Array[DataFrame](BcDepth + 1)
@@ -387,10 +394,9 @@ object GraphQueries {
         .groupBy(col("q"), col("id"))
         .agg(sum(col("sg").cast("double") / col("wsg") * (lit(1.0) + col("wdl")))
           .as("c"))
-      deltas(l) = levels(l).join(contrib, Seq("q", "id"), "left_outer")
+      deltas(l) = mat(levels(l).join(contrib, Seq("q", "id"), "left_outer")
         .select(col("q"), col("id"), col("sg"),
-          coalesce(col("c"), lit(0.0)).as("dl"))
-        .materialize()
+          coalesce(col("c"), lit(0.0)).as("dl")), l)
     }
     val bc = (1 to BcDepth).map(deltas(_).select(col("id"), col("dl")))
       .reduce(_ union _)
