@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builder-side scale probe (VERDICT r5 item 7): measure the growth
+  * curve of the bucketed designs from sf0.1 to a synthetic sf1.
+  *
+  * sf1 inputs are derived from the driver's sf0.1 tables by 10×
+  * replication with id offsets; each document copy is prefixed with a
+  * distinct copy token so near-dup structure repeats per copy instead
+  * of collapsing into 10-way duplicate groups (which would measure an
+  * unrepresentative quadratic blowup *inside* dup groups, not the
+  * pipeline's scaling). Lineitem copies offset both orderkey and
+  * partkey, giving 10 disjoint co-purchase graphs — linear vertex/edge
+  * growth. This is a TIMING probe, not a correctness gate: outputs are
+  * only counted.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.GScale"
+  * Prints per-query seconds at sf0.1 and sf1 and the ratio; near-linear
+  * (≤ ~12× for 10× data on a fixed 32-thread box) is the pass bar.
+  */
+object GScale {
+
+  private val Copies = 10
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.core.GraftSession.get(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val big = s"${sys.props("user.dir")}/target/graft_scale/sf1"
+
+    def replicate(table: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val out = s"$big/$table.parquet"
+      if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+        val src = spark.read.parquet(s"$base/$table.parquet")
+        (0 until Copies).map(k => f(src, k)).reduce(_ union _)
+          .write.mode("overwrite").parquet(out)
+      }
+    }
+    // documents: offset ids, tag texts per copy (keeps intra-copy
+    // near-dup structure; copies never near-match each other).
+    replicate("documents", (df, k) => df
+      .withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+      .withColumn("text", concat(lit(s"copytag$k "), col("text"))))
+    // embeddings: offset vec ids (vectors repeat — ANN ties break by id).
+    replicate("embeddings", (df, k) => df
+      .withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
+    // lineitem: offset order+part keys → 10 disjoint co-purchase graphs.
+    replicate("lineitem", (df, k) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+      .withColumn("l_partkey", col("l_partkey") + lit(k * 10000000L)))
+
+    val probes = Seq("d3_minhash_lsh", "d4_simhash", "d9_bloom_decontaminate",
+      "g1_pagerank", "s6_ann_pq")
+    def run(dir: String, name: String): Double = {
+      spark.sqlContext.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[gscale] ${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s  ratio")
+    probes.foreach { name =>
+      val tSmall = run(base, name)
+      val tBig = run(big, name)
+      println(f"[gscale] $name%-24s $tSmall%8.2f $tBig%8.2f  ${tBig / tSmall}%5.2f")
+    }
+    spark.stop()
+  }
+}
