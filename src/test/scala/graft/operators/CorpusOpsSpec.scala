@@ -28,12 +28,16 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("g13 link prediction matches a local common-neighbor reference") {
+    val allPairs = GraphQueries.partPairsMaterialized(spark, sf)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
     val te = GraphQueries.partPairsMaterialized(spark, sf)
       .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
     val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
     te.foreach { case (a, b) => adj(a) += b; adj(b) += a }
-    val edgeSet = te.toSet
+    // "Existing link" = adjacency at ANY co-purchase weight, not just the
+    // strong ties the wedges run on.
+    val edgeSet = allPairs.toSet
     val deg = adj.view.mapValues(_.size.toLong).toMap
     val expected = (for {
       (a, na) <- adj.toSeq
