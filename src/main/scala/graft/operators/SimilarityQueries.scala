@@ -241,7 +241,11 @@ object SimilarityQueries {
     * ranking is the bounded [[graft.functions.Aggregators.BottomK]]
     * heap — O(k) state per query with map-side partial merge, where the
     * `row_number` form would sort all N approx distances per query. */
-  def s6AnnPq(s: SparkSession, d: String): DataFrame = {
+  /** Shared PQ training (s6 and s7): returns the exploded integer
+    * micro-unit frame (persisted — both consumers re-join it), the
+    * per-(vec, sub) code table, and the trained centroids. Assignment is
+    * the `min(struct)` argmin (hash aggregate, never a window sort). */
+  private def pqModel(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val q = Tables.embeddings(s, d).select(col("vec_id"),
         posexplode(transform(col("embedding"),
           x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")))
@@ -271,20 +275,22 @@ object SimilarityQueries {
           coalesce(col("ncd"), col("cd")).as("cd"))
         .materialize()
     }
-    val codes = assign(centroids)
-    // ADC: query-to-codeword distance table, q × M × k rows — broadcast
-    val dq = q.where(col("vec_id") < NQueryVecs)
+    (q, assign(centroids), centroids)
+  }
+
+  /** ADC table: query-to-codeword distance per (query, sub, cluster) —
+    * q × M × k rows, tiny by construction, broadcast by the callers. */
+  private def pqAdcTable(q: DataFrame, centroids: DataFrame): DataFrame =
+    q.where(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("dim"), col("qd").as("pq"))
       .join(broadcast(centroids.drop("sub")), "dim")
       .withColumn("sub", expr(s"dim DIV $PqSubDims"))
       .groupBy(col("query_id"), col("sub"), col("cluster"))
       .agg(sum((col("pq") - col("cd")) * (col("pq") - col("cd"))).as("pd2"))
-    val approx = codes.join(broadcast(dq), Seq("sub", "cluster"))
-      .where(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd2")).as("approx_d2"))
-    // Bounded top-k heap per query (O(k) state, map-side merge) — never a
-    // full per-query sort of the N approx distances.
+
+  /** Bounded top-k heap per query (O(k) state, map-side merge) — never a
+    * full per-query sort of the candidate approx distances. */
+  private def bottomKRank(approx: DataFrame): DataFrame = {
     val topk = udaf(new graft.functions.Aggregators.BottomK(TopK),
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
@@ -296,13 +302,66 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  def s6AnnPq(s: SparkSession, d: String): DataFrame = {
+    val (q, codes, centroids) = pqModel(s, d)
+    val approx = codes.join(broadcast(pqAdcTable(q, centroids)), Seq("sub", "cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("approx_d2"))
+    bottomKRank(approx)
+  }
+
+  /** s7: IVF-PQ — the two index legs composed, which is the production
+    * 100 TB ANN shape (FAISS-style IVF,PQ): the s3 coarse quantizer
+    * restricts each query to its nprobe=2 nearest cells, and within the
+    * probed cells distance is the s6 ADC sum over PQ codes. Query time
+    * touches (a) the broadcast anchor table, (b) the cell-assignment and
+    * code tables — M small ints per vector, equi-joined on cell so a
+    * cell-partitioned layout prunes everything unprobed — and (c) the
+    * broadcast q×M×k ADC table. The embedding column is never read at
+    * query time, and no stage ranks more than the probed cells'
+    * candidates (final ranking is the bounded [[bottomKRank]] heap).
+    * Index-build (cell assignment + codebook training) reads the full
+    * vectors once — the standard offline/online split. The per-vector
+    * cell argmin is a row_number window over the broadcast anchor list
+    * (nlist rows per vector — bounded by the anchor count, not the
+    * corpus; the s3 shape). */
+  def s7AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    // IVF leg (the s3 coarse quantizer, verbatim semantics)
+    val n = vecsWithNorm(s, d)
+    val aw = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val anchors = broadcast(
+      n.withColumn("arn", row_number().over(aw)).where(col("arn") === 1)
+        .select(col("label").cast("long").as("anchor_id"),
+          col("v").as("av"), col("nrm").as("an")))
+    def cosToAnchor = cosine(col("v"), col("av"), col("nrm"), col("an"))
+    val cellW = Window.partitionBy(col("vec_id"))
+      .orderBy(cosToAnchor.desc, col("anchor_id"))
+    val cells = n.crossJoin(anchors)
+      .withColumn("crn", row_number().over(cellW)).where(col("crn") === 1)
+      .select(col("vec_id"), col("anchor_id").as("cell"))
+    val probes = n.where(col("vec_id") < NQueryVecs).crossJoin(anchors)
+      .withColumn("prn", row_number().over(cellW)).where(col("prn") <= 2)
+      .select(col("vec_id").as("query_id"), col("anchor_id").as("cell"))
+    // PQ leg + ADC over probed cells only
+    val (q, codes, centroids) = pqModel(s, d)
+    val approx = codes.join(cells, "vec_id")
+      .join(probes, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(pqAdcTable(q, centroids)), Seq("query_id", "sub", "cluster"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("approx_d2"))
+    bottomKRank(approx)
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_ann_bruteforce" -> s1AnnBruteforce,
     "s2_ann_lsh" -> s2AnnLsh,
     "s3_ann_ivf" -> s3AnnIvf,
     "s4_kmeans" -> s4Kmeans,
     "s5_quantize" -> s5Quantize,
-    "s6_ann_pq" -> s6AnnPq)
+    "s6_ann_pq" -> s6AnnPq,
+    "s7_ann_ivfpq" -> s7AnnIvfPq)
 
   // ---- DuckDB oracles ----
 
@@ -336,6 +395,42 @@ object SimilarityQueries {
     s"""e AS (SELECT vec_id, label,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |n AS (SELECT vec_id, label, v, $sqlNorm AS nrm FROM e)""".stripMargin
+
+  /** PQ training CTE chain (shared by the s6 and s7 oracles): integer
+    * micro-unit frame `q`, [[KmIters]] unrolled Lloyd rounds per (sub,
+    * cluster), the `codes` table, and the `dq` ADC distance table. */
+  private val pqTrainCtes: String = {
+    def assignCte(name: String, c: String) =
+      s"""$name AS (SELECT vec_id, sub, cluster FROM (
+         |  SELECT q.vec_id, q.sub, c.cluster,
+         |    row_number() OVER (PARTITION BY q.vec_id, q.sub
+         |      ORDER BY sum((q.qd - c.cd) * (q.qd - c.cd)), c.cluster) AS rn
+         |  FROM q JOIN $c c ON q.dim = c.dim
+         |  GROUP BY q.vec_id, q.sub, c.cluster) WHERE rn = 1)""".stripMargin
+    def updateCte(name: String, a: String, prev: String) =
+      s"""$name AS (SELECT p.sub, p.cluster, p.dim, coalesce(n.ncd, p.cd) AS cd
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.sub, a.cluster, q.dim,
+         |      CAST(sum(q.qd) AS BIGINT) // count(*) AS ncd
+         |    FROM q JOIN $a a ON q.vec_id = a.vec_id AND q.sub = a.sub
+         |    GROUP BY a.sub, a.cluster, q.dim) n
+         |  ON p.sub = n.sub AND p.cluster = n.cluster AND p.dim = n.dim)""".stripMargin
+    val rounds = (1 to KmIters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""q AS MATERIALIZED (SELECT vec_id, u.pos - 1 AS dim,
+       |    (u.pos - 1) // $PqSubDims AS sub,
+       |    CAST(round((CAST(u.x AS DOUBLE) + 1.0) * $QScale) AS BIGINT) AS qd
+       |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS x,
+       |    generate_subscripts(embedding, 1) AS pos) u),
+       |c0 AS (SELECT sub, vec_id AS cluster, dim, qd AS cd FROM q WHERE vec_id < $KmK),
+       |$rounds,
+       |${assignCte("codes", s"c$KmIters")},
+       |dq AS MATERIALIZED (SELECT p.vec_id AS query_id, c.sub, c.cluster,
+       |    CAST(sum((p.qd - c.cd) * (p.qd - c.cd)) AS BIGINT) AS pd2
+       |  FROM q p JOIN c$KmIters c ON p.dim = c.dim WHERE p.vec_id < $NQueryVecs
+       |  GROUP BY p.vec_id, c.sub, c.cluster)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "s1_ann_bruteforce" ->
@@ -413,37 +508,8 @@ object SimilarityQueries {
          |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2
          |FROM aout ORDER BY vec_id""".stripMargin
     },
-    "s6_ann_pq" -> {
-      def assignCte(name: String, c: String) =
-        s"""$name AS (SELECT vec_id, sub, cluster FROM (
-           |  SELECT q.vec_id, q.sub, c.cluster,
-           |    row_number() OVER (PARTITION BY q.vec_id, q.sub
-           |      ORDER BY sum((q.qd - c.cd) * (q.qd - c.cd)), c.cluster) AS rn
-           |  FROM q JOIN $c c ON q.dim = c.dim
-           |  GROUP BY q.vec_id, q.sub, c.cluster) WHERE rn = 1)""".stripMargin
-      def updateCte(name: String, a: String, prev: String) =
-        s"""$name AS (SELECT p.sub, p.cluster, p.dim, coalesce(n.ncd, p.cd) AS cd
-           |  FROM $prev p LEFT JOIN (
-           |    SELECT a.sub, a.cluster, q.dim,
-           |      CAST(sum(q.qd) AS BIGINT) // count(*) AS ncd
-           |    FROM q JOIN $a a ON q.vec_id = a.vec_id AND q.sub = a.sub
-           |    GROUP BY a.sub, a.cluster, q.dim) n
-           |  ON p.sub = n.sub AND p.cluster = n.cluster AND p.dim = n.dim)""".stripMargin
-      val rounds = (1 to KmIters).map { i =>
-        assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i", s"c${i - 1}")
-      }.mkString(",\n")
-      s"""WITH q AS (SELECT vec_id, u.pos - 1 AS dim,
-         |    (u.pos - 1) // $PqSubDims AS sub,
-         |    CAST(round((CAST(u.x AS DOUBLE) + 1.0) * $QScale) AS BIGINT) AS qd
-         |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS x,
-         |    generate_subscripts(embedding, 1) AS pos) u),
-         |c0 AS (SELECT sub, vec_id AS cluster, dim, qd AS cd FROM q WHERE vec_id < $KmK),
-         |$rounds,
-         |${assignCte("codes", s"c$KmIters")},
-         |dq AS (SELECT p.vec_id AS query_id, c.sub, c.cluster,
-         |    CAST(sum((p.qd - c.cd) * (p.qd - c.cd)) AS BIGINT) AS pd2
-         |  FROM q p JOIN c$KmIters c ON p.dim = c.dim WHERE p.vec_id < $NQueryVecs
-         |  GROUP BY p.vec_id, c.sub, c.cluster),
+    "s6_ann_pq" ->
+      s"""WITH $pqTrainCtes,
          |ad AS (SELECT dq.query_id, k.vec_id AS neighbor_id,
          |    CAST(sum(pd2) AS BIGINT) AS approx_d2
          |  FROM codes k JOIN dq ON k.sub = dq.sub AND k.cluster = dq.cluster
@@ -452,8 +518,34 @@ object SimilarityQueries {
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |  ORDER BY approx_d2, neighbor_id) AS rank FROM ad)
          |SELECT query_id, neighbor_id, approx_d2, rank
-         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
-    },
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "s7_ann_ivfpq" ->
+      s"""WITH $baseCte,
+         |aw AS (SELECT label, vec_id, v, nrm,
+         |  row_number() OVER (PARTITION BY label ORDER BY vec_id) AS arn FROM n),
+         |anchors AS (SELECT CAST(label AS BIGINT) AS anchor_id, v AS av, nrm AS an
+         |  FROM aw WHERE arn = 1),
+         |asg AS (SELECT vec_id, anchor_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${sqlCosGen("v", "av", "nrm", "an")} DESC, anchor_id) AS crn
+         |  FROM n CROSS JOIN anchors),
+         |cells AS MATERIALIZED (SELECT vec_id, anchor_id AS cell FROM asg WHERE crn = 1),
+         |probes AS MATERIALIZED (SELECT vec_id AS query_id, anchor_id AS cell
+         |  FROM asg WHERE vec_id < $NQueryVecs AND crn <= 2),
+         |$pqTrainCtes,
+         |ad AS (SELECT dq.query_id, k.vec_id AS neighbor_id,
+         |    CAST(sum(pd2) AS BIGINT) AS approx_d2
+         |  FROM codes k
+         |  JOIN cells ON k.vec_id = cells.vec_id
+         |  JOIN probes ON probes.cell = cells.cell
+         |  JOIN dq ON dq.query_id = probes.query_id
+         |         AND k.sub = dq.sub AND k.cluster = dq.cluster
+         |  WHERE k.vec_id != probes.query_id
+         |  GROUP BY dq.query_id, k.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY approx_d2, neighbor_id) AS rank FROM ad)
+         |SELECT query_id, neighbor_id, approx_d2, rank
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "s5_quantize" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

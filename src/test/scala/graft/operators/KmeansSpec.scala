@@ -86,6 +86,27 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.15, s"PQ recall@10 $recall below floor")
   }
 
+  test("IVF-PQ (s7) agrees with PQ (s6) on shared pairs and respects probing") {
+    import org.apache.spark.sql.functions._
+    // s7 = s6's ADC distances restricted to each query's nprobe=2 cells:
+    // any (query, neighbor) present in BOTH top-10s must carry the same
+    // approx_d2 (same codes, same ADC table), and s7's per-query ranks
+    // must be a dense 1..k sequence.
+    val s6r = SimilarityQueries.s6AnnPq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val s7rows = SimilarityQueries.s7AnnIvfPq(spark, d).collect()
+    assert(s7rows.nonEmpty)
+    s7rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      s6r.get(key).foreach(d6 => assert(d6 === r.getLong(2),
+        s"ADC distance mismatch for $key"))
+    }
+    s7rows.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to rows.length).toSeq,
+        s"query $q ranks not dense")
+    }
+  }
+
   test("seed vectors stay closest to their own cluster's centroid line") {
     // vec 0..3 seed the clusters; after 2 Lloyd rounds each seed's d2 to
     // its assigned centroid is no larger than to any other (argmin law,

@@ -25,6 +25,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d4_simhash",        // fingerprint × 3 band ids (dedup/SimHash.bandedPairs)
     "s1_ann_bruteforce", // corpus × 5 broadcast probe vectors (deliberate baseline)
     "s3_ann_ivf",        // vectors × broadcast anchor cells
+    "s7_ann_ivfpq",      // same broadcast anchor cross join (IVF leg, index build)
     "t5_tfidf")          // tf × broadcast n_docs scalar
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
