@@ -20,6 +20,7 @@ object GraftExtensions {
     ("graft_char_hash", classOf[CharPolyHash], es => CharPolyHash(es.head)),
     ("graft_shingle_hashes", classOf[ShingleHashes], es => ShingleHashes(es(0), es(1))),
     ("graft_word_hashes", classOf[WordHashes], es => WordHashes(es.head)),
+    ("graft_span_hashes", classOf[SpanHashes], es => SpanHashes(es(0), es(1))),
     ("graft_rep_stats", classOf[RepStats], es => RepStats(es.head)),
     ("graft_minhash_bands", classOf[MinHashBandSigs], es => MinHashBandSigs(es(0), es(1), es(2))),
     ("graft_simhash", classOf[SimHashFp], es => SimHashFp(es.head)),

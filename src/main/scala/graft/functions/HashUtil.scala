@@ -105,6 +105,25 @@ object HashUtil {
     new GenericArrayData(if (m == nSh) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** Per-position k-word span hashes (NOT distinct, position order —
+    * the duplicate-span detection primitive; [[shingleHashes]] minus the
+    * dedup). Same verbatim-substring property: each span hash folds
+    * directly over the original text bytes. */
+  def spanHashes(s: UTF8String, k: Int): ArrayData = {
+    val b = s.getBytes
+    val bounds = wordBounds(b)
+    val nWords = bounds.length / 2
+    if (nWords < k) return new GenericArrayData(Array.emptyLongArray)
+    val nSh = nWords - k + 1
+    val out = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      out(i) = hashRange(b, bounds(2 * i), bounds(2 * (i + k - 1) + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-word polynomial hashes (not distinct, document order). */
   def wordHashes(s: UTF8String): ArrayData = {
     val b = s.getBytes

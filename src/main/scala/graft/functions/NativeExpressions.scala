@@ -49,6 +49,21 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_span_hashes(text, k)` → ARRAY<BIGINT>: per-position k-word
+  * span hashes, NOT distinct ([[ShingleHashes]] minus the dedup) — the
+  * duplicate-span detection primitive (d11). */
+case class SpanHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_span_hashes"
+  override protected def nullSafeEval(t: Any, k: Any): Any =
+    HashUtil.spanHashes(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.functions.HashUtil.spanHashes($t, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SpanHashes =
+    copy(left = l, right = r)
+}
+
 /** `graft_rep_stats(text)` → ARRAY<BIGINT>: one-pass repetition stats
   * [n_words, top_word_count, n_distinct_words, top_bigram_count,
   * n_bigrams] (see [[HashUtil.repStats]]). */

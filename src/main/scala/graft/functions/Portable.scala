@@ -62,6 +62,11 @@ object Portable {
   def shingleHashes(text: Column, k: Int): Column =
     call_function("graft_shingle_hashes", text, lit(k))
 
+  /** Per-position k-word span hashes (position order, NOT distinct) —
+    * native kernel; the duplicate-span primitive. */
+  def spanHashes(text: Column, k: Int): Column =
+    call_function("graft_span_hashes", text, lit(k))
+
   /** Per-word hashes (document order, not distinct) — native kernel. */
   def wordHashes(text: Column): Column = call_function("graft_word_hashes", text)
 

@@ -435,7 +435,44 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d11 span length: 8-word windows — long enough that natural-language
+    * collisions are rare, short enough to catch partial boilerplate. */
+  private val SpanK = 8
+
+  /** d11: duplicate-span detection — "what fraction of each document is
+    * verbatim-duplicated somewhere else in the corpus" (the
+    * exact-substring dedup diagnostic of Lee et al.'s "Deduplicating
+    * Training Data Makes Language Models Better", re-expressed
+    * relationally): hash every [[SpanK]]-word window of every doc (one
+    * native-kernel projection, O(tokens) rows of narrow (id, h)), mark a
+    * span hash cross-doc-duplicated iff `min(doc) != max(doc)` — an
+    * O(1)-state map-combinable aggregate, where a count-distinct would
+    * shuffle every (hash, doc) pair — and per doc report total spans,
+    * duplicated spans, and the duplicated fraction. No pair expansion
+    * anywhere: membership, not joins-per-pair, so a million-way
+    * duplicated license header costs one aggregate row, and at 100 TB
+    * the whole query is two map-combinable aggregates and one equi
+    * semi-join. */
+  def d11DupSpans(s: SparkSession, d: String): DataFrame = {
+    val spans = docs(s, d).select(col("id"),
+        explode(Portable.spanHashes(col("text"), SpanK)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = spans.groupBy(col("h"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .where(col("mn") =!= col("mx")).select("h")
+    val tot = spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
+    val dupPer = spans.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("dup_spans"))
+    tot.join(dupPer, Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
+          col("n_spans").cast("double"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d11_dup_spans" -> d11DupSpans,
     "d1_exact_dedup" -> d1Exact,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d3_minhash_lsh" -> d3MinhashLsh,
@@ -520,6 +557,23 @@ object DedupQueries {
          |  draw, draw < keep_pct AS kept
          |FROM dr JOIN rates ON dr.source = rates.source
          |ORDER BY doc_id""".stripMargin,
+    "d11_dup_spans" -> {
+      val gram = (0 until 8).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+      s"""WITH wd AS (SELECT doc_id AS id, string_split(text, ' ') AS words FROM documents),
+         |sp AS MATERIALIZED (SELECT id,
+         |    unnest(list_transform(range(1, greatest(len(words)-7, 0)+1),
+         |      i -> ${sqlCharHash("gramexpr")})) AS h
+         |  FROM wd),
+         |dup AS (SELECT h FROM sp GROUP BY h HAVING min(id) != max(id)),
+         |tot AS (SELECT id, count(*) AS n_spans FROM sp GROUP BY id),
+         |dp AS (SELECT id, count(*) AS dup_spans
+         |  FROM sp JOIN dup USING (h) GROUP BY id)
+         |SELECT tot.id AS doc_id, n_spans,
+         |  coalesce(dup_spans, 0) AS dup_spans,
+         |  round(CAST(coalesce(dup_spans, 0) AS DOUBLE) / n_spans, 6) AS dup_frac
+         |FROM tot LEFT JOIN dp ON tot.id = dp.id
+         |ORDER BY doc_id""".stripMargin.replace("gramexpr", gram)
+    },
     "d1_exact_dedup" ->
       """SELECT doc_id, sha256(text) AS text_sha,
         |  min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,

@@ -132,6 +132,31 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hot-only pair (1,2) not recovered: ${out.mkString(", ")}")
   }
 
+  test("d11: planted duplicate span is found, unique text is not") {
+    import spark.implicits._
+    // Docs 1 and 2 share one verbatim 10-word passage (3 duplicated
+    // 8-word spans each: start offsets 0,1,2 of the passage); doc 3 is
+    // fully unique; doc 4 repeats a span WITHIN itself only (not
+    // cross-doc -> not duplicated).
+    val passage = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val selfRep = (1 to 8).map(i => s"rep$i").mkString(" ")
+    val rows = Seq(
+      (1L, "en", passage + " " + (1 to 20).map(i => s"onea$i").mkString(" ")),
+      (2L, "en", (1 to 20).map(i => s"twoa$i").mkString(" ") + " " + passage),
+      (3L, "en", (1 to 30).map(i => s"uniq$i").mkString(" ")),
+      (4L, "en", selfRep + " " + selfRep))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d11").toString
+    rows.toDF("doc_id", "lang", "text").withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.DedupQueries.d11DupSpans(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._2 === 3L, s"doc 1 dup spans: ${out(1L)}")
+    assert(out(2L)._2 === 3L, s"doc 2 dup spans: ${out(2L)}")
+    assert(out(3L)._2 === 0L, "unique doc must have zero duplicated spans")
+    assert(out(4L)._2 === 0L, "within-doc repetition is not cross-doc duplication")
+  }
+
   test("d6 clusters: canonical assignment is the transitive closure of d3 pairs") {
     import graft.operators.DedupQueries
     val d = "/root/testdata/sf0.001"
