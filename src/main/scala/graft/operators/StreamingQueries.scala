@@ -82,12 +82,34 @@ object StreamingQueries {
         col("user_id"), col("approx_events"))
       .orderBy("window_start", "user_id")
 
+  /** q40: stream-stream interval join (the [[EventStreams.clickAfterView]]
+    * face, batch form — dual-watermark streaming execution with
+    * two-sided state expiry is covered in EventStreamsSpec): every
+    * (click, view) pair by the same user where the view happened at or
+    * up to 2 hours before the click. Timestamps are emitted as epoch
+    * MICROSECONDS (BIGINT) — the events feed is µs-granular on both
+    * engines, so the integer form sidesteps fraction-format pitfalls
+    * entirely. */
+  def q40ClickAfterView(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val joined = EventStreams.clickAfterView(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "view"),
+      horizon = "2 hours")
+    joined.select(col("user_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        unix_micros(col("v_ts")).as("v_ts_us"),
+        col("c_value"), col("v_value"))
+      .orderBy("user_id", "c_ts_us", "v_ts_us")
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_sessions" -> q17Sessions,
     "q18_windowed_stats" -> q18WindowedStats,
     "q28_stream_dedup" -> q28StreamDedup,
     "q38_enrich_dim" -> q38EnrichDim,
-    "q39_watch_rates" -> q39WatchRates)
+    "q39_watch_rates" -> q39WatchRates,
+    "q40_click_after_view" -> q40ClickAfterView)
 
   val oracle: Map[String, String] = Map(
     "q17_sessions" ->
@@ -122,6 +144,15 @@ object StreamingQueries {
         |SELECT user_id, segment, dim_miss,
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM e GROUP BY user_id, segment, dim_miss ORDER BY user_id""".stripMargin,
+    "q40_click_after_view" ->
+      """SELECT c.user_id,
+        |  epoch_us(c.ts) AS c_ts_us, epoch_us(v.ts) AS v_ts_us,
+        |  c.value AS c_value, v.value AS v_value
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 2 HOUR
+        |ORDER BY c.user_id, c_ts_us, v_ts_us""".stripMargin,
     "q39_watch_rates" -> {
       import SketchQueries.{CmsA, CmsD, CmsW, cmsB}
       val p = graft.functions.Portable.P

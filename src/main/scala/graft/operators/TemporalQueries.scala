@@ -105,10 +105,43 @@ object TemporalQueries {
       .orderBy("event_type", "hour_ts")
   }
 
+  /** q41: sequential conversion funnel (view → click → purchase) — the
+    * temporal pattern-matching class (MATCH_RECOGNIZE's most common
+    * real-world instance), expressed as staged min-aggregates: first
+    * view per user, first click at-or-after that view, first purchase
+    * at-or-after that click. Each stage is one filtered per-user
+    * aggregate plus one user-keyed equi-join against the previous
+    * stage's (tiny, one-row-per-user) frame — no window over the event
+    * stream, no inequality join wider than the stage boundary, so the
+    * plan is three map-combinable aggregates and two broadcast-size
+    * joins at any corpus scale. Epoch-µs integers for timestamps (the
+    * q40 convention). */
+  def q41Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts") >= col("vt"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ct"))
+    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts") >= col("ct"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        unix_micros(col("vt")).as("first_view_us"),
+        unix_micros(col("ct")).as("first_click_us"),
+        unix_micros(col("pt")).as("first_purchase_us"),
+        col("ct").isNotNull.as("reached_click"),
+        col("pt").isNotNull.as("reached_purchase"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_asof_join" -> q24AsofJoin,
     "q25_range_join" -> q25RangeJoin,
-    "q37_gap_fill" -> q37GapFill)
+    "q37_gap_fill" -> q37GapFill,
+    "q41_funnel" -> q41Funnel)
 
   // ---- DuckDB oracles ----
 
@@ -151,5 +184,23 @@ object TemporalQueries {
         |    PARTITION BY event_type ORDER BY hr
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled_cents,
         |  n_events IS NULL AS is_gap
-        |FROM grid ORDER BY event_type, hour_ts""".stripMargin)
+        |FROM grid ORDER BY event_type, hour_ts""".stripMargin,
+    "q41_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e JOIN v
+        |  ON e.user_id = v.user_id AND e.ts >= v.vt
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ct
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |  epoch_us(vt) AS first_view_us,
+        |  epoch_us(ct) AS first_click_us,
+        |  epoch_us(pt) AS first_purchase_us,
+        |  ct IS NOT NULL AS reached_click,
+        |  pt IS NOT NULL AS reached_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin)
 }
