@@ -103,13 +103,36 @@ object StreamingQueries {
       .orderBy("user_id", "c_ts_us", "v_ts_us")
   }
 
+  /** q42: custom-state sessionization (the
+    * [[EventStreams.sessionizeWithState]] face — flatMapGroupsWithState,
+    * the `KeyValueGroupedDataset` arbitrary-state API the built-in
+    * session_window cannot generalize; streaming timeout behavior is
+    * covered in EventStreamsSpec). Batch semantics: only sessions CLOSED
+    * by an in-batch gap are emitted — each user's final session stays in
+    * (never-timed-out) state — so the relational dual is gaps-and-islands
+    * minus each user's last island, which is exactly what the oracle
+    * computes. */
+  def q42StateSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[EventStreams.Event]
+    EventStreams.sessionizeWithState(ev, gapMs = 30L * 60 * 1000).toDF()
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy("user_id", "session_start_us")
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_sessions" -> q17Sessions,
     "q18_windowed_stats" -> q18WindowedStats,
     "q28_stream_dedup" -> q28StreamDedup,
     "q38_enrich_dim" -> q38EnrichDim,
     "q39_watch_rates" -> q39WatchRates,
-    "q40_click_after_view" -> q40ClickAfterView)
+    "q40_click_after_view" -> q40ClickAfterView,
+    "q42_state_sessions" -> q42StateSessions)
 
   val oracle: Map[String, String] = Map(
     "q17_sessions" ->
@@ -153,6 +176,20 @@ object StreamingQueries {
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 2 HOUR
         |ORDER BY c.user_id, c_ts_us, v_ts_us""".stripMargin,
+    "q42_state_sessions" ->
+      """WITH l AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM l),
+        |s AS (SELECT user_id, sid, min(ts) AS st, count(*) AS n_events,
+        |        round(sum(value), 2) AS total_value FROM g GROUP BY user_id, sid),
+        |mx AS (SELECT user_id, max(sid) AS last_sid FROM s GROUP BY user_id)
+        |SELECT s.user_id, epoch_us(st) AS session_start_us, n_events, total_value
+        |FROM s JOIN mx ON s.user_id = mx.user_id AND s.sid < mx.last_sid
+        |ORDER BY s.user_id, session_start_us""".stripMargin,
     "q39_watch_rates" -> {
       import SketchQueries.{CmsA, CmsD, CmsW, cmsB}
       val p = graft.functions.Portable.P

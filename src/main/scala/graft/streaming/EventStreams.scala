@@ -162,9 +162,21 @@ object EventStreams {
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  /** start/last are event-time epoch MICROSECONDS: the events feed is
+    * µs-granular, and millisecond state (Timestamp.getTime) would make
+    * gap comparisons and same-millisecond orderings truncation-dependent
+    * — the batch dual (q42) is gated against a µs-exact oracle. */
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               n_events: Long, total_value: Double)
+
+  private def tsMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * `KeyValueGroupedDataset` state API the built-in session_window can't
@@ -173,6 +185,7 @@ object EventStreams {
     * on state timeout across batches. */
   def sessionizeWithState(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -180,18 +193,18 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(user, new Timestamp(s.start), s.n, s.total))
+            Iterator.single(SessionOut(user, microsTs(s.start), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
             var cur = state.getOption
             val out = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
-                  out += SessionOut(user, new Timestamp(s.start), s.n, s.total)
+                  out += SessionOut(user, microsTs(s.start), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -201,7 +214,7 @@ object EventStreams {
               state.update(s)
               // batch mode has no watermark — getCurrentWatermarkMs throws
               if (scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L) > 0)
-                state.setTimeoutTimestamp(s.last + gapMs)
+                state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
             }
             out.result().iterator
           }
