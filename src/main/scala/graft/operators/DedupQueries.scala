@@ -471,8 +471,25 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d12: signature-level dedup — the batch dual of
+    * [[MinHashLsh.streamingSignatureDedup]] (the streaming face keys
+    * `dropDuplicatesWithinWatermark` on the same signature; micro-batch
+    * suppression is covered in DedupSpec). The signature is the fold of
+    * all LSH band signatures — one BIGINT per doc, so dedup state is
+    * O(1) per distinct signature on an unbounded stream — with the exact
+    * content hash as the fallback for docs too short to shingle. Batch
+    * survivor = min doc id per signature. Near-dup recall is the d3/d6
+    * pipeline's job; this face is the cheap upstream suppressor (same
+    * full signature ⇒ suppress) that runs where pairs can't. */
+  def d12SigDedup(s: SparkSession, d: String): DataFrame =
+    MinHashLsh.streamingSignatureDedup(
+        docs(s, d).select(col("id"), col("text")), cfg)
+      .select(col("id").as("doc_id"), col("sig"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "d11_dup_spans" -> d11DupSpans,
+    "d12_sig_dedup" -> d12SigDedup,
     "d1_exact_dedup" -> d1Exact,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d3_minhash_lsh" -> d3MinhashLsh,
@@ -556,6 +573,28 @@ object DedupQueries {
          |SELECT doc_id, dr.source, CAST(keep_pct AS BIGINT) AS keep_pct,
          |  draw, draw < keep_pct AS kept
          |FROM dr JOIN rates ON dr.source = rates.source
+         |ORDER BY doc_id""".stripMargin,
+    "d12_sig_dedup" ->
+      s"""WITH $setsCte,
+         |ex AS (SELECT id, unnest(sh) AS h FROM ne),
+         |perms AS (SELECT range AS perm,
+         |  ((range+1)*${MinHashLsh.PermA} + 7) % ${Portable.P} AS a,
+         |  ((range+1)*${MinHashLsh.PermB} + 3) % ${Portable.P} AS b
+         |  FROM range(0, ${cfg.numPerms})),
+         |mins AS (SELECT id, perm, min((a*h + b) % ${Portable.P}) AS minv
+         |  FROM ex, perms GROUP BY id, perm),
+         |bands AS (SELECT id, perm // ${cfg.rowsPerBand} AS band,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(minv ORDER BY perm)),
+         |    (x, y) -> (x*31 + y) % ${Portable.P}) AS sig
+         |  FROM mins GROUP BY id, perm // ${cfg.rowsPerBand}),
+         |docsig AS (SELECT id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list(sig ORDER BY band)), (x, y) -> (x*31 + y) % ${Portable.P}) AS sig
+         |  FROM bands GROUP BY id),
+         |full_sig AS (SELECT d.doc_id AS id,
+         |    coalesce(ds.sig, ${sqlCharHash("d.text")}) AS sig
+         |  FROM documents d LEFT JOIN docsig ds ON d.doc_id = ds.id)
+         |SELECT id AS doc_id, sig FROM full_sig
+         |WHERE id = (SELECT min(f2.id) FROM full_sig f2 WHERE f2.sig = full_sig.sig)
          |ORDER BY doc_id""".stripMargin,
     "d11_dup_spans" -> {
       val gram = (0 until 8).map(j => s"words[i+$j]").mkString(" || ' ' || ")
