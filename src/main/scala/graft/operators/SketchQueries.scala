@@ -72,7 +72,7 @@ object SketchQueries {
     * divide, exact ×65536) is a single IEEE op, so both engines fold it
     * to the identical double. */
   private val HllAlphaM2 = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
-  private val HllAlphaM2Sql = "0.7213/(1 + 1.079/256)*65536"
+  private[operators] val HllAlphaM2Sql = "0.7213/(1 + 1.079/256)*65536"
 
   /** q34: per-returnflag distinct-part estimate via HyperLogLog — the
     * OTHER classic distinct sketch, complementing q29's KMV with a
@@ -120,7 +120,7 @@ object SketchQueries {
     * ln agreeing across libms (the no-libm gate rule). */
   private[graft] val HllLinearTable: IndexedSeq[Double] =
     (1 to HllM).map(v => HllM * math.log(HllM.toDouble / v))
-  private val HllLinearSqlList: String =
+  private[operators] val HllLinearSqlList: String =
     HllLinearTable.map(x => String.format(java.util.Locale.ROOT, "%.17g", Double.box(x)))
       .mkString("[", ", ", "]")
 

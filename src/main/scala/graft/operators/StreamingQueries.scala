@@ -125,6 +125,21 @@ object StreamingQueries {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** q43: per-hour-window approximate distinct users via the mergeable
+    * HyperLogLog aggregator (the [[EventStreams.approxDistinctUsers]]
+    * face, batch form — register merging across micro-batches through
+    * the state store is covered in EventStreamsSpec). Per-window state
+    * is the fixed m-register buffer regardless of user cardinality; an
+    * exact streaming count(DISTINCT) is unsupported by design. The
+    * oracle rebuilds the per-window registers declaratively (the q34
+    * machinery windowed, linear-counting correction included). */
+  def q43WindowDistinct(s: SparkSession, d: String): DataFrame =
+    EventStreams.approxDistinctUsers(Tables.events(s, d), "1 hour")
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("approx_users"))
+      .orderBy("window_start")
+
   val queries: Map[String, Q] = Map(
     "q17_sessions" -> q17Sessions,
     "q18_windowed_stats" -> q18WindowedStats,
@@ -132,7 +147,8 @@ object StreamingQueries {
     "q38_enrich_dim" -> q38EnrichDim,
     "q39_watch_rates" -> q39WatchRates,
     "q40_click_after_view" -> q40ClickAfterView,
-    "q42_state_sessions" -> q42StateSessions)
+    "q42_state_sessions" -> q42StateSessions,
+    "q43_window_distinct" -> q43WindowDistinct)
 
   val oracle: Map[String, String] = Map(
     "q17_sessions" ->
@@ -176,6 +192,29 @@ object StreamingQueries {
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 2 HOUR
         |ORDER BY c.user_id, c_ts_us, v_ts_us""".stripMargin,
+    "q43_window_distinct" -> {
+      import SketchQueries.{HllM, HllMaxRho, hllHashSql, HllAlphaM2Sql, HllLinearSqlList}
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS w,
+         |    ${hllHashSql("user_id")} AS h FROM events),
+         |b AS (SELECT w, h % $HllM AS bucket, h // $HllM AS v FROM h),
+         |r AS (SELECT w, bucket,
+         |    max(CASE WHEN v = 0 THEN $HllMaxRho
+         |        ELSE $HllMaxRho - length(bin(v)) END) AS r
+         |  FROM b GROUP BY w, bucket),
+         |g AS (SELECT w,
+         |    sum(1.0/CAST(CAST(1 AS BIGINT) << r AS DOUBLE)) AS occ,
+         |    count(*) AS nb
+         |  FROM r GROUP BY w),
+         |e0 AS (SELECT w, nb,
+         |    $HllAlphaM2Sql/(occ + CAST($HllM - nb AS DOUBLE)) AS raw FROM g),
+         |e AS (SELECT w,
+         |    CASE WHEN raw <= CAST(${(2.5 * HllM).toInt} AS DOUBLE) AND nb < $HllM
+         |         THEN ($HllLinearSqlList)[CAST($HllM - nb AS INT)]
+         |         ELSE raw END AS est FROM e0)
+         |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |  round(est, 4) AS approx_users
+         |FROM e ORDER BY window_start""".stripMargin
+    },
     "q42_state_sessions" ->
       """WITH l AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
