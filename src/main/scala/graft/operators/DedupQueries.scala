@@ -435,6 +435,42 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Exactly-k sample size per source for [[d13GroupSample]]. */
+  private val SampleK = 5
+
+  /** Draw salt — distinct from [[MixSalt]] and t9's unsalted split hash,
+    * so the three hash-derived decisions on the same text are independent
+    * (the independent-coupons rule). */
+  private val SampleSalt = "samp1"
+
+  /** d13: deterministic exactly-k uniform sample per group — the "show me
+    * 5 random docs from every source" QA/eval-set draw, and the dual of
+    * d10 (d10 keeps a *rate* per source, this keeps a *count*). The draw
+    * order is a salted content hash, so the sample is reproducible across
+    * runs and engines with no RNG state; selection is the bounded
+    * [[graft.functions.Aggregators.BottomK]] heap — O(k) state per
+    * source, map-side merge, each map task forwards at most k candidates
+    * per group. The textbook `row_number() OVER (PARTITION BY source
+    * ORDER BY random())` form sorts every row of every group (and isn't
+    * reproducible); the oracle IS that window over the deterministic
+    * draw, proving the heap equals it row-for-row. Ties (byte-identical
+    * texts share a draw) resolve by doc_id on both sides. */
+  def d13GroupSample(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.Aggregators.BottomK(SampleK),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        Portable.charHash(concat(col("text"), lit(SampleSalt))).as("draw"))
+      .repartition(col("doc_id"))
+      .groupBy(col("source"))
+      .agg(topk(col("draw"), col("doc_id")).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("doc_id"), col("p.m").as("draw"))
+      .orderBy("source", "rank")
+  }
+
   /** d11 span length: 8-word windows — long enough that natural-language
     * collisions are rare, short enough to catch partial boilerplate. */
   private val SpanK = 8
@@ -499,7 +535,8 @@ object DedupQueries {
     "d7_decontaminate" -> d7Decontaminate,
     "d8_corpus_select" -> d8CorpusSelect,
     "d9_bloom_decontaminate" -> d9BloomDecontaminate,
-    "d10_source_mix" -> d10SourceMix)
+    "d10_source_mix" -> d10SourceMix,
+    "d13_group_sample" -> d13GroupSample)
 
   // ---- DuckDB oracles ----
 
@@ -574,6 +611,14 @@ object DedupQueries {
          |  draw, draw < keep_pct AS kept
          |FROM dr JOIN rates ON dr.source = rates.source
          |ORDER BY doc_id""".stripMargin,
+    "d13_group_sample" ->
+      s"""WITH h AS (SELECT source, doc_id,
+         |    ${sqlCharHash(s"text || '$SampleSalt'")} AS draw
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY draw, doc_id) AS rank FROM h)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, draw
+         |FROM r WHERE rank <= $SampleK ORDER BY source, rank""".stripMargin,
     "d12_sig_dedup" ->
       s"""WITH $setsCte,
          |ex AS (SELECT id, unnest(sh) AS h FROM ne),

@@ -434,6 +434,70 @@ object RelationalQueries {
       .orderBy($"o_custkey")
   }
 
+  /** q44: CDC merge / upsert — apply a keyed changeset to a snapshot in
+    * one pass (the MERGE INTO shape every incremental pipeline compacts
+    * with). Base snapshot: customers whose key misses the `% 7` residue
+    * (so some changeset keys are genuine inserts). Changeset: per-customer
+    * order totals from the most recent slice (orders since 2001 — a CDC
+    * batch is incremental by nature), with `% 13` keys marked deletes.
+    * The merge is ONE full
+    * outer join on the key — both sides shuffle exactly once on the key
+    * they are already keyed by, and at 100 TB the snapshot side would be
+    * bucketed on the key so only the (much smaller) changeset moves.
+    * Delete rows vanish, matched rows take the changeset value, unmatched
+    * changeset rows insert, untouched base rows carry over — each row
+    * labeled with its action so the gate pins all four MERGE branches.
+    * Money stays in integer cents end-to-end (order-independent sums). */
+  def q44Upsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, d)
+      .where($"c_custkey" % 7 =!= 0)
+      .select($"c_custkey".as("custkey"),
+        round($"c_acctbal" * 100).cast("long").as("base_cents"))
+    val delta = Tables.orders(s, d)
+      .filter($"o_orderdate" >= to_timestamp(lit("2001-01-01")))
+      .groupBy($"o_custkey".as("custkey"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("delta_cents"))
+      .withColumn("op", when($"custkey" % 13 === 0, lit("D")).otherwise(lit("U")))
+    base.join(delta, Seq("custkey"), "full_outer")
+      .where($"op".isNull || $"op" =!= "D")
+      .select($"custkey",
+        coalesce($"delta_cents", $"base_cents").as("bal_cents"),
+        when($"delta_cents".isNull, lit("keep"))
+          .when($"base_cents".isNull, lit("insert"))
+          .otherwise(lit("update")).as("action"))
+      .orderBy($"custkey")
+  }
+
+  /** q45: bounded top-k per group — q33's argmax generalized to k=3 via
+    * the [[graft.functions.Aggregators.BottomK]] heap aggregate (built
+    * for the ANN family, gated here as a first-class relational op). Per
+    * supplier, the 3 parts with the highest shipped quantity: a partial
+    * aggregate (supplier, part) → quantity, then an O(k)-state mergeable
+    * top-k — each map task ships at most k candidates per group, where
+    * the textbook `row_number() OVER (... ORDER BY qty)` form SORTS every
+    * part of every supplier. The oracle IS that textbook form, proving
+    * the bounded aggregate equals it row-for-row. Quantities accumulate
+    * in integer centi-units; the heap measure is the negated quantity so
+    * "largest qty, then smallest partkey" is one ascending lexicographic
+    * order. */
+  def q45TopkGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(new graft.functions.Aggregators.BottomK(3),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    Tables.lineitem(s, d)
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum(round($"l_quantity" * 100).cast("long")).as("qtyc"))
+      .groupBy($"l_suppkey")
+      .agg(topk(-$"qtyc", $"l_partkey").as("tk"))
+      .select($"l_suppkey", posexplode($"tk").as(Seq("pos", "p")))
+      .select($"l_suppkey", ($"pos" + 1).cast("long").as("rank"),
+        $"p.id".as("l_partkey"),
+        (-$"p.m" / lit(100).cast("double")).as("qty"))
+      .orderBy($"l_suppkey", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_grouping_sets" -> q30GroupingSets,
     "q31_salted_join" -> q31SaltedJoin,
@@ -461,7 +525,9 @@ object RelationalQueries {
     "q22_above_avg_customers" -> q22AboveAvgCustomers,
     "q23_pivot" -> q23Pivot,
     "q26_stratified_sample" -> q26StratifiedSample,
-    "q27_weighted_avg" -> q27WeightedAvg)
+    "q27_weighted_avg" -> q27WeightedAvg,
+    "q44_upsert" -> q44Upsert,
+    "q45_topk_group" -> q45TopkGroup)
 
   val oracle: Map[String, String] = Map(
     "q30_grouping_sets" ->
@@ -492,6 +558,33 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q44_upsert" ->
+      """WITH base AS (SELECT c_custkey AS custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS base_cents
+        |  FROM customer WHERE c_custkey % 7 <> 0),
+        |delta AS (SELECT o_custkey AS custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS delta_cents,
+        |    CASE WHEN o_custkey % 13 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT custkey,
+        |  coalesce(delta_cents, base_cents) AS bal_cents,
+        |  CASE WHEN delta_cents IS NULL THEN 'keep'
+        |       WHEN base_cents IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action
+        |FROM base FULL JOIN delta USING (custkey)
+        |WHERE op IS NULL OR op <> 'D'
+        |ORDER BY custkey""".stripMargin,
+    "q45_topk_group" ->
+      """WITH a AS (SELECT l_suppkey, l_partkey,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qtyc
+        |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY qtyc DESC, l_partkey) AS rank FROM a)
+        |SELECT l_suppkey, CAST(rank AS BIGINT) AS rank, l_partkey,
+        |  qtyc / CAST(100 AS DOUBLE) AS qty
+        |FROM r WHERE rank <= 3 ORDER BY l_suppkey, rank""".stripMargin,
     "q33_argmax" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |    count(*) OVER (PARTITION BY o_custkey) AS n_orders,

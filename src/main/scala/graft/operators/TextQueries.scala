@@ -285,7 +285,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Global top-k size for [[t10TopNgrams]]. */
+  private val NgramTopK = 20
+
+  /** t10: corpus-global top-k n-grams — the vocabulary-building /
+    * corpus-statistics pass of a training pipeline (what BPE merge
+    * selection and contamination-prone-phrase audits both start from).
+    * Adjacent-word bigrams per document (a row-local transform over the
+    * already-split word array — no second tokenizer pass), then a global
+    * count. The plan is the scale-canonical two-level shape: map-side
+    * partial counts combine before the single shuffle on the gram, and
+    * the top-k is TakeOrderedAndProject — each partition forwards at most
+    * k rows, no global sort ever materializes. At 100 TB the exact count
+    * per surviving gram is still two map-combinable aggregates; only the
+    * long tail would move to the q35 Count-Min front end. Deterministic
+    * LIMIT rule: total order (cnt DESC, gram), re-ordered by gram
+    * outside. */
+  def t10TopNgrams(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.words(col("text"))
+    val grams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs(s, d)
+      .select(explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram")).limit(NgramTopK)
+      .orderBy("gram")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t10_top_ngrams" -> t10TopNgrams,
     "t1_token_stats" -> t1TokenStats,
     "t2_langid" -> t2LangId,
     "t3_quality" -> t3Quality,
@@ -310,6 +341,14 @@ object TextQueries {
        |  (a, b) -> (a*31 + b) % ${Portable.P})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t10_top_ngrams" ->
+      s"""WITH g AS (SELECT unnest(list_transform(
+         |    range(greatest(len($sqlWords) - 1, 0)),
+         |    i -> $sqlWords[i+1] || ' ' || $sqlWords[i+2])) AS gram
+         |  FROM documents),
+         |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+         |t AS (SELECT * FROM c ORDER BY cnt DESC, gram LIMIT $NgramTopK)
+         |SELECT gram, cnt FROM t ORDER BY gram""".stripMargin,
     "t1_token_stats" ->
       s"""SELECT doc_id,
          |  len($sqlWords) AS n_ws_tokens,
