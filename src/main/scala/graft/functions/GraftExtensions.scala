@@ -26,7 +26,8 @@ object GraftExtensions {
     ("graft_simhash", classOf[SimHashFp], es => SimHashFp(es.head)),
     ("graft_sorted_intersect_count", classOf[SortedIntersectCount],
       es => SortedIntersectCount(es(0), es(1))),
-    ("graft_vec_dot", classOf[VecDot], es => VecDot(es(0), es(1))))
+    ("graft_vec_dot", classOf[VecDot], es => VecDot(es(0), es(1))),
+    ("graft_zorder", classOf[ZOrderKey], es => ZOrderKey(es(0), es(1), es(2))))
 
   def register(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, cls, builder) =>

@@ -305,4 +305,27 @@ object HashUtil {
     while (i < n) { acc += x(i) * y(i); i += 1 }
     acc
   }
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * coordinates: bit i of x lands at position 2i, bit i of y at 2i+1.
+    * Inputs are masked to `bits` first, so out-of-domain coordinates
+    * degrade locality but never throw (ANSI-safe total function).
+    * Monotone in each coordinate, so for any query box
+    * [x0,x1]×[y0,y1] every point inside has
+    * z(x0,y0) <= z <= z(x1,y1) — the superset prefilter a z-ordered
+    * layout pushes down to file/row-group statistics. */
+  def interleaveBits(x: Long, y: Long, bits: Int): Long = {
+    val b = if (bits < 1) 1 else if (bits > 31) 31 else bits
+    val mask = (1L << b) - 1L
+    val mx = x & mask
+    val my = y & mask
+    var z = 0L
+    var i = 0
+    while (i < b) {
+      z |= ((mx >> i) & 1L) << (2 * i)
+      z |= ((my >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
 }

@@ -110,6 +110,30 @@ case class MinHashBandSigs(first: Expression, second: Expression, third: Express
     copy(first = f, second = s, third = t)
 }
 
+/** `graft_zorder(x, y, bits)` → BIGINT: Morton interleave of the low
+  * `bits` bits of two BIGINT coordinates (x even positions, y odd) —
+  * the multi-dimensional clustering key for z-ordered data layout
+  * ([[graft.io.Layout]]). Monotone per coordinate, so a query box maps
+  * to one z range usable as a file/row-group prefilter. */
+case class ZOrderKey(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder"
+  // Interpreted eval (constant folding) may see INT or BIGINT children —
+  // accept either, exactly as the codegen path does via Java widening.
+  override protected def nullSafeEval(x: Any, y: Any, b: Any): Any =
+    HashUtil.interleaveBits(
+      x.asInstanceOf[Number].longValue(),
+      y.asInstanceOf[Number].longValue(),
+      b.asInstanceOf[Number].intValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y, b) => s"graft.functions.HashUtil.interleaveBits($x, $y, $b)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ZOrderKey =
+    copy(first = f, second = s, third = t)
+}
+
 /** `graft_simhash(text)` → BIGINT: 30-bit SimHash fingerprint. */
 case class SimHashFp(child: Expression)
     extends UnaryExpression {

@@ -83,4 +83,11 @@ object Portable {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** Morton (Z-order) key of two BIGINT coordinates, `bits` bits each —
+    * native kernel. DuckDB twin (inputs pre-masked to `bits`):
+    * `list_sum(list_transform(range(bits), i ->
+    *   (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1))))`. */
+  def zorder(x: Column, y: Column, bits: Int): Column =
+    call_function("graft_zorder", x, y, lit(bits))
 }

@@ -84,6 +84,42 @@ object Media {
     }
   }
 
+  final case class AudioWindow(media_id: Long, window_idx: Long,
+                               n_samples: Long, energy: Long, peak: Long)
+
+  /** Windowed audio analysis: treat the payload as 8-bit PCM samples
+    * (the stub stand-in for a real audio decode) and emit per-window
+    * integer energy (Σ sample²) and peak — the silence-trim /
+    * loudness-gate primitives of an audio pipeline. Integer energy
+    * instead of RMS keeps it exact (bounded: 256·255² ≪ 2⁶³) and
+    * engine-portable; RMS is one sqrt away downstream. Same narrow
+    * mapPartitions shape as [[sampleFrames]]: no shuffle, output rows ≪
+    * payload bytes, decode parallelism = partition count. */
+  def windowedEnergy(media: Dataset[MediaRecord],
+                     window: Int = 256): Dataset[AudioWindow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { r =>
+        val nw = math.ceil(r.payload.length / window.toDouble).toLong
+        (0L until nw).iterator.map { k =>
+          val off = (k * window).toInt
+          val len = math.min(window, r.payload.length - off)
+          var e = 0L
+          var p = 0L
+          var i = off
+          while (i < off + len) {
+            val s = (r.payload(i) & 0xff).toLong
+            e += s * s
+            if (s > p) p = s
+            i += 1
+          }
+          AudioWindow(r.media_id, k, len.toLong, e, p)
+        }
+      }
+    }
+  }
+
   /** Batch feature extraction: one decode call per record, iterated per
     * partition (the batch shape a vectorized codec wants). */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {

@@ -34,9 +34,20 @@ object MultimodalQueries {
     Media.sampleFrames(media).toDF().orderBy("media_id", "frame_idx")
   }
 
+  /** m3: windowed audio energy/peak over the payloads-as-8-bit-PCM stub
+    * ([[graft.multimodal.Media.windowedEnergy]]) — integer Σ sample² and
+    * max per 256-sample window; the oracle replays the window arithmetic
+    * with substring + ascii folds. */
+  def m3AudioEnergy(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromText(Tables.documents(s, d), "doc_id", "text",
+      kind = "audio/pcm8")
+    Media.windowedEnergy(media).toDF().orderBy("media_id", "window_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_media_features" -> m1MediaFeatures,
-    "m2_frame_sample" -> m2FrameSample)
+    "m2_frame_sample" -> m2FrameSample,
+    "m3_audio_energy" -> m3AudioEnergy)
 
   private def sqlCharHash(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -62,5 +73,22 @@ object MultimodalQueries {
          |  least(nb - fi * 64, 64) AS frame_bytes,
          |  ${sqlCharHash("substring(text, CAST(fi * 64 + 1 AS BIGINT), 64)")}
          |    AS frame_checksum
-         |FROM k ORDER BY media_id, frame_idx""".stripMargin)
+         |FROM k ORDER BY media_id, frame_idx""".stripMargin,
+    "m3_audio_energy" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+         |k AS (SELECT doc_id, text, nb,
+         |    unnest(list_transform(
+         |      range(0, CAST(ceil(nb / 256.0) AS BIGINT)),
+         |      x -> CAST(x AS BIGINT))) AS wi FROM b),
+         |w AS (SELECT doc_id, wi, nb,
+         |    substring(text, CAST(wi * 256 + 1 AS BIGINT), 256) AS sub FROM k)
+         |SELECT doc_id AS media_id, wi AS window_idx,
+         |  least(nb - wi * 256, 256) AS n_samples,
+         |  CAST(list_sum(list_transform(string_split(sub, ''),
+         |    c -> CAST(ascii(c) AS BIGINT) * CAST(ascii(c) AS BIGINT))) AS BIGINT)
+         |    AS energy,
+         |  CAST(list_max(list_transform(string_split(sub, ''),
+         |    c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS peak
+         |FROM w ORDER BY media_id, window_idx""".stripMargin)
 }

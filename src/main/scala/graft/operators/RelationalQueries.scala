@@ -498,7 +498,41 @@ object RelationalQueries {
       .orderBy($"l_suppkey", $"rank")
   }
 
+  /** q46 Z-order parameters: 20-bit coordinates; query box
+    * partkey ∈ [50, 149] × price-tenths ∈ [9050, 9149] (non-empty at
+    * every testdata SF). */
+  private val ZBits = 20
+  private val (boxX0, boxX1, boxY0, boxY1) = (50L, 149L, 9050L, 9149L)
+
+  /** q46: Z-order (Morton) box prefilter — the read-side arithmetic of
+    * the [[graft.io.Layout]] z-clustered layout, gated cross-engine. The
+    * key interleaves partkey and price-tenths bits (`graft_zorder`, a
+    * codegen'd native kernel); because the key is monotone in each
+    * coordinate, the 2-D query box collapses to ONE key range
+    * [z(x0,y0), z(x1,y1)] — which is what a reader pushes down against
+    * file/row-group min-max stats on a z-laid-out table, where it prunes
+    * all but a ~sqrt fraction of files on either dimension
+    * (ZOrderLayoutSpec measures the actual file skipping). The gated
+    * output keeps every prefilter survivor with its exact `in_box`
+    * verdict, pinning both the superset property (no box row is ever
+    * skipped) and the false-positive tail the curve's discontinuities
+    * admit. Bounds are JVM-evaluated literals; the oracle recomputes the
+    * per-row key bit-by-bit in SQL. */
+  def q46Zorder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val yc = round($"p_retailprice" * 10).cast("long")
+    val zlo = graft.functions.HashUtil.interleaveBits(boxX0, boxY0, ZBits)
+    val zhi = graft.functions.HashUtil.interleaveBits(boxX1, boxY1, ZBits)
+    Tables.part(s, d)
+      .select($"p_partkey",
+        graft.functions.Portable.zorder($"p_partkey", yc, ZBits).as("zval"),
+        ($"p_partkey".between(boxX0, boxX1) && yc.between(boxY0, boxY1)).as("in_box"))
+      .where($"zval".between(zlo, zhi))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_zorder" -> q46Zorder,
     "q30_grouping_sets" -> q30GroupingSets,
     "q31_salted_join" -> q31SaltedJoin,
     "q32_range_frame" -> q32RangeFrame,
@@ -558,6 +592,24 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q46_zorder" -> {
+      val zlo = graft.functions.HashUtil.interleaveBits(boxX0, boxY0, ZBits)
+      val zhi = graft.functions.HashUtil.interleaveBits(boxX1, boxY1, ZBits)
+      val mask = (1L << ZBits) - 1
+      s"""WITH c AS (SELECT p_partkey,
+         |    CAST(round(p_retailprice * 10) AS BIGINT) AS yc
+         |  FROM part),
+         |k AS (SELECT p_partkey, yc,
+         |    CAST(list_sum(list_transform(range($ZBits), i ->
+         |      ((((p_partkey & $mask) >> i) & 1) << (2*i)) +
+         |      ((((yc & $mask) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zval
+         |  FROM c)
+         |SELECT p_partkey, zval,
+         |  (p_partkey BETWEEN $boxX0 AND $boxX1
+         |    AND yc BETWEEN $boxY0 AND $boxY1) AS in_box
+         |FROM k WHERE zval BETWEEN $zlo AND $zhi
+         |ORDER BY p_partkey""".stripMargin
+    },
     "q44_upsert" ->
       """WITH base AS (SELECT c_custkey AS custkey,
         |    CAST(round(c_acctbal * 100) AS BIGINT) AS base_cents

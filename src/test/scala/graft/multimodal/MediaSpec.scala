@@ -28,6 +28,28 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === feats.view.mapValues(_.checksum).toMap)
   }
 
+  test("windowedEnergy: window arithmetic matches a local reference") {
+    import spark.implicits._
+    val text = "ab" * 300 // 600 bytes -> windows of 256, 256, 88
+    val docs = Seq((1L, text), (2L, ""), (3L, "xyz")).toDF("doc_id", "text")
+    val got = Media.windowedEnergy(Media.mediaFromText(docs, "doc_id", "text"))
+      .collect().map(w => (w.media_id, w.window_idx) -> w).toMap
+    assert(got.keys.count(_._1 == 1L) === 3)
+    assert(!got.keys.exists(_._1 == 2L), "empty payload yields no windows")
+    val bytes = text.getBytes("UTF-8")
+    (0 until 3).foreach { k =>
+      val slice = bytes.slice(k * 256, (k + 1) * 256).map(b => (b & 0xff).toLong)
+      val w = got((1L, k.toLong))
+      assert(w.n_samples === slice.length.toLong)
+      assert(w.energy === slice.map(s => s * s).sum)
+      assert(w.peak === slice.max)
+    }
+    val xyz = got((3L, 0L))
+    assert(xyz.n_samples === 3L)
+    assert(xyz.energy === ('x'.toLong * 'x' + 'y'.toLong * 'y' + 'z'.toLong * 'z'))
+    assert(xyz.peak === 'z'.toLong)
+  }
+
   test("payload survives the binary roundtrip (opaque column)") {
     import spark.implicits._
     val docs = Seq((9L, "opaque payload ≠ text")).toDF("doc_id", "text")
