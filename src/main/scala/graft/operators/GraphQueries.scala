@@ -322,6 +322,37 @@ object GraphQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** g15: edge embeddedness — neighborhood jaccard of the two ENDPOINTS
+    * of every existing strong tie (the Easley–Kleinberg tie-strength
+    * measure; g13's dual: g13 scores absent pairs to predict links, g15
+    * scores present edges to classify them — high embeddedness = strong
+    * tie inside a community, zero = a local bridge). Same O(Σ deg²)
+    * wedge join on the thresholded subgraph as g13, then one left join
+    * back onto the edge list (bridges have no wedge row) and two
+    * broadcast-size degree joins. Open neighborhoods, so the union
+    * denominator deg(a)+deg(b)−common counts each endpoint once and the
+    * score is a proper fraction; reported as integer ppm via DIV (the t5
+    * idf trick — no cross-engine float division). */
+  def g15Embeddedness(s: SparkSession, d: String): DataFrame = {
+    val te = partPairsMaterialized(s, d).where(col("weight") >= LinkMinWeight)
+      .select("src", "dst")
+    val se = te.union(te.select(col("dst").as("src"), col("src").as("dst")))
+    val sdeg = se.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
+    val wedges = se.as("l").join(se.as("r"),
+        col("l.dst") === col("r.src") && col("l.src") < col("r.dst"))
+      .select(col("l.src").as("a"), col("r.dst").as("b"))
+    val common = wedges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    te.join(common, col("src") === col("a") && col("dst") === col("b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sdeg.select(col("id").as("src"), col("dg").as("deg_src")), "src")
+      .join(sdeg.select(col("id").as("dst"), col("dg").as("deg_dst")), "dst")
+      .select(col("src").as("id_a"), col("dst").as("id_b"),
+        col("n_common"), col("deg_src"), col("deg_dst"),
+        expr("(1000000 * n_common) DIV (deg_src + deg_dst - n_common)")
+          .as("jaccard_ppm"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** g14 knobs: betweenness from the 5 smallest-id sources over the
     * strong-tie subgraph (the g13 weight floor — Brandes is O(sources ×
     * E), and sampled-source betweenness IS the standard scale form; exact
@@ -718,7 +749,8 @@ object GraphQueries {
     "g11_kcore" -> g11KCore,
     "g12_ppr" -> g12Ppr,
     "g13_link_predict" -> g13LinkPredict,
-    "g14_betweenness" -> g14Betweenness)
+    "g14_betweenness" -> g14Betweenness,
+    "g15_embeddedness" -> g15Embeddedness)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),
@@ -740,6 +772,24 @@ object GraphQueries {
     "g11_kcore" -> kcoreSql(KCoreRounds),
     "g12_ppr" -> pprSql(PprIters, PprSeedMod),
     "g14_betweenness" -> betweennessSql(BcDepth, BcSources),
+    "g15_embeddedness" ->
+      s"""WITH $edgeCtes,
+         |te AS (SELECT src, dst FROM cpairs WHERE w >= ${LinkMinWeight.toInt}),
+         |se AS (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te),
+         |sdeg AS (SELECT src AS id, count(*) AS dg FROM se GROUP BY src),
+         |wedge AS (SELECT l.src AS a, r.dst AS b
+         |  FROM se l JOIN se r ON l.dst = r.src AND l.src < r.dst),
+         |common AS (SELECT a, b, count(*) AS n_common FROM wedge GROUP BY a, b)
+         |SELECT te.src AS id_a, te.dst AS id_b,
+         |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(ds.dg AS BIGINT) AS deg_src, CAST(dd.dg AS BIGINT) AS deg_dst,
+         |  CAST((1000000 * coalesce(n_common, 0))
+         |    // (ds.dg + dd.dg - coalesce(n_common, 0)) AS BIGINT) AS jaccard_ppm
+         |FROM te
+         |LEFT JOIN common ON te.src = common.a AND te.dst = common.b
+         |JOIN sdeg ds ON te.src = ds.id
+         |JOIN sdeg dd ON te.dst = dd.id
+         |ORDER BY id_a, id_b""".stripMargin,
     "g13_link_predict" ->
       s"""WITH $edgeCtes,
          |te AS (SELECT src, dst FROM cpairs WHERE w >= ${LinkMinWeight.toInt}),

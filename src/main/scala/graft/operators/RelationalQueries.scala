@@ -531,7 +531,36 @@ object RelationalQueries {
       .orderBy($"p_partkey")
   }
 
+  /** q47: the remaining analytic-window faces in one gated query —
+    * ntile (larger-groups-first fill, identical rule both engines),
+    * percent_rank / cume_dist (exact small-rational doubles: one
+    * division per row, bit-equal cross-engine; single-row partitions
+    * yield 0.0 / 1.0 in both), lag/lead with NULL edges, first_value,
+    * and last_value over the explicit unbounded ROWS frame (the default
+    * frame stops at CURRENT ROW — a classic silent-wrong-answer). One
+    * window sort per partition on a unique (date, key) tiebreak; all
+    * functions share the single WindowExec pass, money in cents. */
+  def q47WindowFns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .select($"o_custkey", $"o_orderkey",
+        row_number().over(w).cast("long").as("rn"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        lag($"cents", 1).over(w).as("prev_cents"),
+        lead($"cents", 1).over(w).as("next_cents"),
+        first_value($"o_orderkey").over(w).as("first_key"),
+        last_value($"o_orderkey").over(wFull).as("last_key"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q47_window_fns" -> q47WindowFns,
     "q46_zorder" -> q46Zorder,
     "q30_grouping_sets" -> q30GroupingSets,
     "q31_salted_join" -> q31SaltedJoin,
@@ -591,6 +620,24 @@ object RelationalQueries {
         |FROM o
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q47_window_fns" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  lag(cents, 1) OVER w AS prev_cents,
+        |  lead(cents, 1) OVER w AS next_cents,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q46_zorder" -> {
       val zlo = graft.functions.HashUtil.interleaveBits(boxX0, boxY0, ZBits)

@@ -51,6 +51,27 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("g15 embeddedness matches a local neighborhood-jaccard reference") {
+    val te = GraphQueries.partPairsMaterialized(spark, sf)
+      .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    te.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val expected = te.toSeq.sorted.map { case (a, b) =>
+      val common = (adj(a) & adj(b)).size.toLong
+      val union = adj(a).size + adj(b).size - common
+      (a, b, common, adj(a).size.toLong, adj(b).size.toLong,
+        1000000L * common / union)
+    }
+    val got = GraphQueries.g15Embeddedness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // the fixture must exercise both regimes
+    assert(got.exists(_._3 == 0), "no local bridges in fixture")
+    assert(got.exists(_._3 > 0), "no embedded ties in fixture")
+  }
+
   test("g14 betweenness matches a local Brandes reference") {
     val te = GraphQueries.partPairsMaterialized(spark, sf)
       .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
