@@ -137,11 +137,36 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
+  /** q48: SCD2 validity intervals — turn a per-user change stream into a
+    * slowly-changing-dimension history table: each event opens an
+    * interval [ts, next event's ts) and the last one stays open
+    * (is_current). The standard dimension-history build every warehouse
+    * pipeline runs; its output is exactly what the q24 as-of join
+    * consumes. One lead() window per user on the unique (ts, event_id)
+    * order — a single shuffle on user_id, and at scale the window state
+    * is one row (lead 1). Epoch-µs integers end-to-end (the q40
+    * convention: no timestamp formatting pitfalls), value in cents. */
+  def q48Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"),
+        (col("valid_to_us") - col("valid_from_us")).as("dur_us"),
+        col("valid_to_us").isNull.as("is_current"),
+        col("value_cents"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_asof_join" -> q24AsofJoin,
     "q25_range_join" -> q25RangeJoin,
     "q37_gap_fill" -> q37GapFill,
-    "q41_funnel" -> q41Funnel)
+    "q41_funnel" -> q41Funnel,
+    "q48_scd2" -> q48Scd2)
 
   // ---- DuckDB oracles ----
 
@@ -185,6 +210,17 @@ object TemporalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled_cents,
         |  n_events IS NULL AS is_gap
         |FROM grid ORDER BY event_type, hour_ts""".stripMargin,
+    "q48_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS valid_from_us,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |i AS (SELECT *, lead(valid_from_us, 1) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us, event_id) AS valid_to_us FROM e)
+        |SELECT user_id, event_id, event_type, valid_from_us, valid_to_us,
+        |  valid_to_us - valid_from_us AS dur_us,
+        |  valid_to_us IS NULL AS is_current, value_cents
+        |FROM i ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "q41_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
