@@ -435,6 +435,80 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d14 containment threshold (τ=0.8 as the exact integer test
+    * 5·common ≥ 4·|S(a)|) and the minimum shingle-set size below which
+    * containment is trivially noisy. */
+  private val ContainMinShingles = 5L
+
+  /** d14: containment (asymmetric) near-dup — |S(a)∩S(b)| / |S(a)| ≥ 0.8
+    * flags doc a as CONTAINED in doc b: the quote/subset-duplication
+    * semantic that symmetric jaccard (d2) structurally misses (a short
+    * doc pasted into a long one has low jaccard but containment ≈ 1).
+    * Same bounded machinery as d2: df-capped inverted index (per-key
+    * pair expansion ≤ DfCap²), a SOUND integer prefilter in either
+    * direction — full common ≤ capped common + the smaller side's capped
+    * count, so `5·(c+nhot) ≥ 4·ntot` can't lose a true pair whose common
+    * support isn't entirely hot — then an exact full-set verify that
+    * re-hashes only candidate docs. The d2 hot-dominated-doc recovery
+    * pass applies unchanged if the all-hot-overlap class matters;
+    * omitted here (d2 already gates that machinery). Thresholds compare
+    * as integers; the reported score is one int/int double division.
+    * Output is DIRECTED (mutually-containing near-identical pairs emit
+    * both rows). */
+  def d14Containment(s: SparkSession, d: String): DataFrame = {
+    val sets = docs(s, d).select(col("id"), col("lang"),
+        Portable.shingleHashes(col("text"), cfg.shingleWords).as("sh"))
+      .where(size(col("sh")) >= ContainMinShingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("id"), col("lang"), explode(col("sh")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val hot = broadcast(dfc.where(col("df") > DfCap).select("h"))
+    val cex = ex.join(hot, Seq("h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val szs = ex.groupBy(col("id")).agg(count(lit(1)).as("ntot"))
+      .join(cex.groupBy(col("id")).agg(count(lit(1)).as("nkept")), Seq("id"), "left_outer")
+      .select(col("id"), col("ntot"),
+        (col("ntot") - coalesce(col("nkept"), lit(0L))).as("nhot"))
+    val common = cex.as("a").join(cex.as("b"),
+        col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val cand = common
+      .join(broadcast(szs.select(col("id").as("doc_a"),
+        col("ntot").as("ta"), col("nhot").as("ha"))), "doc_a")
+      .join(broadcast(szs.select(col("id").as("doc_b"),
+        col("ntot").as("tb"), col("nhot").as("hb"))), "doc_b")
+      .where(lit(5) * (col("c") + col("ha")) >= lit(4) * col("ta") ||
+             lit(5) * (col("c") + col("hb")) >= lit(4) * col("tb"))
+      .select("doc_a", "doc_b")
+      // The candidate list is read three times (id semi-join + both
+      // directed verifies) and sits atop the expensive capped self-join —
+      // persist it or the whole index pipeline re-runs per consumer (the
+      // d2 lesson; measured 17.6 → ~6 s here).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(col("doc_a").as("id"))
+      .union(cand.select(col("doc_b").as("id"))).distinct()
+    val vsets = sets.join(broadcast(candIds), Seq("id")).select("id", "sh")
+    val verified = broadcast(cand)
+      .join(vsets.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(vsets.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("cf"),
+        size(col("sha")).cast("long").as("ta"), size(col("shb")).cast("long").as("tb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dirA = verified.where(lit(5) * col("cf") >= lit(4) * col("ta"))
+      .select(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
+        col("cf").as("n_common"), col("ta").as("n_shingles"),
+        round(col("cf").cast("double") / col("ta").cast("double"), 6).as("containment"))
+    val dirB = verified.where(lit(5) * col("cf") >= lit(4) * col("tb"))
+      .select(col("doc_b").as("contained_id"), col("doc_a").as("container_id"),
+        col("cf").as("n_common"), col("tb").as("n_shingles"),
+        round(col("cf").cast("double") / col("tb").cast("double"), 6).as("containment"))
+    dirA.union(dirB).orderBy("contained_id", "container_id")
+  }
+
   /** Exactly-k sample size per source for [[d13GroupSample]]. */
   private val SampleK = 5
 
@@ -536,7 +610,8 @@ object DedupQueries {
     "d8_corpus_select" -> d8CorpusSelect,
     "d9_bloom_decontaminate" -> d9BloomDecontaminate,
     "d10_source_mix" -> d10SourceMix,
-    "d13_group_sample" -> d13GroupSample)
+    "d13_group_sample" -> d13GroupSample,
+    "d14_containment" -> d14Containment)
 
   // ---- DuckDB oracles ----
 
@@ -611,6 +686,40 @@ object DedupQueries {
          |  draw, draw < keep_pct AS kept
          |FROM dr JOIN rates ON dr.source = rates.source
          |ORDER BY doc_id""".stripMargin,
+    "d14_containment" ->
+      s"""WITH $setsCte,
+         |f AS MATERIALIZED (SELECT id, lang, sh FROM ne
+         |  WHERE len(sh) >= $ContainMinShingles),
+         |ex AS MATERIALIZED (SELECT id, lang, unnest(sh) AS h FROM f),
+         |dfc AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+         |hot AS (SELECT h FROM dfc WHERE df > $DfCap),
+         |cex AS MATERIALIZED (SELECT ex.id, ex.lang, ex.h FROM ex
+         |  LEFT JOIN hot ON ex.h = hot.h WHERE hot.h IS NULL),
+         |szs AS MATERIALIZED (SELECT f.id, len(f.sh) AS ntot,
+         |    len(f.sh) - coalesce(k.nkept, 0) AS nhot
+         |  FROM f LEFT JOIN (SELECT id, count(*) AS nkept FROM cex
+         |    GROUP BY id) k ON f.id = k.id),
+         |common AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS c
+         |  FROM cex a JOIN cex b ON a.h = b.h AND a.lang = b.lang
+         |    AND a.id < b.id GROUP BY 1, 2),
+         |cand AS MATERIALIZED (SELECT doc_a, doc_b FROM common
+         |  JOIN szs sa ON doc_a = sa.id JOIN szs sb ON doc_b = sb.id
+         |  WHERE 5*(c + sa.nhot) >= 4*sa.ntot OR 5*(c + sb.nhot) >= 4*sb.ntot),
+         |v AS MATERIALIZED (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(fa.sh, fb.sh)) AS BIGINT) AS cf,
+         |    CAST(len(fa.sh) AS BIGINT) AS ta, CAST(len(fb.sh) AS BIGINT) AS tb
+         |  FROM cand JOIN f fa ON doc_a = fa.id JOIN f fb ON doc_b = fb.id)
+         |SELECT contained_id, container_id, n_common, n_shingles, containment
+         |FROM (
+         |  SELECT doc_a AS contained_id, doc_b AS container_id, cf AS n_common,
+         |    ta AS n_shingles,
+         |    round(CAST(cf AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS containment
+         |  FROM v WHERE 5*cf >= 4*ta
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, cf, tb,
+         |    round(CAST(cf AS DOUBLE) / CAST(tb AS DOUBLE), 6)
+         |  FROM v WHERE 5*cf >= 4*tb)
+         |ORDER BY contained_id, container_id""".stripMargin,
     "d13_group_sample" ->
       s"""WITH h AS (SELECT source, doc_id,
          |    ${sqlCharHash(s"text || '$SampleSalt'")} AS draw

@@ -132,6 +132,31 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hot-only pair (1,2) not recovered: ${out.mkString(", ")}")
   }
 
+  test("d14: a short doc quoted inside a long one is contained, not jaccard-similar") {
+    import spark.implicits._
+    // Doc 1 (12 words, 10 shingles) is pasted verbatim into doc 2's 100
+    // unique words: containment(1 in 2) = 1.0 while jaccard ~ 0.09 —
+    // the asymmetric class d2 structurally misses. Doc 3 is unrelated.
+    val quote = (1 to 12).map(i => s"quoted$i").mkString(" ")
+    val rows = Seq(
+      (1L, "en", quote),
+      (2L, "en", (1 to 50).map(i => s"longa$i").mkString(" ") + " " + quote +
+        " " + (1 to 50).map(i => s"longb$i").mkString(" ")),
+      (3L, "en", (1 to 40).map(i => s"other$i").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d14").toString
+    rows.toDF("doc_id", "lang", "text").withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.DedupQueries.d14Containment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.toSeq === Seq((1L, 2L, 1.0)),
+      s"expected exactly doc1-contained-in-doc2: ${out.mkString(", ")}")
+    // and d2's jaccard gate (threshold 0.5) rightly does NOT pair them
+    val j = graft.operators.DedupQueries.d2NgramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!j.contains((1L, 2L)), "jaccard gate should not fire on containment-only pair")
+  }
+
   test("d11: planted duplicate span is found, unique text is not") {
     import spark.implicits._
     // Docs 1 and 2 share one verbatim 10-word passage (3 duplicated
