@@ -353,6 +353,37 @@ object GraphQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** g16: modularity scoring of the g8 label-propagation communities —
+    * closes the community-detection loop with the standard partition
+    * quality measure. Per community c over the unweighted undirected
+    * co-purchase graph: intra-edge count e_c (one labels-on-both-ends
+    * join over the canonical pairs), degree mass d_c, and the scaled
+    * Newman contribution `4m·e_c − d_c²` (Q = Σ contrib / 4m² — kept as
+    * an exact BIGINT; the final division is one client-side op and Q may
+    * be negative, where integer DIV truncation differs cross-engine).
+    * The m scalar rides a declared broadcast cross join (PlanAuditSpec
+    * allowlist). Bounds: 4m·e_c ≤ 4m², d_c² ≤ 4m² — no overflow until
+    * m ~ 1.5·10⁹ edges, where the ppm scaling moves off BIGINT anyway. */
+  def g16Modularity(s: SparkSession, d: String): DataFrame = {
+    val lab = GraphOps.labelPropagation(partGraph(s, d), LpIters)
+    val cp = partPairsMaterialized(s, d).select("src", "dst")
+    val mDf = cp.agg(count(lit(1)).as("m"))
+    val intra = cp
+      .join(lab.select(col("id").as("src"), col("label").as("la")), "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("lb")), "dst")
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("e_in"))
+    val dt = lab.join(vertexDegMaterialized(s, d), "id")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_tot"))
+    dt.join(intra, Seq("community"), "left_outer")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(mDf))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_tot"),
+        (lit(4) * col("m") * col("e_in") - col("d_tot") * col("d_tot")).as("contrib"))
+      .orderBy("community")
+  }
+
   /** g14 knobs: betweenness from the 5 smallest-id sources over the
     * strong-tie subgraph (the g13 weight floor — Brandes is O(sources ×
     * E), and sampled-source betweenness IS the standard scale form; exact
@@ -665,7 +696,9 @@ object GraphQueries {
        |SELECT id, scc FROM ($resUnion) ORDER BY id""".stripMargin
   }
 
-  private def labelPropSql(iters: Int): String = {
+  /** Unrolled LPA label chain (l0..l`iters`), shared by the g8 and g16
+    * oracles. */
+  private def labelCtes(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""l$k AS MATERIALIZED (
          |  SELECT t.id, coalesce(m.nl, t.label) AS label
@@ -677,11 +710,34 @@ object GraphQueries {
          |      FROM edges e JOIN l${k - 1} p ON e.src = p.id
          |      GROUP BY e.dst, p.label) x WHERE rn = 1) m ON t.id = m.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $edgeCtes,
-       |l0 AS (SELECT id, id AS label FROM verts),
-       |$steps
-       |SELECT id, label AS community FROM l$iters ORDER BY id""".stripMargin
+    s"""l0 AS (SELECT id, id AS label FROM verts),
+       |$steps""".stripMargin
   }
+
+  private def labelPropSql(iters: Int): String =
+    s"""WITH $edgeCtes,
+       |${labelCtes(iters)}
+       |SELECT id, label AS community FROM l$iters ORDER BY id""".stripMargin
+
+  private def modularitySql(iters: Int): String =
+    s"""WITH $edgeCtes,
+       |${labelCtes(iters)},
+       |lab AS MATERIALIZED (SELECT id, label FROM l$iters),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM cpairs),
+       |intra AS (SELECT la.label AS community, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM cpairs e JOIN lab la ON e.src = la.id
+       |  JOIN lab lb ON e.dst = lb.id
+       |  WHERE la.label = lb.label GROUP BY la.label),
+       |dt AS (SELECT lab.label AS community,
+       |    CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(deg.deg) AS BIGINT) AS d_tot
+       |  FROM lab JOIN deg ON lab.id = deg.id GROUP BY lab.label)
+       |SELECT dt.community, dt.n_nodes,
+       |  coalesce(intra.e_in, 0) AS e_in, dt.d_tot,
+       |  4 * (SELECT m FROM mm) * coalesce(intra.e_in, 0)
+       |    - dt.d_tot * dt.d_tot AS contrib
+       |FROM dt LEFT JOIN intra ON dt.community = intra.community
+       |ORDER BY dt.community""".stripMargin
 
   /** Unrolled Borůvka for the g7 oracle. Per round: every component picks
     * its lightest outgoing edge under the strict (w, src, dst) order (a
@@ -750,7 +806,8 @@ object GraphQueries {
     "g12_ppr" -> g12Ppr,
     "g13_link_predict" -> g13LinkPredict,
     "g14_betweenness" -> g14Betweenness,
-    "g15_embeddedness" -> g15Embeddedness)
+    "g15_embeddedness" -> g15Embeddedness,
+    "g16_modularity" -> g16Modularity)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),
@@ -767,6 +824,7 @@ object GraphQueries {
          |SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
     "g7_mst" -> mstSql(rounds = 10, doublings = 7),
     "g8_labelprop" -> labelPropSql(LpIters),
+    "g16_modularity" -> modularitySql(LpIters),
     "g9_scc" -> sccSql(rounds = 6, fwdIters = 12, bwdIters = 12),
     "g10_matmul" -> matmulSql,
     "g11_kcore" -> kcoreSql(KCoreRounds),

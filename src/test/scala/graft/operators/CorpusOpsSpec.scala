@@ -72,6 +72,24 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(_._3 > 0), "no embedded ties in fixture")
   }
 
+  test("g16 modularity: partition invariants and a local contribution check") {
+    val cp = GraphQueries.partPairsMaterialized(spark, sf)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val m = cp.length.toLong
+    val rows = GraphQueries.g16Modularity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nVerts = cp.flatMap(e => Seq(e._1, e._2)).distinct.length.toLong
+    assert(rows.map(_._2).sum === nVerts, "communities must partition the vertex set")
+    assert(rows.map(_._3).sum <= m, "intra edges cannot exceed all edges")
+    assert(rows.map(_._4).sum === 2 * m, "degree mass must sum to 2m")
+    rows.foreach { case (_, _, eIn, dTot, contrib) =>
+      assert(contrib === 4 * m * eIn - dTot * dTot)
+    }
+    // Q in (-1, 1]: Σcontrib / 4m² is a sane modularity value
+    val q = rows.map(_._5).sum.toDouble / (4.0 * m * m)
+    assert(q > -1.0 && q <= 1.0, s"modularity $q out of range")
+  }
+
   test("g14 betweenness matches a local Brandes reference") {
     val te = GraphQueries.partPairsMaterialized(spark, sf)
       .where(org.apache.spark.sql.functions.col("weight") >= 2.0)

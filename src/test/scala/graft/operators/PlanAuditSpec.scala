@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s1_ann_bruteforce", // corpus × 5 broadcast probe vectors (deliberate baseline)
     "s3_ann_ivf",        // vectors × broadcast anchor cells
     "s7_ann_ivfpq",      // same broadcast anchor cross join (IVF leg, index build)
-    "t5_tfidf")          // tf × broadcast n_docs scalar
+    "t5_tfidf",          // tf × broadcast n_docs scalar
+    "g16_modularity")    // per-community frame × broadcast edge-count m scalar
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
