@@ -32,6 +32,36 @@ class SketchAndScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaAgg === viaQuery)
   }
 
+  test("BottomK property: heap == row_number window on seeded random groups") {
+    import spark.implicits._
+    // Seeded LCG rows: 40 groups × ~200 candidates with duplicate
+    // measures (tie-break on id must match the window's ORDER BY m, id).
+    var seed = 424242L
+    def next(n: Long): Long = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
+      seed % n
+    }
+    val rows = (1 to 8000).map { i =>
+      (next(40), next(50), i.toLong) // (group, measure-with-ties, unique id)
+    }
+    val df = rows.toDF("g", "m", "id").repartition(13) // force partial merges
+    val k = 7
+    val topk = udaf(new Aggregators.BottomK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    val viaHeap = df.groupBy($"g").agg(topk($"m", $"id").as("tk"))
+      .select($"g", posexplode($"tk").as(Seq("pos", "p")))
+      .select($"g", ($"pos" + 1).as("rank"), $"p.m".as("m"), $"p.id".as("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"m", $"id")
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"g", $"rank", $"m", $"id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaHeap === viaWindow)
+  }
+
   test("KMV is exact below k and within 3/sqrt(k) above") {
     import spark.implicits._
     val kmv = udaf(new Aggregators.KmvDistinct(64, Portable.P))
