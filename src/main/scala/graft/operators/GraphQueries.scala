@@ -397,6 +397,36 @@ object GraphQueries {
       .orderBy("community")
   }
 
+  /** g17: local clustering coefficient — per vertex of the strong-tie
+    * subgraph, 2·tri(v) / (deg(v)·(deg(v)−1)): how close each vertex's
+    * neighborhood is to a clique (the per-vertex refinement of g5's
+    * global triangle count, and the vertex-level companion to g15's
+    * per-edge embeddedness). Triangles enumerate once as canonical
+    * a<b<c triples (the same 3-way equi-join shape as g5 — candidate
+    * volume bounded by Σ deg² of the thresholded graph), then each
+    * triple credits its three corners via an explode + count. Integer
+    * ppm score via DIV; vertices of degree < 2 score 0. */
+  def g17ClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val te = partPairsMaterialized(s, d).where(col("weight") >= LinkMinWeight)
+      .select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val se = te.union(te.select(col("dst").as("src"), col("src").as("dst")))
+    val sdeg = se.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
+    val tri = te.as("ab").join(te.as("bc"), col("ab.dst") === col("bc.src"))
+      .join(te.as("ac"),
+        col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))
+    val tv = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    sdeg.join(tv, Seq("id"), "left_outer")
+      .na.fill(0L, Seq("tri"))
+      .select(col("id"), col("dg"), col("tri"),
+        when(col("dg") >= 2,
+          expr("(2000000 * tri) DIV (dg * (dg - 1))")).otherwise(lit(0L))
+          .as("cc_ppm"))
+      .orderBy("id")
+  }
+
   /** g14 knobs: betweenness from the 5 smallest-id sources over the
     * strong-tie subgraph (the g13 weight floor — Brandes is O(sources ×
     * E), and sampled-source betweenness IS the standard scale form; exact
@@ -820,7 +850,8 @@ object GraphQueries {
     "g13_link_predict" -> g13LinkPredict,
     "g14_betweenness" -> g14Betweenness,
     "g15_embeddedness" -> g15Embeddedness,
-    "g16_modularity" -> g16Modularity)
+    "g16_modularity" -> g16Modularity,
+    "g17_clustering_coeff" -> g17ClusteringCoeff)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),
@@ -843,6 +874,24 @@ object GraphQueries {
     "g11_kcore" -> kcoreSql(KCoreRounds),
     "g12_ppr" -> pprSql(PprIters, PprSeedMod),
     "g14_betweenness" -> betweennessSql(BcDepth, BcSources),
+    "g17_clustering_coeff" ->
+      s"""WITH $edgeCtes,
+         |te AS (SELECT src, dst FROM cpairs WHERE w >= ${LinkMinWeight.toInt}),
+         |se AS (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te),
+         |sdeg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS dg
+         |  FROM se GROUP BY src),
+         |tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+         |  FROM te ab JOIN te bc ON ab.dst = bc.src
+         |  JOIN te ac ON ac.src = ab.src AND ac.dst = bc.dst),
+         |tv AS (SELECT id, CAST(count(*) AS BIGINT) AS tri FROM (
+         |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) GROUP BY id)
+         |SELECT sdeg.id, dg, coalesce(tv.tri, 0) AS tri,
+         |  CASE WHEN dg >= 2
+         |    THEN (2000000 * coalesce(tv.tri, 0)) // (dg * (dg - 1))
+         |    ELSE 0 END AS cc_ppm
+         |FROM sdeg LEFT JOIN tv ON sdeg.id = tv.id
+         |ORDER BY sdeg.id""".stripMargin,
     "g15_embeddedness" ->
       s"""WITH $edgeCtes,
          |te AS (SELECT src, dst FROM cpairs WHERE w >= ${LinkMinWeight.toInt}),

@@ -137,6 +137,40 @@ object SimilarityQueries {
   }
 
   private val KmK = 4
+  /** s8: filtered (metadata-constrained) ANN — each query vector only
+    * searches vectors sharing its `label` (the tenant/language/licence
+    * restriction every production vector store bolts on). PRE-filter
+    * formulation: the predicate is an equi-join key, so the filter
+    * applies before any distance is computed and the per-query candidate
+    * set shrinks to its label's partition — vs post-filtering a global
+    * top-k, which silently returns < k results when the filter is
+    * selective. Ranking is the bounded BottomK heap over an integer
+    * micro-cosine (round(cos·10⁶) — heap order and the oracle's
+    * `ORDER BY mc DESC, id` agree exactly, no float-ordering
+    * ambiguity), so there is no per-query window sort. At 100 TB:
+    * label-partitioned storage turns the equi-join into a co-located
+    * scan of one partition per query. */
+  def s8AnnFiltered(s: SparkSession, d: String): DataFrame = {
+    val n = vecsWithNorm(s, d)
+    val q = broadcast(n.where(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("v").as("qv"), col("nrm").as("qn")))
+    val scored = q.join(n, Seq("label"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v"), col("qn"), col("nrm")) * 1000000)
+          .cast("long").as("mc"))
+    val topk = udaf(new graft.functions.Aggregators.BottomK(TopK),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy(col("query_id"))
+      .agg(topk(-col("mc"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("neighbor_id"), (-col("p.m")).as("cos_mic"))
+      .orderBy("query_id", "rank")
+  }
+
   private val KmIters = 2
   private val QScale = 1000000L
 
@@ -361,7 +395,8 @@ object SimilarityQueries {
     "s4_kmeans" -> s4Kmeans,
     "s5_quantize" -> s5Quantize,
     "s6_ann_pq" -> s6AnnPq,
-    "s7_ann_ivfpq" -> s7AnnIvfPq)
+    "s7_ann_ivfpq" -> s7AnnIvfPq,
+    "s8_ann_filtered" -> s8AnnFiltered)
 
   // ---- DuckDB oracles ----
 
@@ -433,6 +468,18 @@ object SimilarityQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "s8_ann_filtered" ->
+      s"""WITH $baseCte,
+         |q AS (SELECT vec_id AS query_id, label, v AS qv, nrm AS qn
+         |  FROM n WHERE vec_id < $NQueryVecs),
+         |scored AS (SELECT q.query_id, n.vec_id,
+         |  CAST(round(($sqlCos) * 1000000) AS BIGINT) AS mc
+         |  FROM q JOIN n ON n.label = q.label AND n.vec_id != q.query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY mc DESC, vec_id) AS rank FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, mc AS cos_mic
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "s1_ann_bruteforce" ->
       s"""WITH $baseCte,
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NQueryVecs),

@@ -90,6 +90,40 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q > -1.0 && q <= 1.0, s"modularity $q out of range")
   }
 
+  test("g17 clustering coefficient matches a local adjacency-set reference") {
+    val te = GraphQueries.partPairsMaterialized(spark, sf)
+      .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    te.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val expected = adj.keys.toSeq.sorted.map { v =>
+      val nb = adj(v)
+      val tri = nb.toSeq.map(u => (adj(u) & nb).size.toLong).sum / 2
+      val dg = nb.size.toLong
+      val cc = if (dg >= 2) 2000000L * tri / (dg * (dg - 1)) else 0L
+      (v, dg, tri, cc)
+    }
+    val got = GraphQueries.g17ClusteringCoeff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("s8 filtered ANN: neighbors always share the query's label") {
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SimilarityQueries.s8AnnFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, nb) =>
+      assert(labels(nb) === labels(q), s"query $q (label ${labels(q)}) got neighbor $nb (label ${labels(nb)})")
+    }
+    // ranks are 1..k per query with no gaps
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq, s"rank gap for query $q")
+    }
+  }
+
   test("g14 betweenness matches a local Brandes reference") {
     val te = GraphQueries.partPairsMaterialized(spark, sf)
       .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
