@@ -109,8 +109,29 @@ object Gmr {
                      outBase: String): Unit =
     GraphLoaders.writeMetisSubgraphs(load(spark, graphfile), parts, outBase)
 
+  /** The training-corpus curation pipeline as a CLI verb: runs the gated
+    * d8 end-to-end selection (quality gate ∧ exact-dup canonical ∧
+    * decontamination, one verdict row per document) over a testdata-shaped
+    * directory and writes the result as parquet. */
+  def curateCorpus(spark: SparkSession, sfDir: String, outDir: String): Long = {
+    val out = graft.operators.DedupQueries.d8CorpusSelect(spark, sfDir)
+    out.write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   def main(args: Array[String]): Unit = {
     val algorithm = args.headOption.getOrElse("trianglecount")
+    if (algorithm == "corpus") {
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+      val outDir = if (args.length > 2) args(2)
+        else s"${sys.props("user.dir")}/target/corpus_out"
+      val spark = graft.core.GraftSession.get(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      val n = curateCorpus(spark, sfDir, outDir)
+      println(s"[gmr] wrote $n corpus verdict rows at $outDir")
+      spark.stop()
+      return
+    }
     if (algorithm == "partition") {
       val graphfile = if (args.length > 1) args(1)
         else "/root/reference/graph/rdsmall.graph"

@@ -93,6 +93,16 @@ class GmrMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === orig.first().getLong(0))
   }
 
+  test("corpus verb: writes one verdict row per document, matching d8 directly") {
+    val out = java.nio.file.Files.createTempDirectory("gmr-corpus").toString + "/sel"
+    val n = Gmr.curateCorpus(spark, "/root/testdata/sf0.001", out)
+    val direct = graft.operators.DedupQueries
+      .d8CorpusSelect(spark, "/root/testdata/sf0.001")
+    assert(n === direct.count())
+    val back = spark.read.parquet(out)
+    assert(back.columns.sorted.toSeq === direct.columns.sorted.toSeq)
+  }
+
   test("ppr on small.graph: mass conserved, seed vertex 1 holds teleport mass") {
     val (df, iters) = Gmr.run(spark, "ppr", s"$ref/small.graph")
     val pr = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
