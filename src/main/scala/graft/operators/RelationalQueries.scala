@@ -559,7 +559,31 @@ object RelationalQueries {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** q50: unpivot / melt — q23's pivot inverted: the three lineitem
+    * measures become (measure, value) rows (`Dataset.unpivot`, Spark's
+    * native melt — a row-local generator, no shuffle), then a per-measure
+    * re-aggregation proves the long form round-trips. The wide→long
+    * reshape is how a 100-TB metrics table feeds generic per-metric
+    * pipelines without one job per column; integer-cents totals make the
+    * re-aggregation order-free. */
+  def q50Unpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val long = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber",
+        round($"l_quantity" * 100).cast("long").as("quantity"),
+        round($"l_extendedprice" * 100).cast("long").as("extendedprice"),
+        round($"l_discount" * 100).cast("long").as("discount"))
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"quantity", $"extendedprice", $"discount"),
+        "measure", "cents")
+    long.groupBy($"measure")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("total_cents"))
+      .orderBy($"measure")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q50_unpivot" -> q50Unpivot,
     "q47_window_fns" -> q47WindowFns,
     "q46_zorder" -> q46Zorder,
     "q30_grouping_sets" -> q30GroupingSets,
@@ -621,6 +645,19 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q50_unpivot" ->
+      """WITH w AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS quantity,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS extendedprice,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS discount
+        |  FROM lineitem),
+        |long AS (
+        |  SELECT 'quantity' AS measure, quantity AS cents FROM w
+        |  UNION ALL SELECT 'extendedprice', extendedprice FROM w
+        |  UNION ALL SELECT 'discount', discount FROM w)
+        |SELECT measure, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM long GROUP BY measure ORDER BY measure""".stripMargin,
     "q47_window_fns" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
