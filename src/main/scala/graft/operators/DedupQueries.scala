@@ -483,15 +483,26 @@ object DedupQueries {
     * prefilter in either direction — full common ≤ capped common + the
     * side's capped-away count, so `5·(c+nhot) ≥ 4·ntot` can't lose a
     * true pair whose common support isn't entirely hot — then an exact
-    * full-set verify that re-hashes only candidate docs. The d2
-    * hot-dominated-doc recovery pass applies unchanged if the
-    * all-hot-overlap class matters; omitted here (d2 already gates that
-    * machinery). Thresholds compare as integers; the reported score is
-    * one int/int double division. Output is DIRECTED
-    * (mutually-containing near-identical pairs emit both rows). */
+    * full-set verify that re-hashes only candidate docs. The
+    * hot-dominated recovery pass (d2's, both ends restricted to
+    * hot-dominated docs so per-key expansion stays ≤ DfCap²) recovers
+    * the mutual all-hot-overlap class. One class is deliberately OUT of
+    * scope: a hot-dominated doc contained in a non-hot-dominated
+    * container through exclusively-hot shingles — i.e. a pure-boilerplate
+    * doc quoted inside larger docs. That class is Ω(df) per hot shingle
+    * by construction (a boilerplate-only doc is contained in every doc
+    * carrying the boilerplate), so its output is corpus-quadratic at
+    * scale; the d1 exact-dup and t7 boilerplate gates are the right tool
+    * for those docs, and the spec pins the exclusion. (For d2's
+    * symmetric jaccard the both-ends restriction is lossless — j ≥ 0.5
+    * with one side non-hot-dominated forces tb ≤ 2ta and tb > 2ta, a
+    * contradiction — which is why d2 carries no such caveat.)
+    * Thresholds compare as integers; the reported score is one int/int
+    * double division. Output is DIRECTED (mutually-containing
+    * near-identical pairs emit both rows). */
   def d14Containment(s: SparkSession, d: String): DataFrame = {
     val (szs, common) = pairStatsMaterialized(s, d)
-    val cand = common
+    val cand1 = common
       .join(broadcast(szs.select(col("id").as("doc_a"),
         col("ntot").as("ta"), col("nhot").as("ha"))), "doc_a")
       .join(broadcast(szs.select(col("id").as("doc_b"),
@@ -500,6 +511,27 @@ object DedupQueries {
         (lit(5) * (col("c") + col("ha")) >= lit(4) * col("ta") ||
          lit(5) * (col("c") + col("hb")) >= lit(4) * col("tb")))
       .select("doc_a", "doc_b")
+    // Recovery: hot-dominated docs' hot postings, re-capped within the
+    // restriction (bounded expansion ≤ DfCap²) — d2's pass verbatim.
+    val ex = postingsMaterialized(s, d)
+    val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val hot = broadcast(dfc.where(col("df") > DfCap).select("h"))
+    val hdocs = broadcast(szs
+      .where(col("nhot") * 2 >= col("ntot") && col("ntot") >= ContainMinShingles)
+      .select("id"))
+    val hx = ex.join(hot, Seq("h")).join(hdocs, Seq("id"))
+    val hkeep = hx.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+      .where(col("dfh") <= DfCap).select("h")
+    val hxk = hx.join(hkeep, Seq("h"))
+    val cand2 = hxk.as("ha").join(hxk.as("hb"),
+        col("ha.h") === col("hb.h") && col("ha.lang") === col("hb.lang") &&
+        col("ha.id") < col("hb.id"))
+      .select(col("ha.id").as("doc_a"), col("hb.id").as("doc_b")).distinct()
+      .join(broadcast(szs.select(col("id").as("doc_a"), col("ntot").as("ta"))), "doc_a")
+      .join(broadcast(szs.select(col("id").as("doc_b"), col("ntot").as("tb"))), "doc_b")
+      .where(col("ta") >= ContainMinShingles && col("tb") >= ContainMinShingles)
+      .select("doc_a", "doc_b")
+    val cand = cand1.union(cand2).distinct()
       // The candidate list is read three times (id semi-join + both
       // directed verifies) — persist it or the pipeline above re-runs
       // per consumer (the d2 lesson; measured 17.6 → ~6 s here before
@@ -722,10 +754,25 @@ object DedupQueries {
          |common AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS c
          |  FROM cex a JOIN cex b ON a.h = b.h AND a.lang = b.lang
          |    AND a.id < b.id GROUP BY 1, 2),
-         |cand AS MATERIALIZED (SELECT doc_a, doc_b FROM common
+         |cand1 AS (SELECT doc_a, doc_b FROM common
          |  JOIN szs sa ON doc_a = sa.id JOIN szs sb ON doc_b = sb.id
          |  WHERE sa.ntot >= $ContainMinShingles AND sb.ntot >= $ContainMinShingles
          |    AND (5*(c + sa.nhot) >= 4*sa.ntot OR 5*(c + sb.nhot) >= 4*sb.ntot)),
+         |hdocs AS (SELECT id FROM szs
+         |  WHERE nhot * 2 >= ntot AND ntot >= $ContainMinShingles),
+         |hx AS MATERIALIZED (SELECT ex.id, ex.lang, ex.h FROM ex
+         |  JOIN hot ON ex.h = hot.h
+         |  JOIN hdocs ON ex.id = hdocs.id),
+         |hxk AS (SELECT hx.* FROM hx
+         |  JOIN (SELECT h FROM hx GROUP BY h HAVING count(*) <= $DfCap) hk
+         |  ON hx.h = hk.h),
+         |cand2 AS (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+         |  FROM hxk x JOIN hxk y
+         |  ON x.h = y.h AND x.lang = y.lang AND x.id < y.id
+         |  JOIN szs sa ON x.id = sa.id JOIN szs sb ON y.id = sb.id
+         |  WHERE sa.ntot >= $ContainMinShingles AND sb.ntot >= $ContainMinShingles),
+         |cand AS MATERIALIZED (SELECT doc_a, doc_b FROM cand1
+         |  UNION SELECT doc_a, doc_b FROM cand2),
          |v AS MATERIALIZED (SELECT doc_a, doc_b,
          |    CAST(len(list_intersect(fa.sh, fb.sh)) AS BIGINT) AS cf,
          |    CAST(len(fa.sh) AS BIGINT) AS ta, CAST(len(fb.sh) AS BIGINT) AS tb

@@ -157,6 +157,34 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!j.contains((1L, 2L)), "jaccard gate should not fire on containment-only pair")
   }
 
+  test("d14 recovery: mutual hot-only containment found; boilerplate-quote class excluded") {
+    import spark.implicits._
+    // d2's recovery corpus: docs 1,2 are bare boilerplate (every shingle
+    // hot at df=70, mutual containment 1.0, invisible to the capped
+    // index); docs 3..70 carry the boilerplate plus a long unique tail.
+    val boiler = (1 to 12).map(i => s"license term$i common header").mkString(" ")
+    val rows = Seq((1L, "en", boiler), (2L, "en", boiler)) ++
+      (3 to 70).map { i =>
+        (i.toLong, "en",
+          boiler + " " + (1 to 60).map(w => s"unique${i}word$w").mkString(" "))
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-d14rec").toString
+    rows.toDF("doc_id", "lang", "text").withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.DedupQueries.d14Containment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 },
+      s"mutual hot-only pair (1,2) not recovered: ${out.mkString(", ")}")
+    assert(out.exists { case (a, b, c) => a == 2L && b == 1L && c == 1.0 })
+    // The documented exclusion: doc 1 IS contained in docs 3..70, but
+    // only via hot shingles with a non-hot-dominated container — that
+    // boilerplate-quote class is deliberately out of scope (Ω(df)
+    // output; d1/t7 are the tools for boilerplate docs).
+    assert(!out.exists { case (a, b, _) => a == 1L && b >= 3L },
+      "boilerplate-quote class unexpectedly enumerated")
+  }
+
   test("d11: planted duplicate span is found, unique text is not") {
     import spark.implicits._
     // Docs 1 and 2 share one verbatim 10-word passage (3 duplicated
