@@ -54,7 +54,8 @@ object GScale {
     val all = Seq("d3_minhash_lsh", "d4_simhash", "d9_bloom_decontaminate",
       "g1_pagerank", "s6_ann_pq",
       // round-6 additions with nontrivial growth behavior
-      "t10_top_ngrams", "d13_group_sample", "q45_topk_group")
+      "t10_top_ngrams", "d13_group_sample", "q45_topk_group",
+      "d14_containment", "g16_modularity", "g17_clustering_coeff")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {
