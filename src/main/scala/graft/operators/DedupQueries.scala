@@ -106,22 +106,26 @@ object DedupQueries {
   }
 
   /** The capped-index pair statistics both near-dup queries consume:
-    * `sizes` (id, ntot, nhot — full vs df-capped shingle counts per doc)
-    * and `pairs` (doc_a, doc_b, c — same-lang pair co-occurrence counts
-    * over the capped index, the expensive bounded self-join). Built once
-    * per sfDir from [[postingsMaterialized]]; d2 layers its jaccard
-    * bound + hot-recovery on top, d14 its containment prefilter — the
-    * self-join itself never re-runs. */
-  def pairStatsMaterialized(s: SparkSession, d: String): (DataFrame, DataFrame) = synchronized {
+    * `sizes` (id, ntot, nhot — full vs df-capped shingle counts per doc),
+    * `pairs` (doc_a, doc_b, c — same-lang pair co-occurrence counts
+    * over the capped index, the expensive bounded self-join), and the
+    * `hot` shingle list (df > cap — the recovery passes' anchor, small by
+    * construction). Built once per sfDir from [[postingsMaterialized]];
+    * d2 layers its jaccard bound + hot-recovery on top, d14 its
+    * containment prefilter — the self-join itself never re-runs. */
+  def pairStatsMaterialized(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = synchronized {
     val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = s"${sys.props("user.dir")}/target/graft_derived/v$DedupDerivedVersion/$tag"
     val szsPath = s"$base/dedup_sizes"
     val prPath = s"$base/dedup_pairs"
+    val hotPath = s"$base/dedup_hot"
     if (!new java.io.File(s"$prPath/_SUCCESS").exists()) {
       val ex = postingsMaterialized(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val hot = broadcast(dfc.where(col("df") > DfCap).select("h"))
+      dfc.where(col("df") > DfCap).select("h")
+        .write.mode("overwrite").parquet(hotPath)
+      val hot = broadcast(s.read.parquet(hotPath))
       val cex = ex.join(hot, Seq("h"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ex.groupBy(col("id")).agg(count(lit(1)).as("ntot"))
@@ -137,7 +141,7 @@ object DedupQueries {
         .write.mode("overwrite").parquet(prPath)
       ex.unpersist(); cex.unpersist()
     }
-    (s.read.parquet(szsPath), s.read.parquet(prPath))
+    (s.read.parquet(szsPath), s.read.parquet(prPath), s.read.parquet(hotPath))
   }
 
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
@@ -148,9 +152,8 @@ object DedupQueries {
     // broadcast semi-join against the raw table).
     val ex = postingsMaterialized(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val hot = broadcast(dfc.where(col("df") > DfCap).select("h"))
-    val (szs, common) = pairStatsMaterialized(s, d)
+    val (szs, common, hotList) = pairStatsMaterialized(s, d)
+    val hot = broadcast(hotList)
     val scored = common
       .join(broadcast(szs.select(col("id").as("doc_a"), col("ntot").as("ta"), col("nhot").as("ha"))), "doc_a")
       .join(broadcast(szs.select(col("id").as("doc_b"), col("ntot").as("tb"), col("nhot").as("hb"))), "doc_b")
@@ -501,7 +504,7 @@ object DedupQueries {
     * double division. Output is DIRECTED (mutually-containing
     * near-identical pairs emit both rows). */
   def d14Containment(s: SparkSession, d: String): DataFrame = {
-    val (szs, common) = pairStatsMaterialized(s, d)
+    val (szs, common, hotList) = pairStatsMaterialized(s, d)
     val cand1 = common
       .join(broadcast(szs.select(col("id").as("doc_a"),
         col("ntot").as("ta"), col("nhot").as("ha"))), "doc_a")
@@ -514,8 +517,7 @@ object DedupQueries {
     // Recovery: hot-dominated docs' hot postings, re-capped within the
     // restriction (bounded expansion ≤ DfCap²) — d2's pass verbatim.
     val ex = postingsMaterialized(s, d)
-    val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val hot = broadcast(dfc.where(col("df") > DfCap).select("h"))
+    val hot = broadcast(hotList)
     val hdocs = broadcast(szs
       .where(col("nhot") * 2 >= col("ntot") && col("ntot") >= ContainMinShingles)
       .select("id"))
