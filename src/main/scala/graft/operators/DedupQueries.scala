@@ -565,6 +565,34 @@ object DedupQueries {
     dirA.union(dirB).orderBy("contained_id", "container_id")
   }
 
+  /** d15: fuzzy key matching / entity canonicalization — all pairs of
+    * distinct part names within edit distance 1, found by deletion-1
+    * neighborhood blocking (FastSS): each name emits itself plus every
+    * single-character deletion; two strings at distance ≤ 1 ALWAYS share
+    * a variant (equal → identity; substitution → delete the differing
+    * position on both; indel → the longer side's deletion equals the
+    * shorter side's identity), so the equi-join on variants is a
+    * lossless candidate generator and `levenshtein` (identical integer
+    * DP in both engines) verifies exactly. Scale shape: the vocabulary
+    * is `distinct` of the key column (dictionary-sized, ≪ corpus), the
+    * fan-out is bounded by max key length + 1, and the blocking join is
+    * an equi-join — never an all-pairs edit-distance scan, which is the
+    * textbook anti-pattern this operator replaces. */
+  def d15FuzzyNames(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+    val vars = names.select(col("name"), explode(expr(
+      """concat(array(name), transform(sequence(1, length(name)),
+        |  i -> concat(substring(name, 1, i-1), substring(name, i+1, 1000))))"""
+        .stripMargin)).as("variant"))
+    val cand = vars.as("a").join(vars.as("b"),
+        col("a.variant") === col("b.variant") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b")).distinct()
+    cand.where(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
   /** Exactly-k sample size per source for [[d13GroupSample]]. */
   private val SampleK = 5
 
@@ -667,7 +695,8 @@ object DedupQueries {
     "d9_bloom_decontaminate" -> d9BloomDecontaminate,
     "d10_source_mix" -> d10SourceMix,
     "d13_group_sample" -> d13GroupSample,
-    "d14_containment" -> d14Containment)
+    "d14_containment" -> d14Containment,
+    "d15_fuzzy_names" -> d15FuzzyNames)
 
   // ---- DuckDB oracles ----
 
@@ -790,6 +819,20 @@ object DedupQueries {
          |    round(CAST(cf AS DOUBLE) / CAST(tb AS DOUBLE), 6)
          |  FROM v WHERE 5*cf >= 4*tb)
          |ORDER BY contained_id, container_id""".stripMargin,
+    "d15_fuzzy_names" ->
+      s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+         |vars AS (SELECT name, unnest(list_prepend(name,
+         |    list_transform(range(1, length(name) + 1),
+         |      i -> substring(name, 1, i - 1) || substring(name, i + 1, 1000))))
+         |    AS variant
+         |  FROM names),
+         |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+         |  FROM vars a JOIN vars b
+         |  ON a.variant = b.variant AND a.name < b.name)
+         |SELECT name_a, name_b,
+         |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+         |FROM cand WHERE levenshtein(name_a, name_b) <= 1
+         |ORDER BY name_a, name_b""".stripMargin,
     "d13_group_sample" ->
       s"""WITH h AS (SELECT source, doc_id,
          |    ${sqlCharHash(s"text || '$SampleSalt'")} AS draw

@@ -185,6 +185,33 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       "boilerplate-quote class unexpectedly enumerated")
   }
 
+  test("d15: deletion-1 blocking finds substitution AND indel pairs, nothing else") {
+    val names = graft.core.Tables.part(spark, "/root/testdata/sf0.001")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      i <- names.indices; j <- names.indices
+      if names(i) < names(j) && lev(names(i), names(j)) <= 1
+    } yield (names(i), names(j), lev(names(i), names(j)).toLong)).sorted
+    val got = graft.operators.DedupQueries
+      .d15FuzzyNames(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture has no distance-1 name pairs")
+    // the fixture's pairs are substitutions AND indels ('old'/'cold');
+    // assert the indel class (length difference 1) is actually present
+    assert(got.exists { case (a, b, _) => a.length != b.length },
+      "no indel pair exercised")
+  }
+
   test("d11: planted duplicate span is found, unique text is not") {
     import spark.implicits._
     // Docs 1 and 2 share one verbatim 10-word passage (3 duplicated
