@@ -593,6 +593,40 @@ object DedupQueries {
       .orderBy("name_a", "name_b")
   }
 
+  /** Fixed CC unroll for [[d16NameCanon]] — fuzzy-variant clusters are
+    * near-cliques of tiny diameter; 4 min-label rounds is generous and
+    * monotone (extra rounds are no-ops). */
+  private val D16Iters = 4
+
+  /** d16: vocabulary canonicalization — d15's fuzzy pairs closed into
+    * clusters (the engine's own CC runner over name-hash vertices, the
+    * d6 pattern) and each cluster mapped to its lexicographically-least
+    * member: the "normalize every key variant to one spelling" step that
+    * follows fuzzy matching in any entity-resolution pipeline. Every
+    * distinct name appears (unpaired names are their own canonical).
+    * Pair volume is d15-bounded; the iteration shuffles O(|pairs|) per
+    * superstep — dictionary-scale throughout. */
+  def d16NameCanon(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      .withColumn("hid", Portable.charHash(col("name")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = d15FuzzyNames(s, d)
+      .join(names.select(col("name").as("name_a"), col("hid").as("src")), "name_a")
+      .join(names.select(col("name").as("name_b"), col("hid").as("dst")), "name_b")
+      .select("src", "dst")
+    val g = graft.graph.PropertyGraph.fromEdges(
+      graft.graph.PropertyGraph.symmetrize(e))
+    val comp = GmrRunner.runFixed(g, ConnectedComponentsProgram, D16Iters)
+      .select(col("id"), col("value").cast("long").as("comp"))
+    val withComp = names.join(comp, col("hid") === col("id"), "left_outer")
+      .select(col("name"), coalesce(col("comp"), col("hid")).as("comp"))
+    val canon = withComp.groupBy(col("comp")).agg(min(col("name")).as("canonical_name"))
+    withComp.join(canon, "comp")
+      .select(col("name"), col("canonical_name"),
+        (col("name") =!= col("canonical_name")).as("is_variant"))
+      .orderBy("name")
+  }
+
   /** Exactly-k sample size per source for [[d13GroupSample]]. */
   private val SampleK = 5
 
@@ -696,7 +730,8 @@ object DedupQueries {
     "d10_source_mix" -> d10SourceMix,
     "d13_group_sample" -> d13GroupSample,
     "d14_containment" -> d14Containment,
-    "d15_fuzzy_names" -> d15FuzzyNames)
+    "d15_fuzzy_names" -> d15FuzzyNames,
+    "d16_name_canon" -> d16NameCanon)
 
   // ---- DuckDB oracles ----
 
@@ -819,6 +854,43 @@ object DedupQueries {
          |    round(CAST(cf AS DOUBLE) / CAST(tb AS DOUBLE), 6)
          |  FROM v WHERE 5*cf >= 4*tb)
          |ORDER BY contained_id, container_id""".stripMargin,
+    "d16_name_canon" -> {
+      val steps = (1 to D16Iters).map { k =>
+        s"""c$k AS MATERIALIZED (
+           |  SELECT t.id, least(t.v, m.mv) AS v
+           |  FROM c${k - 1} t LEFT JOIN (
+           |    SELECT e.dst AS id, min(p.v) AS mv
+           |    FROM se e JOIN c${k - 1} p ON e.src = p.id
+           |    GROUP BY e.dst) m ON t.id = m.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+         |ids AS MATERIALIZED (SELECT name, ${sqlCharHash("name")} AS hid FROM names),
+         |vars AS (SELECT name, unnest(list_prepend(name,
+         |    list_transform(range(1, length(name) + 1),
+         |      i -> substring(name, 1, i - 1) || substring(name, i + 1, 1000))))
+         |    AS variant
+         |  FROM names),
+         |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+         |  FROM vars a JOIN vars b
+         |  ON a.variant = b.variant AND a.name < b.name),
+         |fp AS (SELECT name_a, name_b FROM cand
+         |  WHERE levenshtein(name_a, name_b) <= 1),
+         |e0 AS (SELECT ia.hid AS src, ib.hid AS dst FROM fp
+         |  JOIN ids ia ON fp.name_a = ia.name
+         |  JOIN ids ib ON fp.name_b = ib.name),
+         |se AS MATERIALIZED (SELECT src, dst FROM e0
+         |  UNION ALL SELECT dst, src FROM e0),
+         |c0 AS (SELECT hid AS id, hid AS v FROM ids),
+         |$steps,
+         |withc AS (SELECT ids.name, c$D16Iters.v AS comp FROM ids
+         |  JOIN c$D16Iters ON ids.hid = c$D16Iters.id),
+         |grp AS (SELECT comp, min(name) AS canonical_name
+         |  FROM withc GROUP BY comp)
+         |SELECT withc.name, grp.canonical_name,
+         |  withc.name != grp.canonical_name AS is_variant
+         |FROM withc JOIN grp ON withc.comp = grp.comp
+         |ORDER BY withc.name""".stripMargin
+    },
     "d15_fuzzy_names" ->
       s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
          |vars AS (SELECT name, unnest(list_prepend(name,

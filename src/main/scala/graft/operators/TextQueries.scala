@@ -315,7 +315,27 @@ object TextQueries {
       .orderBy("gram")
   }
 
+  /** t11: per-source corpus statistics — the run-ending ops rollup every
+    * curation pipeline reports (docs, token/char volume, language
+    * spread, mean doc length per source). One map-combinable aggregate
+    * over the corpus; the mean is an exact int/int double division. */
+  def t11SourceStats(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.words(col("text"))
+    docs(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(w).cast("long")).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("total_chars"), col("n_langs"),
+        (col("total_chars").cast("double") / col("n_docs").cast("double"))
+          .as("mean_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t11_source_stats" -> t11SourceStats,
     "t10_top_ngrams" -> t10TopNgrams,
     "t1_token_stats" -> t1TokenStats,
     "t2_langid" -> t2LangId,
@@ -341,6 +361,13 @@ object TextQueries {
        |  (a, b) -> (a*31 + b) % ${Portable.P})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t11_source_stats" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($sqlWords)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(length(text)) AS DOUBLE) / count(*) AS mean_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "t10_top_ngrams" ->
       s"""WITH g AS (SELECT unnest(list_transform(
          |    range(greatest(len($sqlWords) - 1, 0)),
