@@ -153,6 +153,48 @@ object GraphOps {
           .otherwise(coalesce(col("m"), lit(0L)) + 1).as("peel_round"))
   }
 
+  /** k-truss decomposition — the edge-level analog of [[kCore]]:
+    * iteratively drop every edge whose support (triangles it closes
+    * within the surviving subgraph) is below k−2, for a fixed number of
+    * cascade rounds. Input must be canonical (src < dst) undirected
+    * pairs; output is one row per input edge with the in-truss verdict
+    * and the 1-based peel round (0 = survived), derived by the same
+    * membership-count trick as kCore so a relational oracle reproduces
+    * it verbatim. Per round: one canonical-triple triangle join (the g5
+    * shape, bounded by Σ deg² of the surviving subgraph), an explode
+    * crediting each triangle's three edges, and an equi-join filter;
+    * survivor state is eagerly checkpointed. Fixed rounds keep both
+    * engines in lockstep even short of the fixpoint — the truss
+    * monotonically shrinks, so extra rounds are no-ops once converged. */
+  def kTruss(canonEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e0 = canonEdges.select("src", "dst").materialize()
+    var e = e0
+    val snapshots = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to rounds) {
+      val tri = e.as("ab").join(e.as("bc"), col("ab.dst") === col("bc.src"))
+        .join(e.as("ac"),
+          col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
+        .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))
+      val sup = tri.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("c").as("dst")),
+          struct(col("a").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+      e = e.join(sup, Seq("src", "dst"))
+        .where(col("support") >= k - 2)
+        .select("src", "dst").materialize()
+      snapshots += e
+    }
+    val mc = snapshots.result().reduce(_ union _)
+      .groupBy("src", "dst").agg(count(lit(1)).as("m"))
+    e0.join(mc, Seq("src", "dst"), "left_outer")
+      .select(col("src"), col("dst"),
+        (coalesce(col("m"), lit(0L)) === rounds).as("in_truss"),
+        when(coalesce(col("m"), lit(0L)) === rounds, lit(0L))
+          .otherwise(coalesce(col("m"), lit(0L)) + 1).as("peel_round"))
+  }
+
   /** Global triangle count — re-expression of TriangleCount
     * (`/root/reference/algorithms.h:97-180`). The reference emits each
     * canonical edge `(min,max)` as a composite key with the full neighbor

@@ -427,6 +427,26 @@ object GraphQueries {
       .orderBy("id")
   }
 
+  /** g18 unroll: 3-truss with 4 cascade rounds on the strong-tie
+    * subgraph (the same fixed-unroll contract as g11's k-core — both
+    * engines run exactly these rounds and agree even short of the
+    * fixpoint). */
+  private val TrussK = 3
+  private val TrussRounds = 4
+
+  /** g18: k-truss decomposition — which strong ties sit inside
+    * triangle-dense cohesive cores (the edge-level strengthening of
+    * g11's k-core and the peeled version of g15's embeddedness: an edge
+    * survives only while it still closes a triangle among survivors).
+    * [[graft.graph.GraphOps.kTruss]] over the thresholded canonical
+    * pairs, per-edge verdict + peel round out. */
+  def g18KTruss(s: SparkSession, d: String): DataFrame = {
+    val te = partPairsMaterialized(s, d).where(col("weight") >= LinkMinWeight)
+      .select("src", "dst")
+    GraphOps.kTruss(te, TrussK, TrussRounds)
+      .orderBy("src", "dst")
+  }
+
   /** g14 knobs: betweenness from the 5 smallest-id sources over the
     * strong-tie subgraph (the g13 weight floor — Brandes is O(sources ×
     * E), and sampled-source betweenness IS the standard scale form; exact
@@ -851,7 +871,8 @@ object GraphQueries {
     "g14_betweenness" -> g14Betweenness,
     "g15_embeddedness" -> g15Embeddedness,
     "g16_modularity" -> g16Modularity,
-    "g17_clustering_coeff" -> g17ClusteringCoeff)
+    "g17_clustering_coeff" -> g17ClusteringCoeff,
+    "g18_ktruss" -> g18KTruss)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),
@@ -874,6 +895,34 @@ object GraphQueries {
     "g11_kcore" -> kcoreSql(KCoreRounds),
     "g12_ppr" -> pprSql(PprIters, PprSeedMod),
     "g14_betweenness" -> betweennessSql(BcDepth, BcSources),
+    "g18_ktruss" -> {
+      val rounds = (1 to TrussRounds).map { r =>
+        s"""t$r AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+           |  FROM e${r - 1} ab JOIN e${r - 1} bc ON ab.dst = bc.src
+           |  JOIN e${r - 1} ac ON ac.src = ab.src AND ac.dst = bc.dst),
+           |s$r AS (SELECT src, dst, count(*) AS support FROM (
+           |    SELECT a AS src, b AS dst FROM t$r
+           |    UNION ALL SELECT b, c FROM t$r
+           |    UNION ALL SELECT a, c FROM t$r) GROUP BY src, dst),
+           |e$r AS MATERIALIZED (SELECT e.src, e.dst
+           |  FROM e${r - 1} e JOIN s$r ON e.src = s$r.src AND e.dst = s$r.dst
+           |  WHERE support >= ${TrussK - 2})""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to TrussRounds)
+        .map(r => s"SELECT src, dst FROM e$r").mkString(" UNION ALL ")
+      s"""WITH $edgeCtes,
+         |e0 AS MATERIALIZED (SELECT src, dst FROM cpairs
+         |  WHERE w >= ${LinkMinWeight.toInt}),
+         |$rounds,
+         |mc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS m
+         |  FROM ($unionAll) GROUP BY src, dst)
+         |SELECT e0.src, e0.dst,
+         |  coalesce(m, 0) = $TrussRounds AS in_truss,
+         |  CAST(CASE WHEN coalesce(m, 0) = $TrussRounds THEN 0
+         |       ELSE coalesce(m, 0) + 1 END AS BIGINT) AS peel_round
+         |FROM e0 LEFT JOIN mc ON e0.src = mc.src AND e0.dst = mc.dst
+         |ORDER BY e0.src, e0.dst""".stripMargin
+    },
     "g17_clustering_coeff" ->
       s"""WITH $edgeCtes,
          |te AS (SELECT src, dst FROM cpairs WHERE w >= ${LinkMinWeight.toInt}),

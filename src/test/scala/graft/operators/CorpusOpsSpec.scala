@@ -124,6 +124,30 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g18 k-truss matches a local fixed-round peeling reference") {
+    val te = GraphQueries.partPairsMaterialized(spark, sf)
+      .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var e = te.toSet
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+    (1 to 4).foreach { _ =>
+      val sup = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+      for {
+        ab @ (a, b) <- e; (b2, c) <- e if b2 == b && e((a, c))
+      } { sup(ab) += 1; sup((b, c)) += 1; sup((a, c)) += 1 }
+      e = e.filter(sup(_) >= 1)
+      snapshots += e
+    }
+    val m = te.map(ed => ed -> snapshots.count(_(ed)).toLong).toMap
+    val expected = te.toSeq.sorted.map { ed =>
+      (ed._1, ed._2, m(ed) == 4L, if (m(ed) == 4L) 0L else m(ed) + 1)
+    }
+    val got = GraphQueries.g18KTruss(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._3) && got.exists(!_._3), "fixture must peel some edges and keep some")
+  }
+
   test("g14 betweenness matches a local Brandes reference") {
     val te = GraphQueries.partPairsMaterialized(spark, sf)
       .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
