@@ -171,6 +171,39 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s9 neighbor budget (smaller than [[TopK]] — a kNN GRAPH wants a few
+    * strong edges per node, not a deep ranking). */
+  private val KnnK = 5
+
+  /** s9: approximate kNN-graph construction — EVERY vector's top-k
+    * neighbors, not a handful of probe queries (s1/s2/s8's shape): the
+    * precursor to embedding clustering, label propagation over
+    * neighborhoods, and graph-based dedup. All-pairs kNN is O(N²); the
+    * scale shape is s2's LSH buckets as the candidate generator — a
+    * bucket-keyed SELF-join (no broadcast side at all: both sides
+    * shuffle once on the 6-bit signature), exact cosine only within
+    * buckets, and the bounded BottomK heap per vector over the integer
+    * micro-cosine. Vectors alone in their bucket emit no edges —
+    * the standard recall trade (s2's multi-probe banding is the
+    * refinement path). Output is a directed kNN edge list. */
+  def s9KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val n = vecsWithNorm(s, d).withColumn("sig", signature(col("v")))
+    val scored = n.as("a").join(n.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("vec_id"),
+        round(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) * 1000000)
+          .cast("long").as("mc"))
+    val topk = udaf(new graft.functions.Aggregators.BottomK(KnnK),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy(col("src_id"))
+      .agg(topk(-col("mc"), col("vec_id")).as("tk"))
+      .select(col("src_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("src_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("neighbor_id"), (-col("p.m")).as("cos_mic"))
+      .orderBy("src_id", "rank")
+  }
+
   private val KmIters = 2
   private val QScale = 1000000L
 
@@ -396,7 +429,8 @@ object SimilarityQueries {
     "s5_quantize" -> s5Quantize,
     "s6_ann_pq" -> s6AnnPq,
     "s7_ann_ivfpq" -> s7AnnIvfPq,
-    "s8_ann_filtered" -> s8AnnFiltered)
+    "s8_ann_filtered" -> s8AnnFiltered,
+    "s9_knn_graph" -> s9KnnGraph)
 
   // ---- DuckDB oracles ----
 
@@ -468,6 +502,20 @@ object SimilarityQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "s9_knn_graph" ->
+      s"""WITH $baseCte,
+         |sigs AS MATERIALIZED (SELECT vec_id, v, nrm, $sqlSignature AS sig FROM n),
+         |scored AS (SELECT a.vec_id AS src_id, b.vec_id,
+         |  CAST(round((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(list_zip(a.v, b.v), s -> s[1]*s[2])),
+         |    (x, y) -> x + y) / (a.nrm * b.nrm)) * 1000000) AS BIGINT) AS mc
+         |  FROM sigs a JOIN sigs b
+         |  ON a.sig = b.sig AND a.vec_id != b.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
+         |  ORDER BY mc DESC, vec_id) AS rank FROM scored)
+         |SELECT src_id, CAST(rank AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, mc AS cos_mic
+         |FROM ranked WHERE rank <= $KnnK ORDER BY src_id, rank""".stripMargin,
     "s8_ann_filtered" ->
       s"""WITH $baseCte,
          |q AS (SELECT vec_id AS query_id, label, v AS qv, nrm AS qn
