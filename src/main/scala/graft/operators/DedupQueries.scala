@@ -627,6 +627,30 @@ object DedupQueries {
       .orderBy("name")
   }
 
+  /** d17: cross-source contamination matrix — for every pair of sources,
+    * the number of distinct 8-word spans they share: the corpus-level
+    * companion to d11 (which flags documents) and the provenance
+    * diagnostic that catches mirrored dumps and wholesale re-crawls
+    * between sources before they poison dedup-by-source assumptions.
+    * One span-hash explode (native kernel) → distinct (source, span) —
+    * the per-source span SETS, so document-level duplication inside a
+    * source can't inflate its overlap — then a hash-keyed self-join
+    * whose per-key expansion is bounded by the SOURCE count (a
+    * dictionary-sized dimension), never by corpus size. */
+  def d17SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("source"),
+        explode(Portable.spanHashes(col("text"), SpanK)).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Exactly-k sample size per source for [[d13GroupSample]]. */
   private val SampleK = 5
 
@@ -729,6 +753,7 @@ object DedupQueries {
     "d9_bloom_decontaminate" -> d9BloomDecontaminate,
     "d10_source_mix" -> d10SourceMix,
     "d13_group_sample" -> d13GroupSample,
+    "d17_source_overlap" -> d17SourceOverlap,
     "d14_containment" -> d14Containment,
     "d15_fuzzy_names" -> d15FuzzyNames,
     "d16_name_canon" -> d16NameCanon)
@@ -935,6 +960,20 @@ object DedupQueries {
          |SELECT id AS doc_id, sig FROM full_sig
          |WHERE id = (SELECT min(f2.id) FROM full_sig f2 WHERE f2.sig = full_sig.sig)
          |ORDER BY doc_id""".stripMargin,
+    "d17_source_overlap" -> {
+      val gram = (0 until 8).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+      s"""WITH wd AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+         |sp AS MATERIALIZED (SELECT DISTINCT source, h FROM (
+         |  SELECT source,
+         |    unnest(list_transform(range(1, greatest(len(words)-7, 0)+1),
+         |      i -> ${sqlCharHash("gramexpr")})) AS h
+         |  FROM wd))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_spans
+         |FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+         |GROUP BY a.source, b.source
+         |ORDER BY source_a, source_b""".stripMargin.replace("gramexpr", gram)
+    },
     "d11_dup_spans" -> {
       val gram = (0 until 8).map(j => s"words[i+$j]").mkString(" || ' ' || ")
       s"""WITH wd AS (SELECT doc_id AS id, string_split(text, ' ') AS words FROM documents),

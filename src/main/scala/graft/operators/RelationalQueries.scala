@@ -582,7 +582,27 @@ object RelationalQueries {
       .orderBy($"measure")
   }
 
+  /** q51: mode (most frequent value) per group — the ordered-set
+    * aggregate face, composed scale-first: count per (group, value) then
+    * the q33 `max(struct)` argmax over the counts (two map-combinable
+    * hash aggregates, no sort; ties resolve to the lexicographically
+    * LARGEST value — the struct order — and the oracle ranks by the
+    * identical (cnt DESC, value DESC) total order). Mode of the
+    * order priority per order status. */
+  def q51Mode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"o_orderstatus")
+      .agg(max(struct($"cnt", $"o_orderpriority")).as("m"), sum($"cnt").as("n_rows"))
+      .select($"o_orderstatus", $"m.o_orderpriority".as("mode_priority"),
+        $"m.cnt".as("mode_count"), $"n_rows")
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q51_mode" -> q51Mode,
     "q50_unpivot" -> q50Unpivot,
     "q47_window_fns" -> q47WindowFns,
     "q46_zorder" -> q46Zorder,
@@ -645,6 +665,17 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q51_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cnt DESC, o_orderpriority DESC) AS rn,
+        |  CAST(sum(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_rows
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  cnt AS mode_count, n_rows
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "q50_unpivot" ->
       """WITH w AS (SELECT l_orderkey, l_linenumber,
         |    CAST(round(l_quantity * 100) AS BIGINT) AS quantity,
