@@ -185,7 +185,13 @@ object SimilarityQueries {
     * buckets, and the bounded BottomK heap per vector over the integer
     * micro-cosine. Vectors alone in their bucket emit no edges —
     * the standard recall trade (s2's multi-probe banding is the
-    * refinement path). Output is a directed kNN edge list. */
+    * refinement path). Output is a directed kNN edge list.
+    *
+    * Scale knob: within-bucket candidate volume is Σ bucket² — the
+    * signature width must grow with the corpus (planes ≈ 2·log₂N keeps
+    * expected bucket occupancy O(1); the fixed 6 bits here match the
+    * 500–5000-vector testdata). The plan shape is invariant in the
+    * width; only the [[NPlanes]] constant moves. */
   def s9KnnGraph(s: SparkSession, d: String): DataFrame = {
     val n = vecsWithNorm(s, d).withColumn("sig", signature(col("v")))
     val scored = n.as("a").join(n.as("b"),
