@@ -55,7 +55,8 @@ object GScale {
       "g1_pagerank", "s6_ann_pq",
       // round-6 additions with nontrivial growth behavior
       "t10_top_ngrams", "d13_group_sample", "q45_topk_group",
-      "d14_containment", "g16_modularity", "g17_clustering_coeff")
+      "d14_containment", "g16_modularity", "g17_clustering_coeff",
+      "s9_knn_graph")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {
