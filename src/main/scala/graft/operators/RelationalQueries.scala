@@ -601,7 +601,26 @@ object RelationalQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** q52: ratio-to-report — each priority's share of its status's order
+    * volume. The scale-correct shape: aggregate FIRST (map-combinable
+    * cents sum to one row per (status, priority)), then the share window
+    * runs over the tiny grouped frame — never a window over the raw
+    * fact table. Integer cents; the share is one exact int/int double
+    * division. */
+  def q52ShareOfTotal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"o_orderstatus")
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .withColumn("status_cents", sum($"cents").over(w))
+      .select($"o_orderstatus", $"o_orderpriority", $"cents", $"status_cents",
+        ($"cents".cast("double") / $"status_cents".cast("double")).as("share"))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q52_share_of_total" -> q52ShareOfTotal,
     "q51_mode" -> q51Mode,
     "q50_unpivot" -> q50Unpivot,
     "q47_window_fns" -> q47WindowFns,
@@ -665,6 +684,16 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q52_share_of_total" ->
+      """WITH a AS (SELECT o_orderstatus, o_orderpriority,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        |b AS (SELECT *, CAST(sum(cents) OVER (PARTITION BY o_orderstatus)
+        |    AS BIGINT) AS status_cents FROM a)
+        |SELECT o_orderstatus, o_orderpriority, cents, status_cents,
+        |  CAST(cents AS DOUBLE) / CAST(status_cents AS DOUBLE) AS share
+        |FROM b ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q51_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority,
         |    CAST(count(*) AS BIGINT) AS cnt

@@ -69,6 +69,26 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t12: language-ID confusion matrix — t2's per-document predictions
+    * aggregated into the (labeled, predicted) cell counts with per-label
+    * recall: the eval-harness face every classifier-in-the-pipeline
+    * needs (t2 reports rows, t12 reports the model). One extra
+    * map-combinable aggregate over the t2 projection; recall is an
+    * exact int/int double division. */
+  def t12Confusion(s: SparkSession, d: String): DataFrame = {
+    t2LangId(s, d)
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("labeled_lang"))))
+      .select(col("labeled_lang"), col("pred_lang"), col("n"),
+        col("label_total"),
+        (col("n").cast("double") / col("label_total").cast("double"))
+          .as("frac_of_label"))
+      .orderBy("labeled_lang", "pred_lang")
+  }
+
   /** t3: quality scoring — length, punctuation density, stopword ratio,
     * mean token length; composite score in [0,1]-ish. */
   def t3Quality(s: SparkSession, d: String): DataFrame = {
@@ -335,6 +355,7 @@ object TextQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "t12_confusion" -> t12Confusion,
     "t11_source_stats" -> t11SourceStats,
     "t10_top_ngrams" -> t10TopNgrams,
     "t1_token_stats" -> t1TokenStats,
@@ -361,6 +382,25 @@ object TextQueries {
        |  (a, b) -> (a*31 + b) % ${Portable.P})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t12_confusion" -> {
+      val scores = Stopwords.map { case (l, sw) => s"${sqlStopCount(sw)} AS s_$l" }
+      val best = s"greatest(${Stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+      val chain = Stopwords.map { case (l, _) =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, lang AS labeled_lang,
+         |    ${scores.mkString(", ")} FROM documents),
+         |b AS (SELECT *, $best AS best FROM scored),
+         |p AS (SELECT labeled_lang,
+         |    CASE $chain ELSE 'und' END AS pred_lang FROM b),
+         |c AS (SELECT labeled_lang, pred_lang,
+         |    CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+         |c2 AS (SELECT *, CAST(sum(n) OVER (PARTITION BY labeled_lang)
+         |    AS BIGINT) AS label_total FROM c)
+         |SELECT labeled_lang, pred_lang, n, label_total,
+         |  CAST(n AS DOUBLE) / CAST(label_total AS DOUBLE) AS frac_of_label
+         |FROM c2 ORDER BY labeled_lang, pred_lang""".stripMargin
+    },
     "t11_source_stats" ->
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(len($sqlWords)) AS BIGINT) AS total_tokens,
