@@ -354,7 +354,36 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** t13: vocabulary coverage / OOV rate — t10's corpus-global top
+    * bigrams applied back to every document as a broadcast vocabulary:
+    * per doc, the fraction of its bigrams covered by the vocab (and the
+    * OOV complement). The derived-artifact-reuse shape every tokenizer
+    * pipeline runs (build vocab once, score coverage everywhere): the
+    * vocab is top-k — broadcast-sized by construction — so scoring is a
+    * map-side semi-join per exploded bigram; no corpus shuffle beyond
+    * the per-doc re-aggregation on the line key it already has.
+    * Coverage is an exact int/int double division. */
+  def t13VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val vocab = broadcast(t10TopNgrams(s, d).select(col("gram")))
+    val w = Portable.words(col("text"))
+    val grams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val perDoc = docs(s, d)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .join(vocab.withColumn("in_vocab", lit(1L)), Seq("gram"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
+    perDoc.select(col("doc_id"), col("n_grams"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_grams").cast("double"))
+          .as("coverage"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t13_vocab_coverage" -> t13VocabCoverage,
     "t12_confusion" -> t12Confusion,
     "t11_source_stats" -> t11SourceStats,
     "t10_top_ngrams" -> t10TopNgrams,
@@ -382,6 +411,21 @@ object TextQueries {
        |  (a, b) -> (a*31 + b) % ${Portable.P})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t13_vocab_coverage" ->
+      s"""WITH g AS (SELECT doc_id, unnest(list_transform(
+         |    range(greatest(len($sqlWords) - 1, 0)),
+         |    i -> $sqlWords[i+1] || ' ' || $sqlWords[i+2])) AS gram
+         |  FROM documents),
+         |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+         |t AS (SELECT gram FROM (SELECT * FROM c
+         |  ORDER BY cnt DESC, gram LIMIT $NgramTopK)),
+         |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_covered
+         |  FROM g LEFT JOIN t ON g.gram = t.gram GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_covered,
+         |  CAST(n_covered AS DOUBLE) / CAST(n_grams AS DOUBLE) AS coverage
+         |FROM p ORDER BY doc_id""".stripMargin,
     "t12_confusion" -> {
       val scores = Stopwords.map { case (l, sw) => s"${sqlStopCount(sw)} AS s_$l" }
       val best = s"greatest(${Stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")})"
