@@ -619,7 +619,30 @@ object RelationalQueries {
       .orderBy($"o_orderstatus", $"o_orderpriority")
   }
 
+  /** q53: grouped array collection (array_agg) — each customer's order
+    * ids gathered into one sorted list (the denormalize-for-serving
+    * export shape: one row per entity, details nested). collect_list is
+    * a mergeable buffer aggregate (no window, no sort shuffle beyond the
+    * group key); sort_array makes the intra-group order deterministic,
+    * and the gate-safe output is the joined string (the q12 convention —
+    * cross-engine array-column hashing is representation-fragile).
+    * Unbounded-group caution at scale: collect_list state is O(group
+    * size) — the export shape is right only when groups are known
+    * bounded (orders per customer); the q45 heap is the tool when only
+    * a top-k slice is wanted. */
+  def q53ArrayAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(collect_list($"o_orderkey").as("ids"), count(lit(1)).as("n_orders"))
+      .select($"o_custkey", $"n_orders",
+        array_join(transform(sort_array($"ids"), _.cast("string")), ",")
+          .as("order_ids"))
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q53_array_agg" -> q53ArrayAgg,
     "q52_share_of_total" -> q52ShareOfTotal,
     "q51_mode" -> q51Mode,
     "q50_unpivot" -> q50Unpivot,
@@ -684,6 +707,10 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q53_array_agg" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q52_share_of_total" ->
       """WITH a AS (SELECT o_orderstatus, o_orderpriority,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
