@@ -308,6 +308,39 @@ object TextQueries {
   /** Global top-k size for [[t10TopNgrams]]. */
   private val NgramTopK = 20
 
+  private val TextDerivedVersion = 1
+
+  /** Per-document bigram postings (doc_id, gram) materialized once per
+    * sfDir — the explode + string materialization is the expensive part
+    * of both t10 (global counts) and t13 (coverage scoring); the
+    * derive-once rule (first caller pays) applies exactly as for the
+    * dedup postings and the g-family pair tables. */
+  def gramPostingsMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
+    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("user.dir")}/target/graft_derived/v$TextDerivedVersion/$tag/gram_postings"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val w = Portable.words(col("text"))
+      val grams = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      docs(s, d).select(col("doc_id"), explode(grams).as("gram"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Global bigram counts (gram, cnt) beside the postings. */
+  def gramCountsMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
+    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("user.dir")}/target/graft_derived/v$TextDerivedVersion/$tag/gram_counts"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      gramPostingsMaterialized(s, d).groupBy(col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** t10: corpus-global top-k n-grams — the vocabulary-building /
     * corpus-statistics pass of a training pipeline (what BPE merge
     * selection and contamination-prone-phrase audits both start from).
@@ -321,19 +354,10 @@ object TextQueries {
     * long tail would move to the q35 Count-Min front end. Deterministic
     * LIMIT rule: total order (cnt DESC, gram), re-ordered by gram
     * outside. */
-  def t10TopNgrams(s: SparkSession, d: String): DataFrame = {
-    val w = Portable.words(col("text"))
-    val grams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    docs(s, d)
-      .select(explode(grams).as("gram"))
-      .groupBy(col("gram"))
-      .agg(count(lit(1)).as("cnt"))
+  def t10TopNgrams(s: SparkSession, d: String): DataFrame =
+    gramCountsMaterialized(s, d)
       .orderBy(col("cnt").desc, col("gram")).limit(NgramTopK)
       .orderBy("gram")
-  }
 
   /** t11: per-source corpus statistics — the run-ending ops rollup every
     * curation pipeline reports (docs, token/char volume, language
@@ -365,13 +389,7 @@ object TextQueries {
     * Coverage is an exact int/int double division. */
   def t13VocabCoverage(s: SparkSession, d: String): DataFrame = {
     val vocab = broadcast(t10TopNgrams(s, d).select(col("gram")))
-    val w = Portable.words(col("text"))
-    val grams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val perDoc = docs(s, d)
-      .select(col("doc_id"), explode(grams).as("gram"))
+    val perDoc = gramPostingsMaterialized(s, d)
       .join(vocab.withColumn("in_vocab", lit(1L)), Seq("gram"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
