@@ -212,6 +212,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no indel pair exercised")
   }
 
+  test("d17: cross-source shared passage counted once per source pair") {
+    import spark.implicits._
+    // Sources A and B share one 10-word passage (3 distinct 8-word
+    // spans); A contains the passage TWICE (two docs) — the per-source
+    // span SETS must keep the overlap at 3, not 6. Source C is disjoint.
+    val passage = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val rows = Seq(
+      (1L, "A", passage + " " + (1 to 20).map(i => s"aone$i").mkString(" ")),
+      (2L, "A", (1 to 20).map(i => s"atwo$i").mkString(" ") + " " + passage),
+      (3L, "B", passage + " " + (1 to 20).map(i => s"bone$i").mkString(" ")),
+      (4L, "C", (1 to 30).map(i => s"cuniq$i").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d17").toString
+    rows.toDF("doc_id", "source", "text").withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.DedupQueries.d17SourceOverlap(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("A", "B") -> 3L),
+      s"expected only (A,B)->3, got $out")
+  }
+
   test("d11: planted duplicate span is found, unique text is not") {
     import spark.implicits._
     // Docs 1 and 2 share one verbatim 10-word passage (3 duplicated
