@@ -76,6 +76,13 @@ object GScale {
       val tSmall = run(base, name)
       val tBig = run(big, name)
       println(f"[gscale] $name%-24s $tSmall%8.2f $tBig%8.2f  ${tBig / tSmall}%5.2f")
+      if (name == "s9_knn_graph") {
+        // The scale-knob evidence: candidate-pair volume of the
+        // multi-probe bucket join must grow ~O(N), not quadratically.
+        val cSmall = graft.operators.SimilarityQueries.knnCandidateCount(spark, base)
+        val cBig = graft.operators.SimilarityQueries.knnCandidateCount(spark, big)
+        println(f"[gscale] s9_candidate_pairs     $cSmall%8d $cBig%8d  ${cBig.toDouble / cSmall}%5.2f")
+      }
     }
     spark.stop()
   }

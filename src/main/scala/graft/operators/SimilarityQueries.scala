@@ -64,22 +64,47 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Signature column: 6-bit hyperplane sign pattern of `v` (shared with
-    * d5's near-dup candidate generation in [[DedupQueries]]). */
-  private[operators] def signature(v: Column): Column =
-    (0 until NPlanes).map { j =>
+  /** Signature column: `planes`-bit hyperplane sign pattern of `v`. The
+    * default 6-bit form is shared with d5's near-dup candidate generation
+    * in [[DedupQueries]]; s2/s9 pass a data-derived width
+    * ([[derivedPlanes]]). */
+  private[operators] def signature(v: Column, planes: Int = NPlanes): Column =
+    (0 until planes).map { j =>
       val plane = array((0 until Dim).map(dd => lit(planeComponent(j, dd))): _*)
       val proj = graft.functions.Portable.vecDot(v, plane)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** s2: LSH-bucketed cosine top-10 — candidates share the full 6-bit
-    * signature with the query. */
+  /** Data-derived signature width: `max(6, ceil(log2 N) - 3)` — i.e.
+    * ~N/8 buckets, so EXPECTED bucket occupancy stays a constant ~8 and
+    * within-bucket candidate volume Σb² ≈ 8N stays O(N) as the corpus
+    * grows (a fixed width is quadratic: Σb² ≈ N²/2^w). Computed from a
+    * one-row `count()` of the vector table via integer bit-length — no
+    * libm, so the DuckDB oracle derives the identical width with
+    * `length(bin(N-1))`. The floor of 6 keeps the small-SF surface on the
+    * round-6 geometry. */
+  private[operators] def derivedPlanes(nVecs: Long): Int =
+    if (nVecs < 2) NPlanes
+    else math.max(NPlanes, 64 - java.lang.Long.numberOfLeadingZeros(nVecs - 1) - 3)
+
+  /** Multi-probe bucket list: the vector's own signature plus every
+    * 1-bit flip of it — hamming-radius-1 probing, the standard recall
+    * recovery for wide signatures (each true pair at hamming ≤ 1 meets
+    * in exactly one probed bucket, so candidates never duplicate). */
+  private def probeSigs(sig: Column, planes: Int): Column =
+    array(sig +: (0 until planes).map(j => sig.bitwiseXOR(lit(1L << j))): _*)
+
+  /** s2: LSH-bucketed cosine top-10 — candidates share the query's
+    * signature bucket exactly or at hamming distance 1 (multi-probe).
+    * Signature width is derived from the corpus size ([[derivedPlanes]]),
+    * so the bucket count scales with N and the candidate join stays
+    * linear at any scale; multi-probe holds recall as the width grows. */
   def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
-    val n = vecsWithNorm(s, d).withColumn("sig", signature(col("v")))
+    val planes = derivedPlanes(Tables.embeddings(s, d).count())
+    val n = vecsWithNorm(s, d).withColumn("sig", signature(col("v"), planes))
     val q = broadcast(n.where(col("vec_id") < NQueryVecs)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("sig").as("qsig")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(probeSigs(col("sig"), planes)).as("qsig")))
     val scored = q.join(n, col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cos_sim"))
@@ -183,19 +208,23 @@ object SimilarityQueries {
     * bucket-keyed SELF-join (no broadcast side at all: both sides
     * shuffle once on the 6-bit signature), exact cosine only within
     * buckets, and the bounded BottomK heap per vector over the integer
-    * micro-cosine. Vectors alone in their bucket emit no edges —
-    * the standard recall trade (s2's multi-probe banding is the
-    * refinement path). Output is a directed kNN edge list.
+    * micro-cosine. Output is a directed kNN edge list.
     *
-    * Scale knob: within-bucket candidate volume is Σ bucket² — the
-    * signature width must grow with the corpus (planes ≈ 2·log₂N keeps
-    * expected bucket occupancy O(1); the fixed 6 bits here match the
-    * 500–5000-vector testdata). The plan shape is invariant in the
-    * width; only the [[NPlanes]] constant moves. */
+    * Scale knob (CLOSED, round 7): signature width is derived from the
+    * corpus size ([[derivedPlanes]] — ~N/8 buckets keeps expected bucket
+    * occupancy a constant ~8, so within-bucket candidate volume Σb² ≈ 8N
+    * is O(N) instead of the fixed-width N²/2^w), and every vector probes
+    * its own bucket plus all hamming-1 neighbors (multi-probe) to hold
+    * recall at the wider widths. The plan shape is invariant in the
+    * width; the DuckDB oracle derives the identical width from the same
+    * count. */
   def s9KnnGraph(s: SparkSession, d: String): DataFrame = {
-    val n = vecsWithNorm(s, d).withColumn("sig", signature(col("v")))
-    val scored = n.as("a").join(n.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
+    val planes = derivedPlanes(Tables.embeddings(s, d).count())
+    val n = vecsWithNorm(s, d).withColumn("sig", signature(col("v"), planes))
+    val probes = n.select(col("vec_id"), col("v"), col("nrm"),
+      explode(probeSigs(col("sig"), planes)).as("psig"))
+    val scored = probes.as("a").join(n.as("b"),
+        col("a.psig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("vec_id"),
         round(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) * 1000000)
           .cast("long").as("mc"))
@@ -208,6 +237,18 @@ object SimilarityQueries {
       .select(col("src_id"), (col("pos") + 1).cast("long").as("rank"),
         col("p.id").as("neighbor_id"), (-col("p.m")).as("cos_mic"))
       .orderBy("src_id", "rank")
+  }
+
+  /** Builder-side probe (GScale): the number of candidate pairs s9's
+    * multi-probe bucket join generates — the quantity the derived width
+    * must keep O(N) (it was ~O(N²/2^6) with the fixed 6-bit width). */
+  def knnCandidateCount(s: SparkSession, d: String): Long = {
+    val planes = derivedPlanes(Tables.embeddings(s, d).count())
+    val n = vecsWithNorm(s, d).withColumn("sig", signature(col("v"), planes))
+    val probes = n.select(col("vec_id"),
+      explode(probeSigs(col("sig"), planes)).as("psig"))
+    probes.as("a").join(n.select(col("vec_id"), col("sig")).as("b"),
+      col("a.psig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id")).count()
   }
 
   private val KmIters = 2
@@ -460,6 +501,35 @@ object SimilarityQueries {
          | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
     }.mkString(" + ")
 
+  /** Dynamic-width signature CTE chain (s2/s9 oracles): `cnt` derives
+    * the same width as [[derivedPlanes]] via integer bit-length
+    * (`length(bin(N-1))` == `64 - numberOfLeadingZeros(N-1)` — no libm);
+    * `sigb` computes one sign bit per (vector, plane) with the plane
+    * index as a correlated lambda column; `sigv` folds the bits (exact
+    * integer sum of distinct powers of two); `probes` is the hamming-1
+    * multi-probe expansion (own bucket + every 1-bit flip). Expects the
+    * `e`/`n` CTEs of [[baseCte]] upstream. */
+  private val sqlSigDyn: String =
+    s"""cnt AS (SELECT GREATEST($NPlanes,
+       |    length(bin(CAST(count(*) - 1 AS BIGINT))) - 3) AS planes FROM e),
+       |sigb AS (SELECT vec_id, j,
+       |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(list_zip(v, list_transform(range(0, $Dim),
+       |      d -> CAST((1103515245*(j*$Dim + d) + 12345) % 2147483648 AS DOUBLE)
+       |           / 2147483648.0 - 0.5)),
+       |    s -> s[1]*s[2])), (a, b) -> a + b) > 0
+       |   THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, (SELECT planes FROM cnt))) AS j)),
+       |sigv AS MATERIALIZED (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig
+       |  FROM sigb GROUP BY vec_id),
+       |sigs AS MATERIALIZED (SELECT n.vec_id, n.v, n.nrm, sigv.sig
+       |  FROM n JOIN sigv USING (vec_id)),
+       |flips AS (SELECT unnest(range(0, (SELECT planes FROM cnt) + 1)) AS f),
+       |probes AS (SELECT vec_id, v, nrm,
+       |  CASE WHEN f = (SELECT planes FROM cnt) THEN sig
+       |       ELSE xor(sig, CAST(1 AS BIGINT) << f) END AS psig
+       |  FROM sigs CROSS JOIN flips)""".stripMargin
+
   /** Parameterized cosine between two aliased vector/norm columns. */
   private[operators] def sqlCosGen(va: String, vb: String, na: String, nb: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -510,13 +580,13 @@ object SimilarityQueries {
   val oracle: Map[String, String] = Map(
     "s9_knn_graph" ->
       s"""WITH $baseCte,
-         |sigs AS MATERIALIZED (SELECT vec_id, v, nrm, $sqlSignature AS sig FROM n),
+         |$sqlSigDyn,
          |scored AS (SELECT a.vec_id AS src_id, b.vec_id,
          |  CAST(round((list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |    list_transform(list_zip(a.v, b.v), s -> s[1]*s[2])),
          |    (x, y) -> x + y) / (a.nrm * b.nrm)) * 1000000) AS BIGINT) AS mc
-         |  FROM sigs a JOIN sigs b
-         |  ON a.sig = b.sig AND a.vec_id != b.vec_id),
+         |  FROM probes a JOIN sigs b
+         |  ON a.psig = b.sig AND a.vec_id != b.vec_id),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
          |  ORDER BY mc DESC, vec_id) AS rank FROM scored)
          |SELECT src_id, CAST(rank AS BIGINT) AS rank,
@@ -546,9 +616,9 @@ object SimilarityQueries {
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "s2_ann_lsh" ->
       s"""WITH $baseCte,
-         |sigs AS (SELECT vec_id, v, nrm, $sqlSignature AS sig FROM n),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, sig AS qsig
-         |  FROM sigs WHERE vec_id < $NQueryVecs),
+         |$sqlSigDyn,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, psig AS qsig
+         |  FROM probes WHERE vec_id < $NQueryVecs),
          |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
          |  round($sqlCos, 6) AS cos_sim
          |  FROM q JOIN (SELECT vec_id, v, nrm, sig FROM sigs) n
