@@ -40,10 +40,33 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // The driver ships only the last ~2000 chars of stdout, which a
+    // 112-entry map with full query names overflows (round-6 artifact
+    // lost 45 per-query numbers). Two-part contract: the ONE printed
+    // line keys queries by their canonical short ids ("q17", "d14", …
+    // — unique across the surface) at 10 ms precision so the whole
+    // line fits the capture window and parses; the full-name map (ms
+    // precision, plus host-load context) goes to bench_full.json in
+    // the repo root for the per-round commit.
+    val shortKeys = results.map { case (k, _) => k.takeWhile(_ != '_') }
+    val qs =
+      if (shortKeys.distinct.size == results.size)
+        shortKeys.zip(results).map { case (sk, (_, v)) =>
+          "\"" + sk + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      else results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val meta = f""""unit":"sec","sf":"$sfDir","load":$load%.2f,"n":${results.size}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(f"""{"metric":"total","value":$total%.3f,$meta,"queries":$fullQs}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
+    println(f"""{"metric":"total","value":$total%.3f,$meta,"full":"bench_full.json","queries":$qs}""")
     spark.stop()
   }
 }

@@ -43,9 +43,21 @@ object GScale {
     replicate("documents", (df, k) => df
       .withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
       .withColumn("text", concat(lit(s"copytag$k "), col("text"))))
-    // embeddings: offset vec ids (vectors repeat — ANN ties break by id).
+    // embeddings: offset vec ids and cyclic-shift each copy's dimensions
+    // by k. Cosine is invariant under a permutation applied to BOTH
+    // vectors, so every copy's internal neighbor structure is exactly
+    // sf0.1's, while cross-copy similarity decorrelates — the same
+    // per-copy-disjoint convention as documents' copytag and lineitem's
+    // key offsets. (Verbatim replication would make every vector an
+    // exact 10-way duplicate: those collide in ANY locality-sensitive
+    // scheme at any width, so the probe would measure intra-dup-group
+    // quadratic blowup instead of the pipeline's scaling.)
     replicate("embeddings", (df, k) => df
-      .withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
+      .withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
+      .withColumn("embedding",
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, 64 - k),
+          slice(col("embedding"), 1, k))))
     // lineitem: offset order+part keys → 10 disjoint co-purchase graphs.
     replicate("lineitem", (df, k) => df
       .withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))

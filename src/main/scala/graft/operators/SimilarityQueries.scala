@@ -32,10 +32,20 @@ object SimilarityQueries {
   private val NPlanes = 6
   private val Dim = 64
 
-  /** LCG hyperplane component (j,d) ∈ [-0.5, 0.5): exactly representable
-    * and reproducible in any engine with BIGINT + DOUBLE. */
-  private def planeComponent(j: Int, d: Int): Double =
-    ((1103515245L * (j * Dim + d) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+  /** Hyperplane component (j,d) ∈ [-0.5, 0.5), reproducible in any
+    * engine with BIGINT + DOUBLE. Quadratic integer hash, NOT a linear
+    * LCG of the flat index: LCG outputs at consecutive seeds lie on a
+    * coarse lattice, which made the original planes correlated (measured
+    * mean |cos| 0.356 between plane pairs, worst pair 0.999 — i.e. two
+    * "independent" planes were the same plane, so widening the signature
+    * added no discrimination). The quadratic term breaks the lattice:
+    * measured mean |cos| 0.096 ≈ the E[|cos|] of truly random 64-dim
+    * directions. All intermediates < 2^62 — ANSI-safe BIGINT. */
+  private val PlaneP = 2147483647L
+  private def planeComponent(j: Int, d: Int): Double = {
+    val k = (j * Dim + d).toLong
+    ((((k * k) % PlaneP) * 1103515245L + 7919L * k + 13L) % PlaneP).toDouble / PlaneP.toDouble - 0.5
+  }
 
   private[operators] def vecsWithNorm(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(
@@ -91,7 +101,7 @@ object SimilarityQueries {
     * 1-bit flip of it — hamming-radius-1 probing, the standard recall
     * recovery for wide signatures (each true pair at hamming ≤ 1 meets
     * in exactly one probed bucket, so candidates never duplicate). */
-  private def probeSigs(sig: Column, planes: Int): Column =
+  private[operators] def probeSigs(sig: Column, planes: Int): Column =
     array(sig +: (0 until planes).map(j => sig.bitwiseXOR(lit(1L << j))): _*)
 
   /** s2: LSH-bucketed cosine top-10 — candidates share the query's
@@ -490,13 +500,20 @@ object SimilarityQueries {
       |  list_transform(list_zip(q.qv, n.v), s -> s[1]*s[2])),
       |  (a, b) -> a + b) / (q.qn * n.nrm)""".stripMargin
 
-  /** The same 6-bit signature as [[signature]], from the same LCG. */
+  /** SQL form of [[planeComponent]] for a plane-index expression `j`
+    * and dimension lambda variable `d` (exact integer arithmetic, then
+    * one shared IEEE division — bit-identical across engines). */
+  private def sqlPlaneComponent(j: String): String =
+    s"""CAST((((CAST(($j*$Dim + d) AS BIGINT)*($j*$Dim + d) % $PlaneP)
+       |  * 1103515245 + 7919*($j*$Dim + d) + 13) % $PlaneP) AS DOUBLE)
+       |  / $PlaneP.0 - 0.5""".stripMargin
+
+  /** The same 6-bit signature as [[signature]], from the same planes. */
   private[operators] val sqlSignature: String =
     (0 until NPlanes).map { j =>
       s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(list_zip(v, list_transform(range(0, $Dim),
-         |    d -> CAST((1103515245*($j*$Dim + d) + 12345) % 2147483648 AS DOUBLE)
-         |         / 2147483648.0 - 0.5)),
+         |    d -> ${sqlPlaneComponent(j.toString)})),
          |  s -> s[1]*s[2])), (a, b) -> a + b) > 0
          | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
     }.mkString(" + ")
@@ -515,8 +532,7 @@ object SimilarityQueries {
        |sigb AS (SELECT vec_id, j,
        |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(list_zip(v, list_transform(range(0, $Dim),
-       |      d -> CAST((1103515245*(j*$Dim + d) + 12345) % 2147483648 AS DOUBLE)
-       |           / 2147483648.0 - 0.5)),
+       |      d -> ${sqlPlaneComponent("j")})),
        |    s -> s[1]*s[2])), (a, b) -> a + b) > 0
        |   THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END AS bit
        |  FROM e CROSS JOIN (SELECT unnest(range(0, (SELECT planes FROM cnt))) AS j)),
