@@ -132,6 +132,27 @@ object Gmr {
       spark.stop()
       return
     }
+    if (algorithm == "partstats") {
+      // the reference's showGraphPartitions analog (partition.h:469-542):
+      // `runMain graft.Gmr partstats <basePath> [parts]` over files the
+      // reference's partitioner (or our `partition` verb) wrote.
+      val basePath = if (args.length > 1) args(1)
+        else "/root/reference/graph/small.graph"
+      val parts = if (args.length > 2) args(2).toInt
+        else Iterator.from(0)
+          .takeWhile(p => new java.io.File(s"$basePath.subgraph.$p").exists()).size
+      require(parts > 0, s"no $basePath.subgraph.* files found")
+      val spark = graft.core.GraftSession.get(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      val stats = GraphLoaders.partitionStats(spark, basePath, parts)
+      stats.orderBy("part").show(truncate = false)
+      val (vImbal, eImbal, cuts) = GraphLoaders.partitionImbalance(stats)
+      println(f"[gmr] Object imbalance (1.0 perfect, larger numbers are worse): $vImbal%.4f")
+      println(f"[gmr] Edge-record imbalance: $eImbal%.4f")
+      println(s"[gmr] Total number of edge cuts: $cuts")
+      spark.stop()
+      return
+    }
     if (algorithm == "partition") {
       val graphfile = if (args.length > 1) args(1)
         else "/root/reference/graph/rdsmall.graph"

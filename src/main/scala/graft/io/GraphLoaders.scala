@@ -230,6 +230,41 @@ object GraphLoaders {
       }
     } finally lines.unpersist(blocking = false)
   }
+
+  /** Partition-quality metrics over a set of fmt=1111 subgraph files —
+    * the reference's `showGraphPartitions` analog
+    * (`/root/reference/partition.h:469-542`), which prints per-part
+    * assignment, the edge-cut count, and an object-imbalance measure.
+    * One row per part: vertex count, edge-record count, cut edge
+    * records (the file's recorded neighbor owner `dst_part` differs
+    * from the part that owns the source), and the cut fraction. Each
+    * part's numbers are one aggregate over its file scan; nothing
+    * per-row reaches the driver. */
+  def partitionStats(spark: SparkSession, basePath: String, parts: Int): DataFrame = {
+    import spark.implicits._
+    (0 until parts).map { p =>
+      val g = metisSubgraph(spark, s"$basePath.subgraph.$p")
+      val e = g.edges.agg(count(lit(1)),
+        sum(when(col("dst_part") =!= p, 1L).otherwise(0L))).first()
+      (p.toLong, g.vertices.count(), e.getLong(0), e.getLong(1))
+    }.toDF("part", "nvtxs", "nedges", "cut_edges")
+      .withColumn("cut_pct",
+        round(col("cut_edges") * 100.0 / greatest(col("nedges"), lit(1L)), 2))
+  }
+
+  /** The reference's imbalance measure over a [[partitionStats]] frame:
+    * `max_p(nparts * count_p / sum)` — 1.0 is perfect balance, larger is
+    * worse (`partition.h:530-534`) — for vertices and edge records, plus
+    * the total cut-record count (`partition.h:536-537`). */
+  def partitionImbalance(stats: DataFrame): (Double, Double, Long) = {
+    val r = stats.agg(max(col("nvtxs")), sum(col("nvtxs")),
+      max(col("nedges")), sum(col("nedges")),
+      sum(col("cut_edges")), count(lit(1))).first()
+    val parts = r.getLong(5).toDouble
+    (parts * r.getLong(0) / r.getLong(1).toDouble,
+      parts * r.getLong(2) / r.getLong(3).toDouble,
+      r.getLong(4))
+  }
 }
 
 /** The reference's global sample sort (`/root/reference/samplesort.cpp`,

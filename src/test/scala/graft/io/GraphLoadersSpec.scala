@@ -131,6 +131,36 @@ class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("empty"))
   }
 
+  test("partstats vs the reference's hand-partitioned small.graph (partition.h:469-542)") {
+    // Hand count from /root/reference/graph/small.graph.subgraph.{0,1,2}:
+    // part 0 owns {3,8,9} (6 edge records, 2 pointing off-part: 3→1, 3→2),
+    // part 1 owns {1,4,5,10} (8 records, cut 1→2 and 1→3),
+    // part 2 owns {2,6,7} (6 records, cut 2→1 and 2→3).
+    // Imbalance (nparts·max/sum): vertices 3·4/10 = 1.2, edges 3·8/20 = 1.2.
+    val stats = GraphLoaders.partitionStats(
+      spark, "/root/reference/graph/small.graph", 3)
+    val rows = stats.orderBy("part").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows === Array((0L, 3L, 6L, 2L), (1L, 4L, 8L, 2L), (2L, 3L, 6L, 2L)))
+    val (vImbal, eImbal, cuts) = GraphLoaders.partitionImbalance(stats)
+    assert(math.abs(vImbal - 1.2) < 1e-9)
+    assert(math.abs(eImbal - 1.2) < 1e-9)
+    assert(cuts === 6L)
+  }
+
+  test("partstats on our own writer's output: zero cut for a 1-part write") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (2L, 3L, 1.0), (3L, 2L, 1.0))
+      .toDF("src", "dst", "weight")
+    val g = graft.graph.PropertyGraph(
+      spark.range(1, 4).select(org.apache.spark.sql.functions.col("id")), edges)
+    val base = java.nio.file.Files.createTempDirectory("graft-ps").toString + "/ps"
+    GraphLoaders.writeMetisSubgraphs(g, parts = 1, base)
+    val stats = GraphLoaders.partitionStats(spark, base, 1)
+    val (vImbal, eImbal, cuts) = GraphLoaders.partitionImbalance(stats)
+    assert(vImbal === 1.0 && eImbal === 1.0 && cuts === 0L)
+  }
+
   test("integer files + SampleSort ≡ sorted concatenation (O22)") {
     val df = GraphLoaders.integers(spark, res("numbers.part.0").stripSuffix(".0") + ".*")
     val sorted = SampleSort.sort(df, "n").collect().map(_.getLong(0)).toSeq
