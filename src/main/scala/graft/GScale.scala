@@ -68,7 +68,7 @@ object GScale {
       // round-6 additions with nontrivial growth behavior
       "t10_top_ngrams", "d13_group_sample", "q45_topk_group",
       "d14_containment", "g16_modularity", "g17_clustering_coeff",
-      "s9_knn_graph")
+      "s9_knn_graph", "d18_simhash_clusters")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {
@@ -88,6 +88,13 @@ object GScale {
       val tSmall = run(base, name)
       val tBig = run(big, name)
       println(f"[gscale] $name%-24s $tSmall%8.2f $tBig%8.2f  ${tBig / tSmall}%5.2f")
+      if (name == "d18_simhash_clusters") {
+        // Output-shaping evidence: the cluster collapse must stay O(docs)
+        // even where the d4 pair list is quadratic-in-group-size.
+        val rows = SparkEntry.queries(name)(spark, big).count()
+        val docsN = spark.read.parquet(s"$big/documents.parquet").count()
+        println(s"[gscale] d18_rows_vs_docs        $rows <= $docsN: ${rows <= docsN}")
+      }
       if (name == "s9_knn_graph") {
         // The scale-knob evidence: candidate-pair volume of the
         // multi-probe bucket join must grow ~O(N), not quadratically.

@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reclaim reliable-checkpoint files once their RDDs are GC'd —
+      // required for long iterative jobs under
+      // spark.graft.checkpoint.reliable=true (Materialize); startup-time
+      // conf, so it must be set here, not at checkpoint time
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
   def get(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {

@@ -167,6 +167,12 @@ object GraphOps {
     * engines in lockstep even short of the fixpoint — the truss
     * monotonically shrinks, so extra rounds are no-ops once converged. */
   def kTruss(canonEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // The support filter is an inner join, so an edge closing ZERO
+    // triangles is dropped unconditionally — correct for k >= 3 (its
+    // threshold k-2 >= 1) but wrong for k <= 2, where every edge is
+    // trivially in-truss. Pin the supported domain rather than pay a
+    // left join + coalesce on the hot path for a degenerate k.
+    require(k >= 3, s"kTruss is defined for k >= 3 (k=$k is the whole graph)")
     val e0 = canonEdges.select("src", "dst").materialize()
     var e = e0
     val snapshots = Seq.newBuilder[DataFrame]

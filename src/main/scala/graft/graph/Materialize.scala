@@ -43,9 +43,17 @@ object Materialize {
   def apply(df: DataFrame): DataFrame =
     if (reliable(df)) {
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(df.sparkSession.conf.getOption(DirKey).getOrElse(
-          sys.props("java.io.tmpdir") + "/graft-checkpoints"))
+      val want = df.sparkSession.conf.getOption(DirKey).getOrElse(
+        sys.props("java.io.tmpdir") + "/graft-checkpoints")
+      // setCheckpointDir creates a session-unique subdir under the
+      // requested base, so compare against the base: re-set whenever the
+      // configured dir changes mid-session instead of silently ignoring
+      // the new value. Checkpoint FILES are only reclaimed when
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true (a
+      // startup-time conf — GraftSession sets it); long iterative jobs
+      // otherwise accumulate unbounded checkpoint data.
+      if (!sc.getCheckpointDir.exists(_.startsWith(want)))
+        sc.setCheckpointDir(want)
       df.checkpoint() // eager, written to the checkpoint dir
     } else df.localCheckpoint(true)
 

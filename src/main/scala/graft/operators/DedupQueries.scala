@@ -94,7 +94,7 @@ object DedupQueries {
     * read a scan-only plan; Verify/Bench clear in-memory caches between
     * queries, the parquet survives). */
   def postingsMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
-    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/v$DedupDerivedVersion/$tag/dedup_postings"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       docs(s, d).select(col("id"), col("lang"),
@@ -114,7 +114,7 @@ object DedupQueries {
     * d2 layers its jaccard bound + hot-recovery on top, d14 its
     * containment prefilter — the self-join itself never re-runs. */
   def pairStatsMaterialized(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = synchronized {
-    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.core.Derived.tag(d)
     val base = s"${sys.props("user.dir")}/target/graft_derived/v$DedupDerivedVersion/$tag"
     val szsPath = s"$base/dedup_sizes"
     val prPath = s"$base/dedup_pairs"
@@ -214,7 +214,7 @@ object DedupQueries {
     * derivation; version-bump the path when cfg changes. */
   private val LshDerivedVersion = 1
   def lshPairsMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
-    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/lsh_v$LshDerivedVersion/$tag/pairs"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       MinHashLsh.nearDuplicates(docs(s, d), cfg)
@@ -245,14 +245,17 @@ object DedupQueries {
     * pigeonhole guarantee makes the banded result provably EQUAL to the
     * all-pairs ground truth, so the oracle runs plain all-pairs SQL and
     * the gate proves the recall guarantee, not just replicates it. */
-  def d4Simhash(s: SparkSession, d: String): DataFrame =
+  /** Shared by d4 (pair list) and d18 (cluster collapse). */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame =
     // persist: both self-join sides would otherwise re-run the per-doc
     // fingerprint kernel (the dominant projection) over the full corpus
     SimHash.bandedPairs(SimHash.fingerprints(docs(s, d))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         bands = SimBands, maxHamming = SimMaxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
-      .orderBy("doc_a", "doc_b")
+
+  def d4Simhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(s, d).orderBy("doc_a", "doc_b")
 
   /** d5: embedding-cosine near-dup pairs (cos ≥ 0.4) with hyperplane-LSH
     * candidate generation — s2's bit-exact 6-bit signature
@@ -294,6 +297,32 @@ object DedupQueries {
   def d6DedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = lshPairsMaterialized(s, d)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(pairs))
+    val comp = GmrRunner.runFixed(g, ConnectedComponentsProgram, D6Iters)
+      .select(col("id"), col("value").cast("long").as("comp"))
+    docs(s, d).select(col("id").as("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  /** d18: SimHash near-dup output SHAPING at scale — d4's banded pairs
+    * collapsed to one row per document: pairs become edges, the
+    * engine's min-label BSP connected components give the duplicate
+    * clusters, and each cluster keeps its min-id doc as canonical
+    * (d6's collapse, composed over d4's pigeonhole-exact candidate
+    * generator instead of d3's LSH). The 100 TB rationale: a near-dup
+    * pair list is Ω(pairs) — the sf1 probe measured 57.2M pairs from
+    * 97k docs because dup GROUPS are quadratic in their size — while
+    * this assignment table is O(docs) regardless of how dense the
+    * duplicate structure is, and it is the artifact a curation
+    * pipeline actually consumes (keep canonical, drop the rest). */
+  def d18SimhashClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = simhashPairs(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(pairs))
     val comp = GmrRunner.runFixed(g, ConnectedComponentsProgram, D6Iters)
@@ -756,7 +785,8 @@ object DedupQueries {
     "d17_source_overlap" -> d17SourceOverlap,
     "d14_containment" -> d14Containment,
     "d15_fuzzy_names" -> d15FuzzyNames,
-    "d16_name_canon" -> d16NameCanon)
+    "d16_name_canon" -> d16NameCanon,
+    "d18_simhash_clusters" -> d18SimhashClusters)
 
   // ---- DuckDB oracles ----
 
@@ -800,8 +830,10 @@ object DedupQueries {
 
   /** d6 oracle: d3's pair pipeline + unrolled min-label propagation over
     * the symmetrized pair graph, seeded with every document's own id. */
-  private def dedupClustersSql(iters: Int): String = {
-    val steps = (1 to iters).map { k =>
+  /** Unrolled min-label CC supersteps over an edge CTE `de(src,dst)`
+    * seeded by `c0(id,v)` — the tail shared by the d6 and d18 oracles. */
+  private def minLabelCcSteps(iters: Int): String =
+    (1 to iters).map { k =>
       s"""c$k AS MATERIALIZED (
          |  SELECT t.id, least(t.v, m.mv) AS v
          |  FROM c${k - 1} t LEFT JOIN (
@@ -809,15 +841,36 @@ object DedupQueries {
          |    FROM de e JOIN c${k - 1} p ON e.src = p.id
          |    GROUP BY e.dst) m ON t.id = m.id)""".stripMargin
     }.mkString(",\n")
+
+  private def dedupClustersSql(iters: Int): String =
     s"""WITH $lshPairsCte,
        |dp AS (SELECT ida, idb FROM lshpairs WHERE j >= ${cfg.threshold}),
        |de AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM dp
        |       UNION ALL SELECT idb, ida FROM dp),
        |c0 AS (SELECT doc_id AS id, CAST(doc_id AS BIGINT) AS v FROM documents),
-       |$steps
+       |${minLabelCcSteps(iters)}
        |SELECT id AS doc_id, v AS canonical_id, id != v AS is_dup
        |FROM c$iters ORDER BY doc_id""".stripMargin
-  }
+
+  /** SimHash fingerprint + all-pairs hamming CTE chain (pigeonhole-equal
+    * to the engine's banded generation) — shared by d4 and d18. */
+  private val simhashPairsCte: String =
+    s"""sdocs AS (SELECT doc_id AS id, text FROM documents),
+       |stf AS (SELECT id, w, count(*) AS tf FROM
+       |  (SELECT id, unnest(string_split(text, ' ')) AS w FROM sdocs) GROUP BY id, w),
+       |sth AS (SELECT id, ${sqlCharHash("w")} AS h, tf FROM stf),
+       |sbits AS (SELECT range AS j, (CAST(1 AS BIGINT) << range) AS bitval
+       |  FROM range(0, ${SimHash.Bits})),
+       |swb AS (SELECT id, j, bitval,
+       |  tf * (CASE WHEN (h & bitval) != 0 THEN 1 ELSE -1 END) AS wgt FROM sth, sbits),
+       |ssb AS (SELECT id, j, bitval, sum(wgt) AS s FROM swb GROUP BY id, j, bitval),
+       |sfp AS MATERIALIZED (SELECT id,
+       |    CAST(sum(CASE WHEN s > 0 THEN bitval ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM ssb GROUP BY id),
+       |shp AS MATERIALIZED (SELECT a.id AS ida, b.id AS idb,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM sfp a JOIN sfp b ON a.id < b.id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHamming)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d10_source_mix" ->
@@ -1041,22 +1094,17 @@ object DedupQueries {
          |FROM lshpairs WHERE j >= ${cfg.threshold}
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_simhash" ->
-      s"""WITH docs AS (SELECT doc_id AS id, text FROM documents),
-         |tf AS (SELECT id, w, count(*) AS tf FROM
-         |  (SELECT id, unnest(string_split(text, ' ')) AS w FROM docs) GROUP BY id, w),
-         |th AS (SELECT id, ${sqlCharHash("w")} AS h, tf FROM tf),
-         |bits AS (SELECT range AS j, (CAST(1 AS BIGINT) << range) AS bitval
-         |  FROM range(0, ${SimHash.Bits})),
-         |wb AS (SELECT id, j, bitval,
-         |  tf * (CASE WHEN (h & bitval) != 0 THEN 1 ELSE -1 END) AS wgt FROM th, bits),
-         |sb AS (SELECT id, j, bitval, sum(wgt) AS s FROM wb GROUP BY id, j, bitval),
-         |fp AS (SELECT id, CAST(sum(CASE WHEN s > 0 THEN bitval ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM sb GROUP BY id)
-         |SELECT a.id AS doc_a, b.id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM fp a JOIN fp b ON a.id < b.id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHamming
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $simhashPairsCte
+         |SELECT ida AS doc_a, idb AS doc_b, hamming
+         |FROM shp ORDER BY doc_a, doc_b""".stripMargin,
+    "d18_simhash_clusters" ->
+      s"""WITH $simhashPairsCte,
+         |de AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM shp
+         |       UNION ALL SELECT idb, ida FROM shp),
+         |c0 AS (SELECT doc_id AS id, CAST(doc_id AS BIGINT) AS v FROM documents),
+         |${minLabelCcSteps(D6Iters)}
+         |SELECT id AS doc_id, v AS canonical_id, id != v AS is_dup
+         |FROM c$D6Iters ORDER BY doc_id""".stripMargin,
     "d6_dedup_clusters" -> dedupClustersSql(D6Iters),
     "d8_corpus_select" -> {
       val gram = (0 until DecontamK).map(j => s"words[i+$j]").mkString(" || ' ' || ")

@@ -63,7 +63,7 @@ object GraphQueries {
     * re-read a scan-only plan. At cluster scale this is the standard
     * shared-derivation pattern: derive once, write partitioned, fan out. */
   def partPairsMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
-    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/v$DerivedVersion/$tag/part_pairs"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       partPairs(s, d).write.mode("overwrite").parquet(path)
@@ -77,7 +77,7 @@ object GraphQueries {
     * (~2.5 s × several queries at sf0.1). Same derive-once pattern; the
     * first caller pays. */
   def vertexDegMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
-    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/v$DerivedVersion/$tag/vertex_deg"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       PropertyGraph.fromEdges(PropertyGraph.symmetrize(partPairsMaterialized(s, d)))
@@ -90,7 +90,7 @@ object GraphQueries {
     * iteration is two shuffles over the edge view — derive once, read
     * twice (first caller pays, same rule as above). */
   def lpaLabelsMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
-    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/v$DerivedVersion/$tag/lpa_labels"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       GraphOps.labelPropagation(partGraph(s, d), LpIters)

@@ -74,6 +74,13 @@ object MultimodalQueries {
          |  ${sqlCharHash("substring(text, CAST(fi * 64 + 1 AS BIGINT), 64)")}
          |    AS frame_checksum
          |FROM k ORDER BY media_id, frame_idx""".stripMargin,
+    // ASCII contract: n_samples/window offsets count BYTES
+    // (octet_length) while the energy/peak folds walk CHARACTERS
+    // (string_split + ascii) — the two agree, and both match the
+    // Spark side's byte-wise PCM walk, only while every text is
+    // single-byte ASCII. MediaSpec pins that corpus property
+    // (octet_length == length for every sf0.01 document); a non-ASCII
+    // corpus would need the folds rewritten over encode(text) bytes.
     "m3_audio_energy" ->
       s"""WITH b AS (SELECT doc_id, text,
          |    CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),

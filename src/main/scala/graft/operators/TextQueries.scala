@@ -316,7 +316,7 @@ object TextQueries {
     * derive-once rule (first caller pays) applies exactly as for the
     * dedup postings and the g-family pair tables. */
   def gramPostingsMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
-    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/v$TextDerivedVersion/$tag/gram_postings"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val w = Portable.words(col("text"))
@@ -332,7 +332,7 @@ object TextQueries {
 
   /** Global bigram counts (gram, cnt) beside the postings. */
   def gramCountsMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
-    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/v$TextDerivedVersion/$tag/gram_counts"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       gramPostingsMaterialized(s, d).groupBy(col("gram"))

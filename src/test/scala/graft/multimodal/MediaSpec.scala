@@ -28,6 +28,19 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === feats.view.mapValues(_.checksum).toMap)
   }
 
+  test("m3 ASCII contract: gate corpus is single-byte (octet_length == char length)") {
+    import org.apache.spark.sql.functions._
+    // The m3 oracle windows by BYTE offsets but folds energy/peak over
+    // CHARACTERS — internally consistent, and equal to the Spark side's
+    // byte-wise PCM walk, only for single-byte ASCII text. Pin that
+    // property on the gate corpus so a future multi-byte testdata
+    // regeneration fails HERE instead of as an opaque hash mismatch.
+    val bad = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .where(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(bad === 0L, s"$bad documents contain multi-byte chars: the m3 " +
+      "oracle's char-based folds no longer match its byte-based windows")
+  }
+
   test("windowedEnergy: window arithmetic matches a local reference") {
     import spark.implicits._
     val text = "ab" * 300 // 600 bytes -> windows of 256, 256, 88
