@@ -554,6 +554,47 @@ object GraphQueries {
     GraphOps.triangleCountViaIntersect(
       partPairsMaterialized(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** g19: the fmt=1111 subgraph writer/reader under the oracle gate —
+    * the co-occurrence graph is written as 3 pre-partitioned subgraph
+    * files (the reference's partition-and-scatter artifact,
+    * `/root/reference/graph.h:601-713`), read back, and summarized:
+    * per-part vertex/edge counts, cut edges, and the triangle count of
+    * the round-tripped graph keyed by the apex vertex's owner. The
+    * oracle derives every number relationally from lineitem with the
+    * same `id mod 3` owner convention, so any corruption in the writer's
+    * line layout, the reader's fmt decode, or the partition-stats math
+    * breaks the hash. The write itself re-runs every invocation — the
+    * point is gating the writer, not caching it. */
+  def g19PartitionRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val parts = 3
+    val pairs = partPairsMaterialized(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = PropertyGraph(vertexDegMaterialized(s, d).select(col("id")),
+      PropertyGraph.symmetrize(pairs))
+    val base = s"${sys.props("user.dir")}/target/graft_derived/" +
+      s"v$DerivedVersion/${graft.core.Derived.tag(d)}/subgraph_rt"
+    new java.io.File(base).getParentFile.mkdirs()
+    graft.io.GraphLoaders.writeMetisSubgraphs(g, parts, base)
+    val stats = graft.io.GraphLoaders.partitionStats(s, base, parts)
+    val back = (0 until parts)
+      .map(p => graft.io.GraphLoaders.metisSubgraph(s, s"$base.subgraph.$p").edges)
+      .reduce(_ union _)
+    val canon = back
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = canon.as("ab").join(canon.as("bc"), col("ab.dst") === col("bc.src"))
+      .join(canon.as("ac"),
+        col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
+      .select(pmod(col("ab.src"), lit(3L)).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+    stats.join(tri, Seq("part"), "left_outer")
+      .select(col("part"), col("nvtxs"), col("nedges"), col("cut_edges"),
+        col("cut_pct"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("part")
+  }
+
   def g6DegreeHistogram(s: SparkSession, d: String): DataFrame =
     partGraph(s, d).degrees
       .groupBy("deg").agg(count(lit(1)).as("n_vertices")).orderBy("deg")
@@ -860,6 +901,7 @@ object GraphQueries {
     "g3_bfs" -> g3Bfs,
     "g4_components" -> g4Components,
     "g5_triangle_count" -> g5TriangleCount,
+    "g19_partition_roundtrip" -> g19PartitionRoundtrip,
     "g6_degree_histogram" -> g6DegreeHistogram,
     "g7_mst" -> g7Mst,
     "g8_labelprop" -> g8LabelProp,
@@ -884,6 +926,23 @@ object GraphQueries {
          |SELECT count(*) AS n_triangles
          |FROM cpairs ab JOIN cpairs bc ON ab.dst = bc.src
          |               JOIN cpairs ac ON ac.src = ab.src AND ac.dst = bc.dst""".stripMargin,
+    "g19_partition_roundtrip" ->
+      s"""WITH $edgeCtes,
+         |vs AS (SELECT id % 3 AS part, count(*) AS nvtxs FROM verts GROUP BY 1),
+         |ps AS (SELECT src % 3 AS part, count(*) AS nedges,
+         |    CAST(sum(CASE WHEN dst % 3 != src % 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cut_edges
+         |  FROM edges GROUP BY 1),
+         |tri AS (SELECT ab.src % 3 AS part, count(*) AS n_triangles
+         |  FROM cpairs ab JOIN cpairs bc ON ab.dst = bc.src
+         |                 JOIN cpairs ac ON ac.src = ab.src AND ac.dst = bc.dst
+         |  GROUP BY 1)
+         |SELECT vs.part, nvtxs, nedges, cut_edges,
+         |  round(cut_edges * 100.0 / greatest(nedges, 1), 2) AS cut_pct,
+         |  coalesce(n_triangles, 0) AS n_triangles
+         |FROM vs JOIN ps ON vs.part = ps.part
+         |        LEFT JOIN tri ON vs.part = tri.part
+         |ORDER BY vs.part""".stripMargin,
     "g6_degree_histogram" ->
       s"""WITH $edgeCtes
          |SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg ORDER BY deg""".stripMargin,

@@ -137,6 +137,39 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
+  /** q49: MATCH_RECOGNIZE-style sequence matching — q41's
+    * generalization from one fixed funnel to an arbitrary regex over
+    * each user's event-type sequence. Every event projects to a
+    * one-char symbol (the five event types have distinct initials);
+    * per user the symbols concatenate in (ts, event_id) order, and the
+    * pattern `vc+p` (view, one-or-more clicks, purchase — a funnel
+    * with retries) is matched non-overlapping left-to-right, which is
+    * exactly MATCH_RECOGNIZE's AFTER MATCH SKIP PAST LAST ROW. The
+    * alternation-free pattern makes Java-regex and RE2 semantics
+    * coincide, so the oracle's regexp_extract_all agrees byte-for-byte.
+    *
+    * Scale shape: one groupBy-user shuffle carrying (µs, id, sym)
+    * structs; the sort and the regex run per user row (state bounded by
+    * a user's own event count — the same bound any MATCH_RECOGNIZE
+    * engine needs), then everything is a per-row projection. */
+  def q49SeqMatch(s: SparkSession, d: String): DataFrame = {
+    val seq = Tables.events(s, d)
+      .select(col("user_id"), struct(unix_micros(col("ts")).as("us"),
+        col("event_id").as("eid"),
+        substring(col("event_type"), 1, 1).as("sym")).as("t"))
+      .groupBy("user_id")
+      .agg(array_join(transform(array_sort(collect_list(col("t"))),
+        x => x.getField("sym")), "").as("str"))
+    seq.withColumn("matches", expr("regexp_extract_all(str, 'vc+p', 0)"))
+      .select(col("user_id"),
+        length(col("str")).cast("long").as("n_events"),
+        size(col("matches")).cast("long").as("n_matches"),
+        coalesce(try_element_at(col("matches"), lit(1)), lit("")).as("first_match"),
+        coalesce(array_max(transform(col("matches"), x => length(x))), lit(0))
+          .cast("long").as("max_match_len"))
+      .orderBy("user_id")
+  }
+
   /** q48: SCD2 validity intervals — turn a per-user change stream into a
     * slowly-changing-dimension history table: each event opens an
     * interval [ts, next event's ts) and the last one stays open
@@ -166,7 +199,8 @@ object TemporalQueries {
     "q25_range_join" -> q25RangeJoin,
     "q37_gap_fill" -> q37GapFill,
     "q41_funnel" -> q41Funnel,
-    "q48_scd2" -> q48Scd2)
+    "q48_scd2" -> q48Scd2,
+    "q49_seq_match" -> q49SeqMatch)
 
   // ---- DuckDB oracles ----
 
@@ -221,6 +255,19 @@ object TemporalQueries {
         |  valid_to_us - valid_from_us AS dur_us,
         |  valid_to_us IS NULL AS is_current, value_cents
         |FROM i ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "q49_seq_match" ->
+      """WITH seq AS (SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS str
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, str,
+        |    regexp_extract_all(str, 'vc+p') AS matches FROM seq)
+        |SELECT user_id, CAST(length(str) AS BIGINT) AS n_events,
+        |  CAST(len(matches) AS BIGINT) AS n_matches,
+        |  coalesce(matches[1], '') AS first_match,
+        |  CAST(coalesce(list_max(list_transform(matches, x -> length(x))), 0)
+        |    AS BIGINT) AS max_match_len
+        |FROM m ORDER BY user_id""".stripMargin,
     "q41_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
