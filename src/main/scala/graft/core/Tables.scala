@@ -13,7 +13,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** The driver's generator has shipped timestamp columns as both
+    * TIMESTAMP(NANOS) (read as long under nanosAsLong) and plain
+    * TIMESTAMP_NTZ(MICROS) across rounds. Downstream operators use
+    * session-time functions (`unix_micros`, `to_timestamp` literals)
+    * that require TIMESTAMP, so normalize every NTZ column to TIMESTAMP
+    * here. The session timezone is pinned to UTC ([[GraftSession]]), so
+    * the cast is epoch-preserving and matches DuckDB's naive reading of
+    * the same parquet. Row-local projection — nothing physical changes. */
+  private def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else ntz.foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast("timestamp")))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
