@@ -170,11 +170,14 @@ object GraphQueries {
 
   /** Unrolled Brandes betweenness: BFS relaxation (bd), per-level σ
     * (bs), back-propagated δ (bl, bct) — the g14 three-phase chain. */
-  private def betweennessSql(depth: Int, nSrc: Int): String = {
-    // Every unrolled step is AS MATERIALIZED: a step references its
-    // predecessor twice (t + p), and DuckDB's default CTE inlining turns
-    // that into 2^depth plan copies — EXPLAIN alone blew up at depth 12.
-    val relax = (1 to depth).map { k =>
+  /** Unrolled multi-source BFS relaxation CTEs (bd1..bd`depth` over the
+    * `se`/`sv`/`bq` prefix of [[bfsPrefixSql]]) — shared by the g14 and
+    * g21 oracles, mirroring the engine's shared [[bfsDistances]]. Every
+    * step is AS MATERIALIZED: a step references its predecessor twice
+    * (t + p), and DuckDB's default CTE inlining turns that into 2^depth
+    * plan copies — EXPLAIN alone blew up at depth 12. */
+  private def bfsRelaxCtes(depth: Int): String =
+    (1 to depth).map { k =>
       s"""bd$k AS MATERIALIZED (
          |  SELECT t.q, t.id, least(t.v, m.mv) AS v
          |  FROM bd${k - 1} t LEFT JOIN (
@@ -183,6 +186,22 @@ object GraphQueries {
          |    GROUP BY p.q, e.dst) m
          |  ON t.q = m.q AND t.id = m.id)""".stripMargin
     }.mkString(",\n")
+
+  /** Strong-tie symmetric edge view + vertex set + the nSrc smallest
+    * sources + the bd0 seed table — the shared prefix of every
+    * multi-source-BFS oracle. se/sv are referenced by every unrolled
+    * level: MATERIALIZED stops DuckDB's default CTE inlining from
+    * re-expanding the lineitem scan ~40x (observed: "Too many open
+    * files" from the inlined plan). */
+  private def bfsPrefixSql(nSrc: Int): String =
+    s"""te AS (SELECT src, dst FROM cpairs WHERE w >= ${LinkMinWeight.toInt}),
+       |se AS MATERIALIZED (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te),
+       |sv AS MATERIALIZED (SELECT DISTINCT src AS id FROM se),
+       |bq AS MATERIALIZED (SELECT id AS q FROM sv ORDER BY id LIMIT $nSrc),
+       |bd0 AS MATERIALIZED (SELECT q, id, CASE WHEN id = q THEN CAST(0 AS BIGINT) END AS v FROM sv, bq)""".stripMargin
+
+  private def betweennessSql(depth: Int, nSrc: Int): String = {
+    val relax = bfsRelaxCtes(depth)
     val sig = (1 to depth).map { l =>
       s"""bs$l AS MATERIALIZED (SELECT p.q, e.dst AS id, CAST(sum(p.sg) AS BIGINT) AS sg
          |  FROM bs${l - 1} p JOIN se e ON p.id = e.src
@@ -199,15 +218,8 @@ object GraphQueries {
          |  FROM bs$l v LEFT JOIN bct$l c ON c.q = v.q AND c.id = v.id)""".stripMargin
     }.mkString(",\n")
     val unionDl = (1 to depth).map(l => s"SELECT id, dl FROM bl$l").mkString(" UNION ALL ")
-    // se/sv/rd are referenced by every unrolled level: MATERIALIZED stops
-    // DuckDB's default CTE inlining from re-expanding the lineitem scan
-    // ~40x (observed: "Too many open files" from the inlined plan).
     s"""WITH $edgeCtes,
-       |te AS (SELECT src, dst FROM cpairs WHERE w >= ${LinkMinWeight.toInt}),
-       |se AS MATERIALIZED (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te),
-       |sv AS MATERIALIZED (SELECT DISTINCT src AS id FROM se),
-       |bq AS MATERIALIZED (SELECT id AS q FROM sv ORDER BY id LIMIT $nSrc),
-       |bd0 AS MATERIALIZED (SELECT q, id, CASE WHEN id = q THEN CAST(0 AS BIGINT) END AS v FROM sv, bq),
+       |${bfsPrefixSql(nSrc)},
        |$relax,
        |rd AS MATERIALIZED (SELECT q, id, v FROM bd$depth WHERE v IS NOT NULL),
        |bs0 AS MATERIALIZED (SELECT q, id, CAST(1 AS BIGINT) AS sg FROM rd WHERE v = 0),
@@ -218,6 +230,58 @@ object GraphQueries {
        |SELECT sv.id, round(coalesce(b, 0), 6) AS betweenness
        |FROM sv LEFT JOIN bc USING (id) ORDER BY sv.id""".stripMargin
   }
+
+  /** g21 oracle: same BFS prefix + relax chain as g14's, finished by the
+    * integer-ppm harmonic sum (DuckDB `//` ≡ Spark `div` on positive
+    * BIGINTs). */
+  private def harmonicSql(depth: Int, nSrc: Int): String =
+    s"""WITH $edgeCtes,
+       |${bfsPrefixSql(nSrc)},
+       |${bfsRelaxCtes(depth)},
+       |hc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_reached,
+       |    CAST(sum(CAST(1000000 AS BIGINT) // v) AS BIGINT) AS harmonic_ppm
+       |  FROM bd$depth WHERE v IS NOT NULL AND v > 0 GROUP BY id)
+       |SELECT sv.id, coalesce(n_reached, 0) AS n_reached,
+       |  coalesce(harmonic_ppm, 0) AS harmonic_ppm
+       |FROM sv LEFT JOIN hc USING (id) ORDER BY sv.id""".stripMargin
+
+  /** g20 oracle: unrolled HITS supersteps with exact-BIGINT
+    * max-normalization. */
+  private def hitsSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(p.h) AS BIGINT) AS r
+         |  FROM cpairs e JOIN h${k - 1} p ON p.id = e.src GROUP BY e.dst),
+         |a$k AS MATERIALIZED (SELECT v.id,
+         |    coalesce(CAST(r * $HitsScale AS BIGINT) // (SELECT max(r) FROM ar$k), 0) AS a
+         |  FROM verts v LEFT JOIN ar$k USING (id)),
+         |hr$k AS MATERIALIZED (SELECT e.src AS id, CAST(sum(p.a) AS BIGINT) AS r
+         |  FROM cpairs e JOIN a$k p ON p.id = e.dst GROUP BY e.src),
+         |h$k AS MATERIALIZED (SELECT v.id,
+         |    coalesce(CAST(r * $HitsScale AS BIGINT) // (SELECT max(r) FROM hr$k), 0) AS h
+         |  FROM verts v LEFT JOIN hr$k USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |h0 AS MATERIALIZED (SELECT id, CAST($HitsScale AS BIGINT) AS h FROM verts),
+       |$steps
+       |SELECT v.id, h$iters.h AS hub, a$iters.a AS auth
+       |FROM verts v JOIN h$iters USING (id) JOIN a$iters USING (id)
+       |ORDER BY v.id""".stripMargin
+  }
+
+  /** q54 oracle: the real recursive CTE, bounded to the same depth. The
+    * recursive UNION's row dedup is what keeps the enumeration linear
+    * (UNION ALL would enumerate every path — combinatorial on a DAG). */
+  private def reachSql(depth: Int, nSeeds: Int): String =
+    s"""WITH RECURSIVE $edgeCtes,
+       |te AS MATERIALIZED (SELECT src, dst FROM cpairs WHERE w >= ${LinkMinWeight.toInt}),
+       |sd AS MATERIALIZED (SELECT src AS seed FROM
+       |  (SELECT DISTINCT src FROM te ORDER BY src LIMIT $nSeeds)),
+       |r AS (SELECT seed, seed AS node, 0 AS hops FROM sd
+       |  UNION
+       |  SELECT r.seed, e.dst, r.hops + 1 FROM r JOIN te e ON r.node = e.src
+       |  WHERE r.hops < $depth)
+       |SELECT seed, node, CAST(min(hops) AS BIGINT) AS hops
+       |FROM r WHERE hops >= 1 GROUP BY seed, node ORDER BY seed, node""".stripMargin
 
   /** Unrolled Bellman-Ford supersteps; `stepExpr` is the relaxation edge
     * message (`p.v + e.w` for weighted SSSP, `p.v + 1` for BFS hops).
@@ -466,19 +530,18 @@ object GraphQueries {
     * with σ-ratio weights. σ is exact BIGINT; δ is double but each term
     * is one division and one multiply (the PageRank float-sum class,
     * rounded to 6). The oracle unrolls the identical three chains. */
-  def g14Betweenness(s: SparkSession, d: String): DataFrame = {
-    val te = partPairsMaterialized(s, d).where(col("weight") >= LinkMinWeight)
-      .select("src", "dst")
-    val se = te.union(te.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verts = se.select(col("src").as("id")).distinct().materialize()
-    val srcs = verts.orderBy("id").limit(BcSources).select(col("id").as("q"))
-    // (1) BFS distances keyed by (q, id)
+  /** Multi-source BFS distances keyed by (q, id) over a symmetric edge
+    * view: unrolled min-relaxation, one equi-join + one aggregate per
+    * step, every step materialized (dist references itself twice per
+    * relaxation — a lazy chain is a 2^k recompute tree). Shared by g14
+    * (Brandes phase 1) and g21 (harmonic closeness). */
+  private def bfsDistances(se: DataFrame, verts: DataFrame, srcs: DataFrame,
+      depth: Int): DataFrame = {
     var dist = verts.crossJoin(broadcast(srcs))
       .select(col("q"), col("id"),
         when(col("id") === col("q"), lit(0L)).as("v"))
       .materialize()
-    for (_ <- 1 to BcDepth) {
+    for (_ <- 1 to depth) {
       val m = dist.where(col("v").isNotNull)
         .join(se, dist("id") === se("src"))
         .groupBy(col("q"), col("dst")).agg(min(col("v") + 1).as("mv"))
@@ -487,10 +550,20 @@ object GraphQueries {
         .select(col("q"), col("id"), least(col("v"), col("mv")).as("v"))
         .materialize()
     }
+    dist
+  }
+
+  def g14Betweenness(s: SparkSession, d: String): DataFrame = {
+    val te = partPairsMaterialized(s, d).where(col("weight") >= LinkMinWeight)
+      .select("src", "dst")
+    val se = te.union(te.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = se.select(col("src").as("id")).distinct().materialize()
+    val srcs = verts.orderBy("id").limit(BcSources).select(col("id").as("q"))
+    // (1) BFS distances keyed by (q, id)
+    val dist = bfsDistances(se, verts, srcs, BcDepth)
     val reached = dist.where(col("v").isNotNull)
-    // The BFS above MUST materialize every step (dist references itself
-    // twice per relaxation — a lazy chain is a 2^k recompute tree). The
-    // σ and δ chains below are linear, so a sparser checkpoint cadence is
+    // The σ and δ chains below are linear, so a sparser checkpoint cadence is
     // SEMANTICALLY safe — but measured SLOWER: every level is referenced
     // 2-3× downstream (σ step l+1, δ contrib, δ join, final union), and
     // at cadence 3 the re-evaluated join segments cost 13.0 s vs 5.8 s
@@ -529,6 +602,109 @@ object GraphQueries {
     verts.join(bc, Seq("id"), "left_outer")
       .select(col("id"), round(coalesce(col("b"), lit(0.0)), 6).as("betweenness"))
       .orderBy("id")
+  }
+
+  /** g21: sampled-source harmonic closeness centrality — "which parts are
+    * near everything" (the centrality face robust to disconnection:
+    * unreached pairs contribute 0 instead of poisoning the mean like
+    * classic closeness). Reuses g14's multi-source BFS verbatim
+    * ([[bfsDistances]]); the finish is one map-combinable aggregate over
+    * the reached (q, id) table — harmonic(v) = Σ_q ⌊10⁶ / d(q,v)⌋ in
+    * exact integer ppm (no float reciprocal sums, no libm). At scale the
+    * sample size is the knob (Eppstein-Wang: O(log V / ε²) sources), and
+    * the per-source cost is the g14 phase-1 BFS — O(depth) shuffles over
+    * a frame of |sources|·|V| rows. */
+  def g21Harmonic(s: SparkSession, d: String): DataFrame = {
+    val te = partPairsMaterialized(s, d).where(col("weight") >= LinkMinWeight)
+      .select("src", "dst")
+    val se = te.union(te.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = se.select(col("src").as("id")).distinct().materialize()
+    val srcs = verts.orderBy("id").limit(BcSources).select(col("id").as("q"))
+    val dist = bfsDistances(se, verts, srcs, BcDepth)
+    val hc = dist.where(col("v").isNotNull && col("v") > 0)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000L div v")).as("harmonic_ppm"))
+    verts.join(hc, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("harmonic_ppm"), lit(0L)).as("harmonic_ppm"))
+      .orderBy("id")
+  }
+
+  private val HitsIters = 3
+  private val HitsScale = 1000000L
+
+  /** g20: HITS hubs & authorities over the DIRECTED co-occurrence DAG
+    * (src < dst — "earlier" parts point at "later" parts, so hub and
+    * authority roles genuinely differ; on the symmetrized view they
+    * collapse into eigenvector centrality). Fixed supersteps, each one
+    * join + one aggregate over |E| — exactly the g1 cost class; the
+    * per-step max-normalization (the numerically-stable practical form)
+    * is an exact BIGINT scale-and-divide, so both engines agree bit-for-
+    * bit with no L2 sqrt. All intermediates ≤ V·scale² < 2⁶² — BIGINT-safe. */
+  def g20Hits(s: SparkSession, d: String): DataFrame = {
+    val e = partPairsMaterialized(s, d).select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = vertexDegMaterialized(s, d).select(col("id")).materialize()
+    // raw = Σ over in-(out-)edges; normalized = raw·scale div max(raw):
+    // vertices missing from the sum side score 0 (no in-/out-edges).
+    def step(scores: DataFrame, scoreCol: String, fromCol: String,
+        toCol: String, outName: String): DataFrame = {
+      val raw = e.join(scores.withColumnRenamed("id", fromCol), fromCol)
+        .groupBy(col(toCol).as("id"))
+        .agg(sum(col(scoreCol)).as("r"))
+      val mx = raw.agg(max(col("r")).as("mx"))
+      val norm = raw.crossJoin(broadcast(mx))
+        .selectExpr("id", s"(r * $HitsScale) div mx AS $outName")
+      verts.join(norm, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col(outName), lit(0L)).as(outName))
+        .materialize()
+    }
+    var hub = verts.select(col("id"), lit(HitsScale).as("h"))
+    var auth = verts.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to HitsIters) {
+      auth = step(hub, "h", "src", "dst", "a")
+      hub = step(auth, "a", "dst", "src", "h")
+    }
+    hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+      .orderBy("id")
+  }
+
+  private val ReachSeeds = 5
+  private val ReachDepth = 4
+
+  /** q54: bounded transitive closure / reachability — the recursive-CTE
+    * face (WITH RECURSIVE is the one relational surface Spark SQL lacks
+    * outright). Spark-first formulation is SEMI-NAIVE Datalog evaluation:
+    * the frontier carries only the delta (nodes first reached last
+    * round), each round is frontier ⋈ edges with an anti-join against
+    * the accumulated closure, so total work is O(closure edges) — the
+    * naive re-join of the FULL closure every round is quadratic in depth.
+    * On the strong-tie DAG (src < dst) first-reach hop = shortest hop,
+    * matching the oracle's min(hops) over the bounded recursive
+    * enumeration (recursive UNION, not UNION ALL — DuckDB's fixpoint
+    * dedup is the oracle-side analog of the anti-join). */
+  def q54TransitiveClosure(s: SparkSession, d: String): DataFrame = {
+    val te = partPairsMaterialized(s, d).where(col("weight") >= LinkMinWeight)
+      .select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = te.select(col("src")).distinct().orderBy("src")
+      .limit(ReachSeeds).select(col("src").as("seed"))
+    var frontier = seeds.select(col("seed"), col("seed").as("node")).materialize()
+    var reached = frontier.select(col("seed"), col("node"), lit(0L).as("hops"))
+    for (h <- 1 to ReachDepth) {
+      val nxt = frontier.join(te, frontier("node") === te("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      val fresh = nxt.join(reached, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h.toLong).as("hops"))
+        .materialize()
+      reached = reached.union(fresh).materialize()
+      frontier = fresh.select("seed", "node")
+    }
+    reached.where(col("hops") >= 1).orderBy("seed", "node")
   }
 
   private def sourceVertex(g: PropertyGraph): Long =
@@ -914,7 +1090,10 @@ object GraphQueries {
     "g15_embeddedness" -> g15Embeddedness,
     "g16_modularity" -> g16Modularity,
     "g17_clustering_coeff" -> g17ClusteringCoeff,
-    "g18_ktruss" -> g18KTruss)
+    "g18_ktruss" -> g18KTruss,
+    "g20_hits" -> g20Hits,
+    "g21_harmonic" -> g21Harmonic,
+    "q54_transitive_closure" -> q54TransitiveClosure)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql(PrIters),
@@ -954,6 +1133,9 @@ object GraphQueries {
     "g11_kcore" -> kcoreSql(KCoreRounds),
     "g12_ppr" -> pprSql(PprIters, PprSeedMod),
     "g14_betweenness" -> betweennessSql(BcDepth, BcSources),
+    "g20_hits" -> hitsSql(HitsIters),
+    "g21_harmonic" -> harmonicSql(BcDepth, BcSources),
+    "q54_transitive_closure" -> reachSql(ReachDepth, ReachSeeds),
     "g18_ktruss" -> {
       val rounds = (1 to TrussRounds).map { r =>
         s"""t$r AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c

@@ -222,4 +222,73 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nTrain = split.values.count(_._2 == "train")
     assert(nTrain / n > 0.75, s"train fraction ${nTrain / n} implausibly low")
   }
+
+  test("g20 HITS matches a local unrolled reference") {
+    val cp = GraphQueries.partPairsMaterialized(spark, sf)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verts = cp.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val scale = 1000000L
+    var hub = verts.map(_ -> scale).toMap
+    var auth = verts.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val ar = cp.groupBy(_._2).view.mapValues(_.map(e => hub(e._1)).sum).toMap
+      val am = ar.values.max
+      auth = verts.map(v => v -> ar.get(v).map(r => r * scale / am).getOrElse(0L)).toMap
+      val hr = cp.groupBy(_._1).view.mapValues(_.map(e => auth(e._2)).sum).toMap
+      val hm = hr.values.max
+      hub = verts.map(v => v -> hr.get(v).map(r => r * scale / hm).getOrElse(0L)).toMap
+    }
+    val got = GraphQueries.g20Hits(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === verts.map(v => (v, hub(v), auth(v))).toSeq)
+    // the DAG orientation must actually split the roles
+    assert(got.exists(r => r._2 != r._3), "hub == auth everywhere — roles collapsed")
+  }
+
+  test("g21 harmonic closeness matches a local BFS reference") {
+    val te = GraphQueries.partPairsMaterialized(spark, sf)
+      .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    te.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val verts = adj.keys.toSeq.sorted
+    val srcs = verts.take(5)
+    def bfs(s0: Long): Map[Long, Int] = {
+      var d = Map(s0 -> 0); var frontier = Set(s0)
+      for (h <- 1 to 12) {
+        frontier = frontier.flatMap(adj).filterNot(d.contains)
+        d ++= frontier.map(_ -> h)
+      }
+      d
+    }
+    val dists = srcs.map(bfs)
+    val expected = verts.map { v =>
+      val ds = dists.flatMap(_.get(v)).filter(_ > 0)
+      (v, ds.size.toLong, ds.map(1000000L / _).sum)
+    }
+    val got = GraphQueries.g21Harmonic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("q54 transitive closure matches a local bounded-BFS reference") {
+    val te = GraphQueries.partPairsMaterialized(spark, sf)
+      .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    te.foreach { case (a, b) => out(a) += b }
+    val seeds = te.map(_._1).distinct.sorted.take(5)
+    val expected = seeds.flatMap { s0 =>
+      var d = Map(s0 -> 0); var frontier = Set(s0)
+      for (h <- 1 to 4) {
+        frontier = frontier.flatMap(out).filterNot(d.contains)
+        d ++= frontier.map(_ -> h)
+      }
+      d.toSeq.filter(_._2 >= 1).map { case (n, h) => (s0, n, h.toLong) }
+    }.sortBy(t => (t._1, t._2))
+    val got = GraphQueries.q54TransitiveClosure(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._3 > 1), "fixture closure never leaves hop 1 — seeds trivial")
+  }
 }
