@@ -716,6 +716,40 @@ object DedupQueries {
       .orderBy("source", "rank")
   }
 
+  /** d19 draw salt — independent of [[SampleSalt]]/[[MixSalt]]/t9 (the
+    * independent-coupons rule again: four decisions, four salts). */
+  private val WSampleSalt = "wsamp1"
+  private val WSampleK = 3
+
+  /** d19: deterministic WEIGHT-PROPORTIONAL sampling per source — the
+    * quality-weighted eval-draw / data-mixing primitive (d13 is its
+    * uniform dual: same heap, uniform key). Priority = salted content
+    * hash div weight in exact integer arithmetic — the A-ES
+    * exponential-key shape (Efraimidis-Spirakis u^(1/w) ranking) with an
+    * integer surrogate: monotone in the draw, expected priority inversely
+    * proportional to weight, zero libm (a pow/ln key would hash-mismatch
+    * across engines in the last ulp). Weight = n_chars, so longer docs
+    * are proportionally likelier; selection is the same bounded
+    * [[graft.functions.Aggregators.BottomK]] heap — O(k) state per
+    * source, map-side merge. The oracle is the full row_number window
+    * over the identical priority, proving heap ≡ sort row-for-row. */
+  def d19WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.Aggregators.BottomK(WSampleK),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        Portable.charHash(concat(col("text"), lit(WSampleSalt))).as("draw"))
+      .selectExpr("source", "doc_id", "draw div greatest(n_chars, 1) AS priority")
+      .repartition(col("doc_id"))
+      .groupBy(col("source"))
+      .agg(topk(col("priority"), col("doc_id")).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("doc_id"), col("p.m").as("priority"))
+      .orderBy("source", "rank")
+  }
+
   /** d11 span length: 8-word windows — long enough that natural-language
     * collisions are rare, short enough to catch partial boilerplate. */
   private val SpanK = 8
@@ -786,7 +820,8 @@ object DedupQueries {
     "d14_containment" -> d14Containment,
     "d15_fuzzy_names" -> d15FuzzyNames,
     "d16_name_canon" -> d16NameCanon,
-    "d18_simhash_clusters" -> d18SimhashClusters)
+    "d18_simhash_clusters" -> d18SimhashClusters,
+    "d19_weighted_sample" -> d19WeightedSample)
 
   // ---- DuckDB oracles ----
 
@@ -983,6 +1018,15 @@ object DedupQueries {
          |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
          |FROM cand WHERE levenshtein(name_a, name_b) <= 1
          |ORDER BY name_a, name_b""".stripMargin,
+    "d19_weighted_sample" ->
+      s"""WITH h AS (SELECT source, doc_id,
+         |    ${sqlCharHash(s"text || '$WSampleSalt'")} // greatest(n_chars, 1)
+         |      AS priority
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY priority, doc_id) AS rank FROM h)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, priority
+         |FROM r WHERE rank <= $WSampleK ORDER BY source, rank""".stripMargin,
     "d13_group_sample" ->
       s"""WITH h AS (SELECT source, doc_id,
          |    ${sqlCharHash(s"text || '$SampleSalt'")} AS draw

@@ -274,6 +274,39 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** q55: robust per-group outlier detection — median + MAD (median
+    * absolute deviation), flagging rows with |x − med| > 3·MAD. The
+    * robust-statistics anomaly face: unlike mean/stddev (q16), one wild
+    * value cannot drag the threshold. Exactness trick: prices quantize
+    * to integer cents ×2, so every interpolated median lands on an
+    * integer (midpoint of two integers doubled), every deviation and
+    * threshold is an exact small double, and both engines agree
+    * bit-for-bit with no rounding anywhere. Runs on events.value per
+    * event_type — the one heavy-tailed column in the testdata (uniform
+    * prices have no 3·MAD tail by construction). Three aggregate passes
+    * over a handful-row group dim (broadcast joins back); the scale path
+    * for the exact percentile inside is the q36 histogram sketch, same
+    * as q21. */
+  def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type",
+      (floor($"value" * 100 + 0.5).cast("long") * 2).as("d2"))
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"d2", lit(0.5)).as("med2"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select($"event_type", abs($"d2" - $"med2").as("dev"))
+    val mad = dev.groupBy($"event_type")
+      .agg(percentile($"dev", lit(0.5)).as("mad2"), count(lit(1)).as("n"))
+    val out = dev.join(broadcast(mad.select($"event_type", $"mad2")), "event_type")
+      .where($"dev" > lit(3) * $"mad2")
+      .groupBy($"event_type").agg(count(lit(1)).as("n_outliers"))
+    med.join(mad, "event_type").join(out, Seq("event_type"), "left_outer")
+      .select($"event_type", ($"med2" / 2).as("med_cents"),
+        ($"mad2" / 2).as("mad_cents"), $"n",
+        coalesce($"n_outliers", lit(0L)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
   /** Correlated scalar subquery (decorrelated by Catalyst into a join):
     * customers above their nation's average balance. */
   def q22AboveAvgCustomers(s: SparkSession, d: String): DataFrame = {
@@ -676,7 +709,8 @@ object RelationalQueries {
     "q26_stratified_sample" -> q26StratifiedSample,
     "q27_weighted_avg" -> q27WeightedAvg,
     "q44_upsert" -> q44Upsert,
-    "q45_topk_group" -> q45TopkGroup)
+    "q45_topk_group" -> q45TopkGroup,
+    "q55_mad_outliers" -> q55MadOutliers)
 
   val oracle: Map[String, String] = Map(
     "q30_grouping_sets" ->
@@ -968,6 +1002,21 @@ object RelationalQueries {
          LATERAL (SELECT unnest(words) AS word,
                          generate_subscripts(words, 1) AS pos) u
          ORDER BY doc_id, pos""",
+    "q55_mad_outliers" ->
+      """WITH b AS (SELECT event_type,
+           CAST(floor(value*100 + 0.5) AS BIGINT)*2 AS d2 FROM events),
+         m AS (SELECT event_type, quantile_cont(d2, 0.5) AS med2 FROM b GROUP BY 1),
+         v AS (SELECT b.event_type, abs(d2 - med2) AS dev
+               FROM b JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad2,
+                count(*) AS n FROM v GROUP BY 1),
+         o AS (SELECT v.event_type, count(*) AS n_outliers
+               FROM v JOIN md USING (event_type)
+               WHERE dev > 3*mad2 GROUP BY 1)
+         SELECT m.event_type, med2/2 AS med_cents, mad2/2 AS mad_cents,
+           n, coalesce(n_outliers, 0) AS n_outliers
+         FROM m JOIN md USING (event_type)
+         LEFT JOIN o USING (event_type) ORDER BY event_type""",
     "q21_percentiles" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,

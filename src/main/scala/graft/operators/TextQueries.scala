@@ -401,6 +401,8 @@ object TextQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "t14_lm_score" -> t14LmScore,
+    "t15_phrase_search" -> t15PhraseSearch,
     "t13_vocab_coverage" -> t13VocabCoverage,
     "t12_confusion" -> t12Confusion,
     "t11_source_stats" -> t11SourceStats,
@@ -417,6 +419,68 @@ object TextQueries {
 
   // ---- DuckDB oracles ----
 
+  /** t14: bigram language-model scoring — the statistical-LM quality
+    * signal of a curation pipeline (the perplexity-filter shape of
+    * CCNet/Gopher, with an integer surrogate): the corpus's own bigram
+    * model P(w₂|w₁) = cnt(w₁w₂)/cnt(w₁·) scores every document, high
+    * mean = typical phrasing, low mean = atypical/garbled. Exact integer
+    * ppm per bigram (cnt₂·10⁶ div cnt₁ — a log-prob sum would be libm
+    * and float-order dependent; the monotone ranking is what the filter
+    * consumes). Model = two map-combinable aggregates over the SHARED
+    * materialized gram postings/counts (t10/t13's build); scoring = one
+    * gram-keyed sort-merge join postings ⋈ model — at 100 TB the model
+    * is unique-grams-sized (Zipf-bounded), the corpus never moves twice.
+    * Self-inclusion bias (every doc's bigrams are in its own model) is
+    * uniform across docs and irrelevant to the ranking. */
+  def t14LmScore(s: SparkSession, d: String): DataFrame = {
+    val c2 = gramCountsMaterialized(s, d)
+    val c1 = c2.groupBy(split(col("gram"), " ").getItem(0).as("w1"))
+      .agg(sum(col("cnt")).as("cnt1"))
+    val model = c2.select(col("gram"), col("cnt").as("cnt2"),
+        split(col("gram"), " ").getItem(0).as("w1"))
+      .join(c1, "w1")
+      .selectExpr("gram", "(cnt2 * 1000000L) div cnt1 AS ppm")
+    gramPostingsMaterialized(s, d).join(model, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("sum_ppm"))
+      .selectExpr("doc_id", "n_bigrams", "sum_ppm",
+        "sum_ppm div n_bigrams AS mean_ppm")
+      .orderBy("doc_id")
+  }
+
+  /** t15 phrase (chosen to occur at every test sf). */
+  private val PhraseW1 = "table"
+  private val PhraseW2 = "scan"
+
+  /** t15: positional phrase search — the inverted-index-with-positions
+    * retrieval primitive (exact-match search over the corpus, the
+    * "find every doc containing this exact phrase" auditing/dedup-debug
+    * query). Postings (doc_id, pos, word) for the phrase words only;
+    * a match is the equi-join p₁ ⋈ p₂ on (doc, pos+1) — candidate
+    * volume is bounded by the phrase words' posting lists, never the
+    * corpus. The substring `contains` prefilters are pushed into the
+    * parquet scan (sound superset: a token match is always a substring
+    * match); the positional join is the exact verify. At 100 TB the
+    * postings are the materialized artifact, partitioned by word — the
+    * query touches |postings(w₁)| + |postings(w₂)| rows total. */
+  def t15PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.words(col("text"))
+    val postings = docs(s, d)
+      .where(col("text").contains(PhraseW1) && col("text").contains(PhraseW2))
+      .select(col("doc_id"), posexplode(w).as(Seq("pos", "word")))
+      .where(col("word").isin(PhraseW1, PhraseW2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p1 = postings.where(col("word") === PhraseW1)
+      .select(col("doc_id"), col("pos"))
+    val p2 = postings.where(col("word") === PhraseW2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    p1.join(p2, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("pos")) + 1).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   private val sqlWords = "string_split(text, ' ')"
 
   private def sqlStopCount(sw: Seq[String]): String =
@@ -429,6 +493,31 @@ object TextQueries {
        |  (a, b) -> (a*31 + b) % ${Portable.P})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t14_lm_score" ->
+      s"""WITH g AS (SELECT doc_id, unnest(list_transform(
+         |    range(greatest(len($sqlWords) - 1, 0)),
+         |    i -> $sqlWords[i+1] || ' ' || $sqlWords[i+2])) AS gram
+         |  FROM documents),
+         |c2 AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt2 FROM g GROUP BY gram),
+         |c1 AS (SELECT split_part(gram, ' ', 1) AS w1,
+         |    CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY 1),
+         |mdl AS (SELECT gram, CAST(cnt2 * 1000000 AS BIGINT) // cnt1 AS ppm
+         |  FROM c2 JOIN c1 ON split_part(c2.gram, ' ', 1) = c1.w1),
+         |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(ppm) AS BIGINT) AS sum_ppm
+         |  FROM g JOIN mdl USING (gram) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, sum_ppm, sum_ppm // n_bigrams AS mean_ppm
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "t15_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS words FROM documents),
+         |p AS (SELECT doc_id, unnest(words) AS word,
+         |    generate_subscripts(words, 1) AS pos FROM t),
+         |m AS (SELECT a.doc_id, a.pos FROM p a
+         |  JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.word = '$PhraseW1' AND b.word = '$PhraseW2')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t13_vocab_coverage" ->
       s"""WITH g AS (SELECT doc_id, unnest(list_transform(
          |    range(greatest(len($sqlWords) - 1, 0)),

@@ -223,6 +223,83 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nTrain / n > 0.75, s"train fraction ${nTrain / n} implausibly low")
   }
 
+  test("q55 MAD outliers matches a local robust-stats reference") {
+    val rows = graft.core.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, vs) =>
+      val d2 = vs.map(v => math.floor(v._2 * 100 + 0.5) * 2)
+      val med2 = median(d2)
+      val dev = d2.map(x => math.abs(x - med2))
+      val mad2 = median(dev)
+      (g, med2 / 2, mad2 / 2, vs.length.toLong,
+        dev.count(_ > 3 * mad2).toLong)
+    }
+    val got = RelationalQueries.q55MadOutliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._5 > 0), "fixture has no outliers — threshold untested")
+  }
+
+  test("d19 weighted sample: k smallest weight-scaled priorities per source") {
+    import org.apache.spark.sql.functions._
+    val all = graft.core.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        graft.functions.Portable.charHash(concat(col("text"), lit("wsamp1"))).as("draw"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.map(t => (src, t._2, t._4 / math.max(t._3, 1L)))
+        .sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((s0, id, p), i) => (s0, i + 1L, id, p) }
+    }.sortBy(t => (t._1, t._2))
+    val got = DedupQueries.d19WeightedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // weighting must actually matter: the uniform (unweighted) draw on the
+    // same salt picks a different sample for at least one source
+    val uniform = all.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.map(t => (src, t._2, t._4)).sortBy(t => (t._3, t._2)).take(3).map(_._2)
+    }.toSet
+    assert(got.map(_._3).toSet !== uniform, "weighted sample == uniform sample")
+  }
+
+  test("t14 LM score matches a local bigram-model reference") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val grams = docs.flatMap { case (id, ws) => ws.sliding(2).filter(_.size == 2)
+      .map(p => (id, p.mkString(" "))) }
+    val c2 = grams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1.split(" ")(0)).view.mapValues(_.values.sum).toMap
+    val expected = grams.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, gs) =>
+      val ppms = gs.map { case (_, g) => c2(g) * 1000000L / c1(g.split(" ")(0)) }
+      (id, gs.size.toLong, ppms.sum, ppms.sum / gs.size)
+    }
+    val got = TextQueries.t14LmScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("t15 phrase search matches a local positional scan") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val expected = docs.flatMap { case (id, ws) =>
+      val hits = (0 until ws.length - 1)
+        .filter(i => ws(i) == "table" && ws(i + 1) == "scan")
+      if (hits.isEmpty) None else Some((id, hits.size.toLong, hits.min + 1L))
+    }.sortBy(_._1).toSeq
+    val got = TextQueries.t15PhraseSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "phrase absent from fixture — query untested")
+  }
+
   test("g20 HITS matches a local unrolled reference") {
     val cp = GraphQueries.partPairsMaterialized(spark, sf)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
