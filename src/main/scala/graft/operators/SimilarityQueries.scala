@@ -478,6 +478,74 @@ object SimilarityQueries {
     bottomKRank(approx)
   }
 
+  private val MmrK = 5
+  private val MmrC = 10
+
+  /** s10: MMR diversified top-k — maximal marginal relevance reranking
+    * (Carbonell-Goldstein), the retrieval post-processor that trades raw
+    * relevance for coverage: each round picks
+    * argmax(rel(c) − max_{s∈selected} sim(c, s)) (λ = ½ — at equal
+    * weights the ½ factors cancel out of the argmax). The scale shape:
+    * candidate generation is the ANN top-C (s1/s7 — here the exact
+    * integer micro-cosine pool via the bounded BottomK heap), and the
+    * rerank runs entirely inside the per-query candidate pool: the
+    * pairwise-sim frame is C² rows PER QUERY keyed by query_id, so at
+    * 100 TB it is embarrassingly parallel over queries and never touches
+    * the corpus again. Greedy selection is inherently sequential in k —
+    * MmrK bounded rounds, each one anti-join + one max(struct) argmax
+    * over the pool (no window). All-integer scores; ties by vec_id. */
+  def s10Mmr(s: SparkSession, d: String): DataFrame = {
+    val n = vecsWithNorm(s, d)
+    val q = broadcast(n.where(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val scored = q.crossJoin(n)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v"), col("qn"), col("nrm")) * 1000000)
+          .cast("long").as("mc"))
+    val topc = udaf(new graft.functions.Aggregators.BottomK(MmrC),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    val cand = scored.groupBy(col("query_id"))
+      .agg(topc(-col("mc"), col("vec_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("vec_id"), (-col("p.m")).as("rel"))
+      .materialize()
+    val cv = cand.join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+    val pairs = cv.as("a").join(cv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"), col("a.vec_id").as("aid"),
+        col("b.vec_id").as("bid"),
+        round(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) * 1000000)
+          .cast("long").as("sim"))
+      .materialize()
+    def pick(k: Int, scoredPool: DataFrame): DataFrame =
+      scoredPool.groupBy(col("query_id"))
+        .agg(max(struct(col("score").as("s"), (-col("vec_id")).as("nid"),
+          col("rel").as("r"))).as("m"))
+        .select(col("query_id"), (-col("m").getField("nid")).as("vec_id"),
+          col("m").getField("r").as("rel"),
+          col("m").getField("s").as("score"), lit(k.toLong).as("rank"))
+    var selected = pick(1, cand.withColumn("score", col("rel"))).materialize()
+    for (k <- 2 to MmrK) {
+      val remaining = cand.join(selected, Seq("query_id", "vec_id"), "left_anti")
+      val ms = remaining
+        .join(pairs.join(selected.select(col("query_id"), col("vec_id").as("bid")),
+            Seq("query_id", "bid"))
+            .select(col("query_id"), col("aid").as("vec_id"), col("sim")),
+          Seq("query_id", "vec_id"), "left_outer")
+        .groupBy(col("query_id"), col("vec_id"), col("rel"))
+        .agg(coalesce(max(col("sim")), lit(0L)).as("msim"))
+        .withColumn("score", col("rel") - col("msim"))
+      selected = selected.union(pick(k, ms)).materialize()
+    }
+    selected
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("rel").as("rel_mic"), col("score").as("score_mic"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_ann_bruteforce" -> s1AnnBruteforce,
     "s2_ann_lsh" -> s2AnnLsh,
@@ -487,7 +555,8 @@ object SimilarityQueries {
     "s6_ann_pq" -> s6AnnPq,
     "s7_ann_ivfpq" -> s7AnnIvfPq,
     "s8_ann_filtered" -> s8AnnFiltered,
-    "s9_knn_graph" -> s9KnnGraph)
+    "s9_knn_graph" -> s9KnnGraph,
+    "s10_mmr" -> s10Mmr)
 
   // ---- DuckDB oracles ----
 
@@ -545,6 +614,55 @@ object SimilarityQueries {
        |  CASE WHEN f = (SELECT planes FROM cnt) THEN sig
        |       ELSE xor(sig, CAST(1 AS BIGINT) << f) END AS psig
        |  FROM sigs CROSS JOIN flips)""".stripMargin
+
+  /** s10 oracle: unrolled greedy MMR rounds. sel1 is the pure-relevance
+    * argmax; each later round re-scores the unselected pool against the
+    * selected set's pairwise sims and picks the (score, vec_id) argmax
+    * via the textbook row_number form the engine's max(struct) must
+    * equal. */
+  private def mmrSql(k: Int, c: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""mx$r AS MATERIALIZED (SELECT cd.query_id, cd.vec_id, cd.rel,
+         |    coalesce(max(p.sim), 0) AS ms
+         |  FROM cand cd
+         |  LEFT JOIN (pr p JOIN sel${r - 1} s
+         |      ON p.query_id = s.query_id AND p.bid = s.vec_id)
+         |    ON p.query_id = cd.query_id AND p.aid = cd.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+         |    WHERE s2.query_id = cd.query_id AND s2.vec_id = cd.vec_id)
+         |  GROUP BY cd.query_id, cd.vec_id, cd.rel),
+         |pk$r AS (SELECT query_id, vec_id, rel, rel - ms AS score,
+         |    CAST($r AS BIGINT) AS rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel - ms DESC, vec_id) AS rn FROM mx$r) WHERE rn = 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1}
+         |  UNION ALL SELECT * FROM pk$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $baseCte,
+       |qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+       |  FROM n WHERE vec_id < $NQueryVecs),
+       |sc AS (SELECT q.query_id, n.vec_id,
+       |  CAST(round((${sqlCosGen("q.qv", "n.v", "q.qn", "n.nrm")}) * 1000000)
+       |    AS BIGINT) AS rel
+       |  FROM qv q JOIN n ON n.vec_id != q.query_id),
+       |cand AS MATERIALIZED (SELECT query_id, vec_id, rel FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, vec_id) AS rn FROM sc) WHERE rn <= $c),
+       |cv AS (SELECT cd.query_id, cd.vec_id, n.v, n.nrm
+       |  FROM cand cd JOIN n USING (vec_id)),
+       |pr AS MATERIALIZED (SELECT a.query_id, a.vec_id AS aid, b.vec_id AS bid,
+       |  CAST(round((${sqlCosGen("a.v", "b.v", "a.nrm", "b.nrm")}) * 1000000)
+       |    AS BIGINT) AS sim
+       |  FROM cv a JOIN cv b
+       |    ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
+       |sel1 AS MATERIALIZED (SELECT query_id, vec_id, rel, rel AS score,
+       |    CAST(1 AS BIGINT) AS rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, rank, vec_id, rel AS rel_mic, score AS score_mic
+       |FROM sel$k ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Parameterized cosine between two aliased vector/norm columns. */
   private[operators] def sqlCosGen(va: String, vb: String, na: String, nb: String): String =
@@ -608,6 +726,7 @@ object SimilarityQueries {
          |SELECT src_id, CAST(rank AS BIGINT) AS rank,
          |  vec_id AS neighbor_id, mc AS cos_mic
          |FROM ranked WHERE rank <= $KnnK ORDER BY src_id, rank""".stripMargin,
+    "s10_mmr" -> mmrSql(MmrK, MmrC),
     "s8_ann_filtered" ->
       s"""WITH $baseCte,
          |q AS (SELECT vec_id AS query_id, label, v AS qv, nrm AS qn

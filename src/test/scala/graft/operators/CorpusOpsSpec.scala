@@ -124,6 +124,35 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s10 MMR: rank-1 is pure relevance argmax; later ranks are penalized picks") {
+    val rows = SimilarityQueries.s10Mmr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1L to byRank.length).toSeq, s"rank gap for query $q")
+      // rank 1: score == rel (no penalty yet). Later ranks: score =
+      // rel − max-sim-to-selected, where the penalty term lives in
+      // [−10⁶, 10⁶] (an anti-correlated pool can push score ABOVE rel —
+      // that is MMR's diversity bonus, not a bug).
+      assert(byRank.head._4 === byRank.head._5, s"query $q rank-1 penalized")
+      byRank.tail.foreach { r =>
+        assert(math.abs(r._5 - r._4) <= 1000000L,
+          s"query $q rank ${r._2}: |score − rel| outside the cosine range")
+      }
+      // rank 1 must carry the pool's max relevance
+      assert(byRank.head._4 === rs.map(_._4).max, s"query $q rank-1 not max-rel")
+    }
+    // diversification must bite somewhere: some query's selection order
+    // deviates from pure relevance order
+    val deviates = rows.groupBy(_._1).exists { case (_, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._3)
+      val byRel = rs.sortBy(r => (-r._4, r._3)).map(_._3)
+      byRank.toSeq !== byRel.toSeq
+    }
+    assert(deviates, "MMR == pure top-k everywhere — diversification untested")
+  }
+
   test("g18 k-truss matches a local fixed-round peeling reference") {
     val te = GraphQueries.partPairsMaterialized(spark, sf)
       .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
