@@ -11,6 +11,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.get(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // SPARK_GRAFT_CONF="k=v;k2=v2": runtime-settable session confs for
+    // builder-side mode benches (e.g. spark.graft.checkpoint.reliable=true
+    // to price the durable-checkpoint mode); the driver never sets it.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     // Warmup: JVM/codegen/shuffle startup must not be billed to the first
     // queries (alphabetically the dedup family) — touch a scan, a hash
     // projection, and a small shuffle once.

@@ -673,6 +673,38 @@ object GraphQueries {
       .orderBy("id")
   }
 
+  /** g22: degree assortativity (Newman 2002) — does the co-purchase
+    * graph wire hubs to hubs or hubs to leaves? The Pearson correlation
+    * of endpoint degrees over the directed-edge view, reported as the
+    * exact integer moments (m2 = 2|E|, Σjk, Σj, Σj²) plus the
+    * correlation's numerator/denominator `m2·Σjk − (Σj)²` /
+    * `m2·Σj² − (Σj)²` — the g16 rule: the final (possibly negative)
+    * division is one client-side op, and integer DIV truncation on
+    * negatives differs cross-engine, so the gate compares the exact
+    * BIGINTs. By edge symmetry Σj = Σk and Σj² = Σk², so four moments
+    * determine r.
+    *
+    * Scale shape: two broadcast-size degree joins onto the edge view and
+    * ONE map-combinable global aggregate — no shuffle wider than the
+    * edge list, no window, no collect. BIGINT bound: Σ(j·k) ≤ 2|E|·Δ²
+    * and the products m2·Σjk, (Σj)² stay < 2⁶³ to |E|·Δ² ~ 3e9 — beyond
+    * that the moments drop to per-partition partials over DECIMAL(38,0)
+    * (documented, not needed at any test SF). */
+  def g22Assortativity(s: SparkSession, d: String): DataFrame = {
+    val se = PropertyGraph.symmetrize(partPairsMaterialized(s, d))
+      .select("src", "dst")
+    val dg = vertexDegMaterialized(s, d)
+    se.join(dg.select(col("id").as("src"), col("deg").as("dj")), "src")
+      .join(dg.select(col("id").as("dst"), col("deg").as("dk")), "dst")
+      .agg(count(lit(1)).as("m2"),
+        sum(col("dj") * col("dk")).as("sum_jk"),
+        sum(col("dj")).as("sum_j"),
+        sum(col("dj") * col("dj")).as("sum_j2"))
+      .select(col("m2"), col("sum_jk"), col("sum_j"), col("sum_j2"),
+        (col("m2") * col("sum_jk") - col("sum_j") * col("sum_j")).as("r_num"),
+        (col("m2") * col("sum_j2") - col("sum_j") * col("sum_j")).as("r_den"))
+  }
+
   private val ReachSeeds = 5
   private val ReachDepth = 4
 
@@ -1093,6 +1125,7 @@ object GraphQueries {
     "g18_ktruss" -> g18KTruss,
     "g20_hits" -> g20Hits,
     "g21_harmonic" -> g21Harmonic,
+    "g22_assortativity" -> g22Assortativity,
     "q54_transitive_closure" -> q54TransitiveClosure)
 
   val oracle: Map[String, String] = Map(
@@ -1135,6 +1168,20 @@ object GraphQueries {
     "g14_betweenness" -> betweennessSql(BcDepth, BcSources),
     "g20_hits" -> hitsSql(HitsIters),
     "g21_harmonic" -> harmonicSql(BcDepth, BcSources),
+    "g22_assortativity" ->
+      s"""WITH $edgeCtes,
+         |ej AS (SELECT ds.deg AS dj, dd.deg AS dk
+         |  FROM edges e JOIN deg ds ON e.src = ds.id
+         |               JOIN deg dd ON e.dst = dd.id),
+         |mom AS (SELECT count(*) AS m2,
+         |    CAST(sum(dj * dk) AS BIGINT) AS sum_jk,
+         |    CAST(sum(dj) AS BIGINT) AS sum_j,
+         |    CAST(sum(dj * dj) AS BIGINT) AS sum_j2
+         |  FROM ej)
+         |SELECT m2, sum_jk, sum_j, sum_j2,
+         |  m2 * sum_jk - sum_j * sum_j AS r_num,
+         |  m2 * sum_j2 - sum_j * sum_j AS r_den
+         |FROM mom""".stripMargin,
     "q54_transitive_closure" -> reachSql(ReachDepth, ReachSeeds),
     "g18_ktruss" -> {
       val rounds = (1 to TrussRounds).map { r =>

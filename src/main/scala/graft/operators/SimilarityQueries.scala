@@ -546,6 +546,64 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Binary-rerank candidate-pool size (per query). */
+  private val BinRerankC = 50
+
+  /** s11: binary (sign-bit) quantization + Hamming prefilter + exact
+    * rerank — the third compression leg of the production ANN stack
+    * beside int8 (s5) and PQ (s6): each 64-dim float vector compresses
+    * to 64 BITS (two BIGINT halves; bit d = sign of component d), the
+    * scan ranks candidates by `popcount(xor)` Hamming distance — 2 XORs
+    * + 2 popcounts per vector vs 64 FMAs, and the embedding column is
+    * never read — then only the [[BinRerankC]] Hamming-nearest
+    * candidates per query are reranked with the exact cosine. The
+    * Hamming cut is the bounded [[graft.functions.Aggregators.BottomK]]
+    * heap (O(C) state, map-side merge, ties by vec_id); the final
+    * ranking is a row_number window over ≤ C rows per query — bounded
+    * by the pool constant, not the corpus. Sign bits are exact float
+    * comparisons (no arithmetic), so both engines derive identical
+    * signatures; two 32-bit halves keep every shift below 2⁶³. */
+  def s11BinaryRerank(s: SparkSession, d: String): DataFrame = {
+    val half = (off: Int) => expr(
+      s"""aggregate(transform(sequence(0, 31),
+         |  i -> IF(element_at(v, i + ${off + 1}) > 0.0D,
+         |          shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+    val sigs = vecsWithNorm(s, d)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        half(0).as("lo"), half(32).as("hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = broadcast(sigs.where(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("lo").as("qlo"), col("hi").as("qhi")))
+    val ham = sigs.select(col("vec_id"), col("lo"), col("hi")).crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long").as("hamming"))
+    val topc = udaf(new graft.functions.Aggregators.BottomK(BinRerankC),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    val cand = ham.groupBy(col("query_id"))
+      .agg(topc(col("hamming"), col("vec_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.m").as("hamming"))
+    val scored = cand
+      .join(sigs.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id")
+      .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("cos_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_ann_bruteforce" -> s1AnnBruteforce,
     "s2_ann_lsh" -> s2AnnLsh,
@@ -556,7 +614,8 @@ object SimilarityQueries {
     "s7_ann_ivfpq" -> s7AnnIvfPq,
     "s8_ann_filtered" -> s8AnnFiltered,
     "s9_knn_graph" -> s9KnnGraph,
-    "s10_mmr" -> s10Mmr)
+    "s10_mmr" -> s10Mmr,
+    "s11_binary_rerank" -> s11BinaryRerank)
 
   // ---- DuckDB oracles ----
 
@@ -727,6 +786,37 @@ object SimilarityQueries {
          |  vec_id AS neighbor_id, mc AS cos_mic
          |FROM ranked WHERE rank <= $KnnK ORDER BY src_id, rank""".stripMargin,
     "s10_mmr" -> mmrSql(MmrK, MmrC),
+    "s11_binary_rerank" ->
+      s"""WITH $baseCte,
+         |sig AS (SELECT vec_id, v, nrm,
+         |  CAST(list_sum(list_transform(range(1, 33), i ->
+         |    CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+         |         ELSE 0 END)) AS BIGINT) AS lo,
+         |  CAST(list_sum(list_transform(range(33, 65), i ->
+         |    CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 33))
+         |         ELSE 0 END)) AS BIGINT) AS hi
+         |  FROM n),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+         |    lo AS qlo, hi AS qhi
+         |  FROM sig WHERE vec_id < $NQueryVecs),
+         |ham AS (SELECT q.query_id, s.vec_id,
+         |    CAST(bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi))
+         |      AS BIGINT) AS hamming
+         |  FROM q JOIN sig s ON s.vec_id != q.query_id),
+         |cand AS (SELECT query_id, vec_id, hamming,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hamming, vec_id) AS hrn
+         |  FROM ham),
+         |scored AS (SELECT c.query_id, n.vec_id AS neighbor_id, c.hamming,
+         |    round($sqlCos, 6) AS cos_sim
+         |  FROM cand c
+         |  JOIN n ON n.vec_id = c.vec_id
+         |  JOIN q ON q.query_id = c.query_id
+         |  WHERE c.hrn <= $BinRerankC),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, hamming, cos_sim, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "s8_ann_filtered" ->
       s"""WITH $baseCte,
          |q AS (SELECT vec_id AS query_id, label, v AS qv, nrm AS qn

@@ -194,13 +194,45 @@ object TemporalQueries {
       .orderBy("user_id", "valid_from_us", "event_id")
   }
 
+  /** q56: peak interval concurrency (the sweep-line / "max concurrent
+    * sessions" face) — each event opens a [[GapUs]]-long activity
+    * interval; per event_type, find the maximum number of simultaneously
+    * open intervals and the earliest instant it is reached. The quadratic
+    * formulation is interval-overlap self-join; the scale formulation is
+    * the boundary sweep: ±1 points at open/close, pre-aggregated to a
+    * NET delta per (type, instant) — end-exclusive semantics fall out of
+    * the netting for free — then ONE running-sum window over instants
+    * (already grouped: the window input is O(distinct instants), not
+    * O(events)). The peak extraction is a `max(struct)` hash aggregate,
+    * not a second window. The single-partition-per-type window is
+    * bounded by event_type's tiny cardinality here; the general-key
+    * form is the two-pass range-partitioned prefix sum (documented, not
+    * needed). Epoch-µs integers end-to-end. */
+  def q56OverlapPeak(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val pts = ev.select(col("event_type"), col("us"), lit(1L).as("delta"))
+      .union(ev.select(col("event_type"), (col("us") + GapUs).as("us"),
+        lit(-1L).as("delta")))
+      .groupBy("event_type", "us").agg(sum(col("delta")).as("net"))
+    val w = Window.partitionBy("event_type").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("cum", sum(col("net")).over(w))
+      .groupBy("event_type")
+      .agg(max(struct(col("cum"), (-col("us")).as("nus"))).as("am"))
+      .select(col("event_type"), col("am.cum").as("peak_concurrent"),
+        (-col("am.nus")).as("peak_at_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_asof_join" -> q24AsofJoin,
     "q25_range_join" -> q25RangeJoin,
     "q37_gap_fill" -> q37GapFill,
     "q41_funnel" -> q41Funnel,
     "q48_scd2" -> q48Scd2,
-    "q49_seq_match" -> q49SeqMatch)
+    "q49_seq_match" -> q49SeqMatch,
+    "q56_overlap_peak" -> q56OverlapPeak)
 
   // ---- DuckDB oracles ----
 
@@ -268,6 +300,24 @@ object TemporalQueries {
         |  CAST(coalesce(list_max(list_transform(matches, x -> length(x))), 0)
         |    AS BIGINT) AS max_match_len
         |FROM m ORDER BY user_id""".stripMargin,
+    "q56_overlap_peak" ->
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+         |pts AS (SELECT event_type, us, CAST(sum(delta) AS BIGINT) AS net
+         |  FROM (SELECT event_type, us, 1 AS delta FROM ev
+         |        UNION ALL SELECT event_type, us + $GapUs, -1 FROM ev)
+         |  GROUP BY event_type, us),
+         |cums AS (SELECT event_type, us,
+         |    CAST(sum(net) OVER (PARTITION BY event_type ORDER BY us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM pts),
+         |mx AS (SELECT event_type, max(cum) AS peak FROM cums
+         |  GROUP BY event_type)
+         |SELECT c.event_type, m.peak AS peak_concurrent,
+         |  min(c.us) AS peak_at_us
+         |FROM cums c JOIN mx m
+         |  ON c.event_type = m.event_type AND c.cum = m.peak
+         |GROUP BY c.event_type, m.peak ORDER BY c.event_type""".stripMargin,
     "q41_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

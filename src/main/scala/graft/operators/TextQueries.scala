@@ -400,7 +400,34 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t16: readability scoring — Flesch reading-ease and Flesch–Kincaid
+    * grade level per document, the third classic quality-filter signal
+    * beside t3's ratio gates and t14's LM score (readability bands are a
+    * standard curation dimension for instruction/edu corpora). Counts
+    * are pure regex (letter runs = words, [.!?] = sentence ends, vowel
+    * groups = the standard syllable proxy), and both formulas are
+    * evaluated in exact integer milli-units with the t5 idf trick — each
+    * `(k·a) DIV b` has positive operands so truncation is identical
+    * cross-engine, and no float ever forms. One narrow projection over
+    * the corpus, zero shuffles beyond the final sort — trivially
+    * scan-parallel at any scale. */
+  def t16Readability(s: SparkSession, d: String): DataFrame = {
+    val nw = greatest(regexp_count(col("text"), lit("[A-Za-z]+")), lit(1)).cast("long")
+    val ns = greatest(regexp_count(col("text"), lit("[.!?]")), lit(1)).cast("long")
+    val sy = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1)).cast("long")
+    docs(s, d).select(
+        col("doc_id"), nw.as("n_words"), ns.as("n_sentences"), sy.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (lit(206835L) - expr("(1015 * n_words) DIV n_sentences")
+          - expr("(84600 * n_syllables) DIV n_words")).as("flesch_milli"),
+        (expr("(390 * n_words) DIV n_sentences")
+          + expr("(11800 * n_syllables) DIV n_words") - lit(15590L))
+          .as("fk_grade_milli"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t16_readability" -> t16Readability,
     "t14_lm_score" -> t14LmScore,
     "t15_phrase_search" -> t15PhraseSearch,
     "t13_vocab_coverage" -> t13VocabCoverage,
@@ -493,6 +520,16 @@ object TextQueries {
        |  (a, b) -> (a*31 + b) % ${Portable.P})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t16_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS nw,
+        |    greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS ns,
+        |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS sy
+        |  FROM documents)
+        |SELECT doc_id, nw AS n_words, ns AS n_sentences, sy AS n_syllables,
+        |  206835 - (1015 * nw) // ns - (84600 * sy) // nw AS flesch_milli,
+        |  (390 * nw) // ns + (11800 * sy) // nw - 15590 AS fk_grade_milli
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t14_lm_score" ->
       s"""WITH g AS (SELECT doc_id, unnest(list_transform(
          |    range(greatest(len($sqlWords) - 1, 0)),

@@ -397,4 +397,94 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
     assert(got.exists(_._3 > 1), "fixture closure never leaves hop 1 — seeds trivial")
   }
+
+  test("g22 assortativity matches local degree moments") {
+    val pairs = GraphQueries.partPairsMaterialized(spark, sf)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dir = pairs ++ pairs.map(_.swap)
+    val deg = dir.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val m2 = dir.length.toLong
+    val sumJk = dir.map { case (a, b) => deg(a) * deg(b) }.sum
+    val sumJ = dir.map { case (a, _) => deg(a) }.sum
+    val sumJ2 = dir.map { case (a, _) => deg(a) * deg(a) }.sum
+    val r = GraphQueries.g22Assortativity(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((m2, sumJk, sumJ, sumJ2)))
+    assert(r.getLong(4) === m2 * sumJk - sumJ * sumJ)
+    assert(r.getLong(5) === m2 * sumJ2 - sumJ * sumJ)
+    assert(r.getLong(5) > 0, "degenerate fixture: all degrees equal")
+  }
+
+  test("q56 overlap peak matches a local sweep-line reference") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val gap = 1800L * 1000000L
+    val expected = ev.groupBy(_._1).map { case (t, es) =>
+      val net = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      es.foreach { case (_, us) => net(us) += 1; net(us + gap) -= 1 }
+      var cum = 0L; var peak = Long.MinValue; var peakAt = 0L
+      net.toSeq.sortBy(_._1).foreach { case (us, d) =>
+        cum += d
+        if (cum > peak) { peak = cum; peakAt = us }
+      }
+      (t, peak, peakAt)
+    }.toSeq.sortBy(_._1)
+    val got = TemporalQueries.q56OverlapPeak(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._2 > 1), "peak never exceeds 1 — intervals never overlap")
+  }
+
+  test("s11 binary rerank matches a local sign-bit reference") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def sig(v: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 32) { if (v(i) > 0) lo |= 1L << i }
+      for (i <- 32 until 64) { if (v(i) > 0) hi |= 1L << (i - 32) }
+      (lo, hi)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }.toMap
+    val byId = vecs.toMap
+    val expected = vecs.filter(_._1 < 5).sortBy(_._1).flatMap { case (q, qv) =>
+      val (qlo, qhi) = sigs(q)
+      val cand = vecs.filter(_._1 != q).map { case (id, _) =>
+        val (lo, hi) = sigs(id)
+        (id, (java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi)).toLong)
+      }.sortBy(t => (t._2, t._1)).take(50)
+      cand.map { case (id, h) =>
+        val c = BigDecimal(cos(qv, byId(id))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (q, id, h, c)
+      }.sortBy(t => (-t._4, t._2)).take(10).zipWithIndex
+        .map { case ((_, id, h, c), i) => (q, id, h, c, i + 1L) }
+    }.toSeq
+    val got = SimilarityQueries.s11BinaryRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("t16 readability matches a local regex reference") {
+    val docsRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def cnt(t: String, re: String): Long =
+      math.max(re.r.findAllIn(t).length.toLong, 1L)
+    val expected = docsRows.map { case (id, t) =>
+      val nw = cnt(t, "[A-Za-z]+"); val ns = cnt(t, "[.!?]")
+      val sy = cnt(t.toLowerCase, "[aeiouy]+")
+      (id, nw, ns, sy,
+        206835L - (1015L * nw) / ns - (84600L * sy) / nw,
+        (390L * nw) / ns + (11800L * sy) / nw - 15590L)
+    }.sortBy(_._1).toSeq
+    val got = TextQueries.t16Readability(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
 }
