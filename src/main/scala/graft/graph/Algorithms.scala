@@ -235,16 +235,25 @@ object GraphOps {
     * [[orientedTriangleCountDF]] — the shuffle-join formulation with
     * O(√E)-bounded oriented degrees. */
   def triangleCountViaIntersect(canonicalEdges: DataFrame): DataFrame = {
-    val e = canonicalEdges.select("src", "dst")
-    val adj = e.groupBy(col("src").as("id"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val withA = e.join(broadcast(adj.select(col("id").as("src"), col("nbrs").as("asrc"))), "src")
-      .join(broadcast(adj.select(col("id").as("dst"), col("nbrs").as("adst"))), "dst")
-    // native merge-scan intersect (arrays are sorted + distinct by
-    // construction) — array_intersect builds a hash set per edge.
+    val withA = edgesWithAdjacency(canonicalEdges)
     withA.agg(coalesce(sum(call_function("graft_sorted_intersect_count",
         col("asrc"), col("adst"))), lit(0L))
       .cast("long").as("n_triangles"))
+  }
+
+  /** The intersect formulation's edge frame with both endpoints'
+    * broadcast adjacency arrays attached — shared by the global count
+    * above and keyed variants (each triangle x<y<z contributes exactly
+    * once, at edge (x,y), so `sum` grouped by any function of (src,
+    * dst) attributes triangles to their minimum vertex's group). */
+  def edgesWithAdjacency(canonicalEdges: DataFrame): DataFrame = {
+    val e = canonicalEdges.select("src", "dst")
+    val adj = e.groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // native merge-scan intersect (arrays are sorted + distinct by
+    // construction) — array_intersect builds a hash set per edge.
+    e.join(broadcast(adj.select(col("id").as("src"), col("nbrs").as("asrc"))), "src")
+      .join(broadcast(adj.select(col("id").as("dst"), col("nbrs").as("adst"))), "dst")
   }
 
   /** Degree-oriented triangle count — same count as [[triangleCount]]

@@ -200,12 +200,23 @@ object GraphLoaders {
     lines.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val hconf = spark.sparkContext.hadoopConfiguration
-      (0 until parts).foreach { p =>
+      // One grouped pass for every part's header counts (the per-part
+      // agg loop was `parts` extra jobs over the persisted frame).
+      val counts = lines.groupBy(col("part"))
+        .agg(count(lit(1)).as("nv"), sum(col("ne")).as("ne")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          Option(r.get(2)).map(_.toString.toLong).getOrElse(0L))).toMap
+      // Per-part single-file sort+write+header-prepend, in PARALLEL: each
+      // part's text job is one task (the format demands one file), so
+      // running the `parts` jobs serially leaves the cluster idle for
+      // parts-1 of the wall clock; concurrent driver threads let the
+      // scheduler overlap them.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val jobs = (0 until parts).map { p => Future {
         val mine = lines.where(col("part") === p)
-        val (nv, ne) = {
-          val r = mine.agg(count(lit(1)), sum(col("ne"))).first()
-          (r.getLong(0), Option(r.get(1)).map(_.toString.toLong).getOrElse(0L))
-        }
+        val (nv, ne) = counts.getOrElse(p.toLong, (0L, 0L))
         require(nv > 0 && ne > 0,
           s"part $p of $parts is empty (nvtxs=$nv nedges=$ne): the reference " +
             "reader rejects empty subgraphs (graph.h:587-588) — use fewer parts")
@@ -227,7 +238,8 @@ object GraphLoaders {
           } finally in.close()
         } finally out.close()
         fs.delete(tmp, true)
-      }
+      } }
+      jobs.foreach(Await.result(_, Duration.Inf))
     } finally lines.unpersist(blocking = false)
   }
 
@@ -241,15 +253,23 @@ object GraphLoaders {
     * part's numbers are one aggregate over its file scan; nothing
     * per-row reaches the driver. */
   def partitionStats(spark: SparkSession, basePath: String, parts: Int): DataFrame = {
-    import spark.implicits._
-    (0 until parts).map { p =>
-      val g = metisSubgraph(spark, s"$basePath.subgraph.$p")
-      val e = g.edges.agg(count(lit(1)),
-        sum(when(col("dst_part") =!= p, 1L).otherwise(0L))).first()
-      (p.toLong, g.vertices.count(), e.getLong(0), e.getLong(1))
-    }.toDF("part", "nvtxs", "nedges", "cut_edges")
+    // Two jobs total (vertex counts + edge/cut counts over the unioned
+    // per-part frames) instead of 2·parts — each source file is still
+    // parsed per consumer, but the job-scheduling floor stops scaling
+    // with the part count.
+    val gs = (0 until parts).map(p => p -> metisSubgraph(spark, s"$basePath.subgraph.$p"))
+    val vs = gs.map { case (p, g) =>
+        g.vertices.groupBy(lit(p.toLong).as("part")).agg(count(lit(1)).as("nvtxs")) }
+      .reduce(_ union _)
+    val es = gs.map { case (p, g) =>
+        g.edges.groupBy(lit(p.toLong).as("part")).agg(
+          count(lit(1)).as("nedges"),
+          sum(when(col("dst_part") =!= p, 1L).otherwise(0L)).as("cut_edges")) }
+      .reduce(_ union _)
+    vs.join(es, Seq("part"))
       .withColumn("cut_pct",
         round(col("cut_edges") * 100.0 / greatest(col("nedges"), lit(1L)), 2))
+      .orderBy("part")
   }
 
   /** The reference's imbalance measure over a [[partitionStats]] frame:

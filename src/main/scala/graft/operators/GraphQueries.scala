@@ -792,11 +792,16 @@ object GraphQueries {
         greatest(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tri = canon.as("ab").join(canon.as("bc"), col("ab.dst") === col("bc.src"))
-      .join(canon.as("ac"),
-        col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
-      .select(pmod(col("ab.src"), lit(3L)).as("part"))
-      .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+    // Broadcast-adjacency intersect (the g5 kernel), grouped by the apex
+    // vertex's owner: each triangle x<y<z is counted once at edge (x,y),
+    // so grouping the per-edge intersect sums by pmod(src) attributes it
+    // to min-vertex's part — the 3-way wedge self-join this replaces
+    // materialized the Σdeg² wedge set (~9 s at sf0.1 vs ~1.5 s).
+    val tri = GraphOps.edgesWithAdjacency(canon)
+      .groupBy(pmod(col("src"), lit(3L)).as("part"))
+      .agg(coalesce(sum(call_function("graft_sorted_intersect_count",
+          col("asrc"), col("adst"))), lit(0L))
+        .cast("long").as("n_triangles"))
     stats.join(tri, Seq("part"), "left_outer")
       .select(col("part"), col("nvtxs"), col("nedges"), col("cut_edges"),
         col("cut_pct"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))

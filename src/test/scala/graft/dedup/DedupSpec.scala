@@ -280,4 +280,29 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (!paired.contains(doc)) assert(c === doc)
     }
   }
+
+  test("d18 quotient CC equals union-find over the full d4 pair graph") {
+    import graft.operators.DedupQueries
+    val d = "/root/testdata/sf0.001"
+    val pairs = DedupQueries.d4Simhash(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // union-find roots are cluster minima because unions always point
+    // the larger root at the smaller one
+    val got = DedupQueries.d18SimhashClusters(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    got.foreach { case (doc, c, dup) =>
+      assert(c === find(doc), s"doc $doc: canonical $c != union-find root")
+      assert(dup === (c != doc))
+    }
+    assert(got.exists(_._3), "fixture has no simhash dup clusters")
+  }
 }
