@@ -27,7 +27,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s3_ann_ivf",        // vectors × broadcast anchor cells
     "s7_ann_ivfpq",      // same broadcast anchor cross join (IVF leg, index build)
     "t5_tfidf",          // tf × broadcast n_docs scalar
-    "g16_modularity")    // per-community frame × broadcast edge-count m scalar
+    "g16_modularity",    // per-community frame × broadcast edge-count m scalar
+    "s11_binary_rerank") // 2-long signatures × 5 broadcast query sigs (Hamming scan)
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
