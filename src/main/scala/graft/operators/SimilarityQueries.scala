@@ -604,7 +604,30 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s12: ANN index-quality evaluation — recall@k of the LSH index (s2)
+    * against the exact baseline (s1), per query: |approx ∩ exact| / k.
+    * The eval harness every production ANN deployment runs before
+    * trusting an index (and after every re-index): both pipelines are
+    * the GATED s1/s2 paths re-invoked verbatim — the measure can never
+    * drift from what the index actually serves. One left join on
+    * (query, neighbor) + one map-combinable aggregate on top of the two
+    * top-k frames (k rows per query each), so the eval adds nothing to
+    * the scan cost; recall in exact integer ppm (the t5 DIV trick). */
+  def s12IndexRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = s1AnnBruteforce(s, d).select(col("query_id"), col("neighbor_id"))
+    val apx = s2AnnLsh(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(apx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        expr("(1000000 * n_hit) DIV n_exact").as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s12_index_recall" -> s12IndexRecall,
     "s1_ann_bruteforce" -> s1AnnBruteforce,
     "s2_ann_lsh" -> s2AnnLsh,
     "s3_ann_ivf" -> s3AnnIvf,
@@ -770,7 +793,7 @@ object SimilarityQueries {
        |  GROUP BY p.vec_id, c.sub, c.cluster)""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "s9_knn_graph" ->
       s"""WITH $baseCte,
          |$sqlSigDyn,
@@ -961,4 +984,21 @@ object SimilarityQueries {
          |    list_transform(list_zip(v, q), s -> abs(s[1] - s[2] / scale))),
          |    (a, b) -> a + b) / $Dim.0, 8) AS mean_abs_err
          |FROM qq ORDER BY vec_id""".stripMargin)
+
+  /** s12's oracle composes the s1 (exact) and s2 (LSH) result sets as
+    * nested-WITH CTEs — the recall measure must re-derive both sides
+    * exactly as their own gates do, so it references their oracle
+    * strings verbatim. */
+  val oracle: Map[String, String] = oracleBase +
+    ("s12_index_recall" ->
+      s"""WITH exact AS (${oracleBase("s1_ann_bruteforce")}),
+         |apx AS (${oracleBase("s2_ann_lsh")}),
+         |hits AS (SELECT e.query_id, e.neighbor_id,
+         |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM exact e LEFT JOIN apx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+         |SELECT query_id, count(*) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  (1000000 * CAST(sum(hit) AS BIGINT)) // count(*) AS recall_ppm
+         |FROM hits GROUP BY query_id ORDER BY query_id""".stripMargin)
 }

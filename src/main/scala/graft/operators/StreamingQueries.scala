@@ -103,6 +103,31 @@ object StreamingQueries {
       .orderBy("user_id", "c_ts_us", "v_ts_us")
   }
 
+  /** q57: stream-stream LEFT-OUTER interval join (q40's harder face —
+    * the [[EventStreams.clickAfterView]] machinery with
+    * `joinType=left_outer`): every click keeps a row even when no view
+    * preceded it within the horizon, with NULL view columns and a
+    * `matched` flag — the attribution shape that accounts
+    * "conversions without an ad view" instead of silently dropping
+    * them. In streaming execution the unmatched click is emitted only
+    * once the view-side watermark passes its horizon (two-sided state
+    * expiry; covered in EventStreamsSpec); the batch dual is the plain
+    * left join the oracle runs. Epoch-µs integers; NULL v_ts_us/v_value
+    * on unmatched rows hash identically in both engines. */
+  def q57ClickNoView(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val joined = EventStreams.clickAfterView(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "view"),
+      horizon = "2 hours", joinType = "left_outer")
+    joined.select(col("user_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        unix_micros(col("v_ts")).as("v_ts_us"),
+        col("c_value"), col("v_value"),
+        col("v_ts").isNotNull.as("matched"))
+      .orderBy("user_id", "c_ts_us", "v_ts_us")
+  }
+
   /** q42: custom-state sessionization (the
     * [[EventStreams.sessionizeWithState]] face — flatMapGroupsWithState,
     * the `KeyValueGroupedDataset` arbitrary-state API the built-in
@@ -148,7 +173,8 @@ object StreamingQueries {
     "q39_watch_rates" -> q39WatchRates,
     "q40_click_after_view" -> q40ClickAfterView,
     "q42_state_sessions" -> q42StateSessions,
-    "q43_window_distinct" -> q43WindowDistinct)
+    "q43_window_distinct" -> q43WindowDistinct,
+    "q57_click_no_view" -> q57ClickNoView)
 
   val oracle: Map[String, String] = Map(
     "q17_sessions" ->
@@ -190,6 +216,19 @@ object StreamingQueries {
         |FROM events c JOIN events v
         |  ON c.user_id = v.user_id
         | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 2 HOUR
+        |ORDER BY c.user_id, c_ts_us, v_ts_us""".stripMargin,
+    "q57_click_no_view" ->
+      """WITH c AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'view')
+        |SELECT c.user_id,
+        |  epoch_us(c.ts) AS c_ts_us, epoch_us(v.ts) AS v_ts_us,
+        |  c.value AS c_value, v.value AS v_value,
+        |  v.ts IS NOT NULL AS matched
+        |FROM c LEFT JOIN v
+        |  ON c.user_id = v.user_id
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 2 HOUR
         |ORDER BY c.user_id, c_ts_us, v_ts_us""".stripMargin,
     "q43_window_distinct" -> {

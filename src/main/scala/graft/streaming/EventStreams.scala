@@ -124,17 +124,23 @@ object EventStreams {
     * DataFrames (plain equi+range join). */
   def clickAfterView(clicks: DataFrame, views: DataFrame,
                      horizon: String = "10 minutes",
-                     watermarkDelay: String = "20 minutes"): DataFrame = {
+                     watermarkDelay: String = "20 minutes",
+                     joinType: String = "inner"): DataFrame = {
     val c0 = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
       col("value").as("c_value"))
     val v0 = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
       col("value").as("v_value"))
     val c = if (c0.isStreaming) c0.withWatermark("c_ts", watermarkDelay) else c0
     val v = if (v0.isStreaming) v0.withWatermark("v_ts", watermarkDelay) else v0
+    // left_outer works on the same state machinery: an unmatched click
+    // is emitted with NULL view columns once the view-side watermark
+    // passes its horizon — attribution pipelines use exactly this to
+    // account "conversions without an ad view" instead of dropping them.
     c.join(v,
       col("c_user") === col("v_user") &&
         col("v_ts") <= col("c_ts") &&
-        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $horizon"))
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("c_user").as("user_id"), col("c_ts"), col("v_ts"),
         col("c_value"), col("v_value"))
   }

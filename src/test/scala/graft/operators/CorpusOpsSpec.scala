@@ -470,6 +470,40 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("s12 index recall equals the s1/s2 set intersection") {
+    val exact = SimilarityQueries.s1AnnBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val apx = SimilarityQueries.s2AnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = SimilarityQueries.s12IndexRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet === exact.keySet)
+    got.foreach { case (q, nExact, nHit, ppm) =>
+      assert(nExact === exact(q).size.toLong)
+      val hits = exact(q).intersect(apx.getOrElse(q, Set.empty)).size.toLong
+      assert(nHit === hits, s"query $q: n_hit != |s1 ∩ s2|")
+      assert(ppm === 1000000L * hits / nExact)
+    }
+  }
+
+  test("q57 left-outer interval join covers every click; matched rows = q40 pairs") {
+    val q40 = StreamingQueries.q40ClickAfterView(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val q57 = StreamingQueries.q57ClickNoView(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(5)))
+    val matched = q57.filter(_._4).map(t => (t._1, t._2, t._3.get)).toSet
+    assert(matched === q40, "matched q57 rows must equal the q40 inner join")
+    val nClicks = graft.core.Tables.events(spark, sf)
+      .where(org.apache.spark.sql.functions.col("event_type") === "click").count()
+    val clickKeys = q57.map(t => (t._1, t._2)).distinct.length.toLong
+    assert(clickKeys === nClicks, "every click must appear (matched or not)")
+    assert(q57.exists(!_._4), "fixture has no unmatched clicks — NULL path untested")
+    q57.filter(!_._4).foreach(t => assert(t._3.isEmpty))
+  }
+
   test("t16 readability matches a local regex reference") {
     val docsRows = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))

@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s7_ann_ivfpq",      // same broadcast anchor cross join (IVF leg, index build)
     "t5_tfidf",          // tf × broadcast n_docs scalar
     "g16_modularity",    // per-community frame × broadcast edge-count m scalar
-    "s11_binary_rerank") // 2-long signatures × 5 broadcast query sigs (Hamming scan)
+    "s11_binary_rerank", // 2-long signatures × 5 broadcast query sigs (Hamming scan)
+    "s12_index_recall")  // re-invokes s1 verbatim — inherits its declared cross join
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -253,6 +253,40 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT-OUTER interval join emits unmatched clicks after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val views = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.clickAfterView(
+        clicks.toDF().toDF("user_id", "ts", "value"),
+        views.toDF().toDF("user_id", "ts", "value"),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssj_lo_out")
+      .outputMode("append").start()
+    try {
+      // user 7's click at 25 has a matching view at 22; user 8's click
+      // at 26 has NO view in its 10-minute lookback.
+      views.addData((7L, ts(22), 2.0), (8L, ts(1), 9.0))
+      clicks.addData((7L, ts(25), 0.5), (8L, ts(26), 0.7))
+      q.processAllAvailable()
+      // Advance both watermarks far past 26+10min so the unmatched
+      // click's state can expire and the NULL-padded row is emitted.
+      views.addData((99L, ts(300), 0.0))
+      clicks.addData((99L, ts(300), 0.0))
+      q.processAllAvailable()
+      views.addData((99L, ts(400), 0.0))
+      clicks.addData((99L, ts(400), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_lo_out")
+        .where(col("user_id").isin(7L, 8L))
+        .select("user_id", "v_ts").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).isDefined)).toSet
+      assert(rows === Set((7L, true), (8L, false)),
+        "matched click must carry its view; unmatched click must emit NULL-padded")
+    } finally q.stop()
+  }
+
   test("stream-stream join transform gives the same pairs in batch mode") {
     import spark.implicits._
     val clicks = Seq((7L, ts(5), 0.5), (9L, ts(50), 1.5))
