@@ -23,6 +23,7 @@ object GraftExtensions {
     ("graft_span_hashes", classOf[SpanHashes], es => SpanHashes(es(0), es(1))),
     ("graft_rep_stats", classOf[RepStats], es => RepStats(es.head)),
     ("graft_minhash_bands", classOf[MinHashBandSigs], es => MinHashBandSigs(es(0), es(1), es(2))),
+    ("graft_minhash_mins", classOf[MinHashMins], es => MinHashMins(es(0), es(1))),
     ("graft_simhash", classOf[SimHashFp], es => SimHashFp(es.head)),
     ("graft_sorted_intersect_count", classOf[SortedIntersectCount],
       es => SortedIntersectCount(es(0), es(1))),

@@ -237,6 +237,29 @@ object HashUtil {
     new GenericArrayData(sigs)
   }
 
+  /** Per-permutation MinHash minima (the `mins` stage of
+    * [[minHashBandSigs]] without the band fold) — the estimator's raw
+    * material: P(min_a = min_b) = jaccard(a, b), so positionwise
+    * agreement over the minima vector IS the MinHash estimate. */
+  def minHashMins(sh: ArrayData, numPerms: Int): ArrayData = {
+    val hs = sh.toLongArray()
+    val (pa, pb) = perms(numPerms)
+    val mins = new Array[Long](numPerms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var p = 0
+      while (p < numPerms) {
+        val v = (pa(p) * h + pb(p)) % P
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** SimHash fingerprint of a document: per distinct word hash h with
     * term frequency tf, add +tf to bit-weight j when bit j of h is set,
     * -tf when clear; fingerprint sets bit j iff the total weight is

@@ -110,6 +110,22 @@ case class MinHashBandSigs(first: Expression, second: Expression, third: Express
     copy(first = f, second = s, third = t)
 }
 
+/** `graft_minhash_mins(sh, numPerms)` → ARRAY<BIGINT>: the per-permutation
+  * MinHash minima (the estimator's raw vector; positionwise agreement
+  * between two docs' vectors estimates their jaccard). */
+case class MinHashMins(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_mins"
+  override protected def nullSafeEval(sh: Any, np: Any): Any =
+    HashUtil.minHashMins(sh.asInstanceOf[ArrayData], np.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (sh, np) => s"graft.functions.HashUtil.minHashMins($sh, $np)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MinHashMins = copy(left = l, right = r)
+}
+
 /** `graft_zorder(x, y, bits)` → BIGINT: Morton interleave of the low
   * `bits` bits of two BIGINT coordinates (x even positions, y odd) —
   * the multi-dimensional clustering key for z-ordered data layout

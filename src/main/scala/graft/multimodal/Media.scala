@@ -120,6 +120,57 @@ object Media {
     }
   }
 
+  final case class ImagePatch(media_id: Long, patch_row: Long, patch_col: Long,
+                              patch_h: Long, patch_w: Long, n_px: Long,
+                              px_sum: Long, checksum: Long)
+
+  /** Patch-grid extraction — the ViT preprocessing shape: treat the
+    * payload as a `width`-wide 8-bit grayscale raster (the stub stand-in
+    * for a real image decode; height = ceil(bytes/width), last raster
+    * row may be short) and split it into `patch`×`patch` tiles, emitting
+    * per-tile pixel count, integer pixel sum (mean = sum/n_px one
+    * division downstream — kept exact here) and the row-major byte-fold
+    * checksum. Edge tiles clip to the raster (the pad-vs-clip choice a
+    * real pipeline makes explicit). Same narrow mapPartitions shape as
+    * [[sampleFrames]]: no shuffle, output rows ≪ payload bytes, and a
+    * real decoder slots into the tile loop without structural change. */
+  def patchGrid(media: Dataset[MediaRecord],
+                width: Int = 32, patch: Int = 16): Dataset[ImagePatch] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { r =>
+        val n = r.payload.length.toLong
+        val h = math.ceil(n / width.toDouble).toLong
+        val pr = math.ceil(h / patch.toDouble).toLong
+        val pc = math.ceil(width / patch.toDouble).toLong
+        for {
+          i <- (0L until pr).iterator
+          j <- (0L until pc).iterator
+        } yield {
+          val ymax = math.min((i + 1) * patch, h)
+          val xmax = math.min((j + 1) * patch, width.toLong)
+          var sum = 0L; var acc = 0L; var npx = 0L
+          var y = i * patch
+          while (y < ymax) {
+            var x = j * patch
+            while (x < xmax) {
+              val idx = y * width + x
+              if (idx < n) {
+                val b = (r.payload(idx.toInt) & 0xff).toLong
+                sum += b; acc = (acc * 31 + b) % FakeCodec.P; npx += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          ImagePatch(r.media_id, i, j, ymax - i * patch, xmax - j * patch,
+            npx, sum, acc)
+        }
+      }
+    }
+  }
+
   /** Batch feature extraction: one decode call per record, iterated per
     * partition (the batch shape a vectorized codec wants). */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {

@@ -892,7 +892,45 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d21: MinHash estimator calibration — for every verified d3
+    * near-dup pair, the EXACT jaccard (integer ppm from intersection /
+    * union counts) beside the MinHash ESTIMATE (positionwise agreement
+    * of the two per-permutation minima vectors: P(min_a = min_b) = j,
+    * so agreement/numPerms is the unbiased estimate) and the absolute
+    * error. The sketch-quality eval a pipeline runs before trusting
+    * signature-level dedup (d12) at a new corpus: σ ≈ √(j(1−j)/32) ppm
+    * predicts the spread, and a corpus whose errors blow past it has
+    * shingle pathologies worth investigating. Minima come from the
+    * [[graft.functions.HashUtil.minHashMins]] kernel (one per-row
+    * projection); agreement is a built-in zip_with/filter pair —
+    * everything stays codegen. */
+  def d21MinhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val sets = MinHashLsh.shingleSets(docs(s, d), cfg)
+      .select(col("id"), col("sh"),
+        call_function("graft_minhash_mins", col("sh"), lit(cfg.numPerms)).as("mins"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshPairsMaterialized(s, d)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .join(sets.select(col("id").as("doc_a"), col("sh").as("sha"),
+        col("mins").as("ma")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("sh").as("shb"),
+        col("mins").as("mb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
+        size(array_union(col("sha"), col("shb"))).cast("long").as("n_union"),
+        size(filter(zip_with(col("ma"), col("mb"), (x, y) => x === y),
+          b => b)).cast("long").as("n_agree"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        expr("(1000000 * n_inter) DIV n_union").as("exact_ppm"),
+        col("n_agree"),
+        expr(s"(1000000 * n_agree) DIV ${cfg.numPerms}").as("est_ppm"))
+      .withColumn("err_ppm",
+        abs(col("est_ppm") - col("exact_ppm")))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d21_minhash_calibration" -> d21MinhashCalibration,
     "d11_dup_spans" -> d11DupSpans,
     "d12_sig_dedup" -> d12SigDedup,
     "d1_exact_dedup" -> d1Exact,
@@ -1109,6 +1147,26 @@ object DedupQueries {
          |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
          |FROM cand WHERE levenshtein(name_a, name_b) <= 1
          |ORDER BY name_a, name_b""".stripMargin,
+    "d21_minhash_calibration" ->
+      s"""WITH $lshPairsCte,
+         |dp AS (SELECT ida, idb FROM lshpairs WHERE j >= ${cfg.threshold}),
+         |agree AS (SELECT dp.ida, dp.idb,
+         |    CAST(sum(CASE WHEN ma.minv = mb.minv THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_agree
+         |  FROM dp JOIN mins ma ON dp.ida = ma.id
+         |          JOIN mins mb ON dp.idb = mb.id AND ma.perm = mb.perm
+         |  GROUP BY dp.ida, dp.idb),
+         |exj AS (SELECT dp.ida, dp.idb,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+         |    CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) AS n_union
+         |  FROM dp JOIN ne a ON dp.ida = a.id JOIN ne b ON dp.idb = b.id)
+         |SELECT exj.ida AS doc_a, exj.idb AS doc_b, n_inter, n_union,
+         |  (1000000 * n_inter) // n_union AS exact_ppm,
+         |  n_agree, (1000000 * n_agree) // ${cfg.numPerms} AS est_ppm,
+         |  abs((1000000 * n_agree) // ${cfg.numPerms}
+         |    - (1000000 * n_inter) // n_union) AS err_ppm
+         |FROM exj JOIN agree ON exj.ida = agree.ida AND exj.idb = agree.idb
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d20_incremental_dedup" ->
       s"""WITH $lshPairsCte,
          |x AS (SELECT

@@ -44,10 +44,22 @@ object MultimodalQueries {
     Media.windowedEnergy(media).toDF().orderBy("media_id", "window_idx")
   }
 
+  /** m4: ViT-style patch-grid extraction over the payloads-as-raster
+    * stub ([[graft.multimodal.Media.patchGrid]]) — 16×16 tiles of a
+    * 32-wide 8-bit image, per-tile pixel count / integer sum /
+    * row-major checksum; the oracle replays the tile geometry with
+    * flattened index lists + ascii folds (ASCII contract as m3). */
+  def m4PatchGrid(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromText(Tables.documents(s, d), "doc_id", "text",
+      kind = "image/gray8")
+    Media.patchGrid(media).toDF().orderBy("media_id", "patch_row", "patch_col")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_media_features" -> m1MediaFeatures,
     "m2_frame_sample" -> m2FrameSample,
-    "m3_audio_energy" -> m3AudioEnergy)
+    "m3_audio_energy" -> m3AudioEnergy,
+    "m4_patch_grid" -> m4PatchGrid)
 
   private def sqlCharHash(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -81,6 +93,33 @@ object MultimodalQueries {
     // single-byte ASCII. MediaSpec pins that corpus property
     // (octet_length == length for every sf0.01 document); a non-ASCII
     // corpus would need the folds rewritten over encode(text) bytes.
+    "m4_patch_grid" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+         |g AS (SELECT doc_id, text, nb,
+         |    CAST(ceil(nb / 32.0) AS BIGINT) AS h FROM b),
+         |ij AS (SELECT doc_id, text, nb, h,
+         |    unnest(range(0, CAST(ceil(h / 16.0) AS BIGINT))) AS i FROM g),
+         |p AS (SELECT doc_id, text, nb, h, i,
+         |    unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS j FROM ij),
+         |t AS (SELECT doc_id, i, j,
+         |    least((i+1)*16, h) - i*16 AS patch_h,
+         |    CAST(16 AS BIGINT) AS patch_w,
+         |    list_transform(
+         |      list_filter(
+         |        flatten(list_transform(range(i*16, least((i+1)*16, h)),
+         |          y -> list_transform(range(j*16, (j+1)*16), x -> y*32 + x))),
+         |        ii -> ii < nb),
+         |      ii -> CAST(ascii(substring(text, CAST(ii + 1 AS BIGINT), 1))
+         |        AS BIGINT)) AS vals
+         |  FROM p)
+         |SELECT doc_id AS media_id, i AS patch_row, j AS patch_col,
+         |  patch_h, patch_w,
+         |  CAST(len(vals) AS BIGINT) AS n_px,
+         |  CAST(coalesce(list_sum(vals), 0) AS BIGINT) AS px_sum,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+         |    (a, c) -> (a*31 + c) % ${Media.FakeCodec.P}) AS checksum
+         |FROM t ORDER BY media_id, patch_row, patch_col""".stripMargin,
     "m3_audio_energy" ->
       s"""WITH b AS (SELECT doc_id, text,
          |    CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),

@@ -426,7 +426,34 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Zipf table depth. */
+  private val ZipfK = 100
+
+  /** t17: Zipf rank-frequency table — the top-[[ZipfK]] words with
+    * global rank, exact count, integer-ppm frequency and the rank×count
+    * product (Zipf's law predicts it near-constant; a corpus whose curve
+    * deviates hard is synthetic/spammy — a standard corpus-health
+    * screen). Two map-combinable aggregates + TakeOrderedAndProject
+    * top-k (the t10 shape over unigrams); the rank window runs on the
+    * ALREADY-CUT k-row frame, never the vocabulary. */
+  def t17Zipf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, d)
+      .select(explode(Portable.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = broadcast(counts.agg(sum(col("cnt")).as("total_tokens")))
+    counts.orderBy(col("cnt").desc, col("word")).limit(ZipfK)
+      .crossJoin(total)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .select(col("rank"), col("word"), col("cnt"),
+        expr("(1000000 * cnt) DIV total_tokens").as("freq_ppm"),
+        (col("rank") * col("cnt")).as("rank_cnt"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t17_zipf" -> t17Zipf,
     "t16_readability" -> t16Readability,
     "t14_lm_score" -> t14LmScore,
     "t15_phrase_search" -> t15PhraseSearch,
@@ -520,6 +547,16 @@ object TextQueries {
        |  (a, b) -> (a*31 + b) % ${Portable.P})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t17_zipf" ->
+      s"""WITH w AS (SELECT unnest($sqlWords) AS word FROM documents),
+         |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM c),
+         |r AS (SELECT word, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, word) AS rank FROM c)
+         |SELECT CAST(rank AS BIGINT) AS rank, word, CAST(cnt AS BIGINT) AS cnt,
+         |  (1000000 * CAST(cnt AS BIGINT)) // total_tokens AS freq_ppm,
+         |  CAST(rank * cnt AS BIGINT) AS rank_cnt
+         |FROM r, tot WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "t16_readability" ->
       """WITH c AS (SELECT doc_id,
         |    greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS nw,

@@ -84,6 +84,26 @@ class NativeHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native === relational)
   }
 
+  test("native minhash mins == explode × perm-table groupBy minima") {
+    val numPerms = 8
+    val sets = docs.select(col("id"), Portable.shingleHashes(col("text"), 2).as("sh"))
+      .where(size(col("sh")) > 0)
+    val native = sets.select(col("id"),
+        posexplode(call_function("graft_minhash_mins", col("sh"), lit(numPerms)))
+          .as(Seq("perm", "minv")))
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> x.getLong(2)).toMap
+    val perms = broadcast(spark.range(numPerms).select(
+      col("id").as("perm"),
+      (((col("id") + 1) * HashUtil.PermA + 7) % Portable.P).as("a"),
+      (((col("id") + 1) * HashUtil.PermB + 3) % Portable.P).as("b")))
+    val relational = sets.select(col("id"), explode(col("sh")).as("h"))
+      .crossJoin(perms)
+      .groupBy(col("id"), col("perm"))
+      .agg(min((col("a") * col("h") + col("b")) % Portable.P).as("minv"))
+      .collect().map(x => (x.getLong(0), x.getLong(1).toInt) -> x.getLong(2)).toMap
+    assert(native === relational)
+  }
+
   test("native simhash == relational tf × bit-table formulation") {
     val native = docs.select(col("id"), call_function("graft_simhash", col("text")))
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap

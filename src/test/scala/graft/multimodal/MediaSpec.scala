@@ -63,6 +63,34 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(xyz.peak === 'z'.toLong)
   }
 
+  test("patchGrid: tile geometry and pixel accounting match a local reference") {
+    import spark.implicits._
+    // 100 bytes -> raster 32 wide, h = ceil(100/32) = 4 rows (last row 4
+    // bytes short), one patch row (4 <= 16), two patch cols.
+    val text = ("a" * 100)
+    val docs = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val got = Media.patchGrid(Media.mediaFromText(docs, "doc_id", "text"))
+      .collect().map(p => (p.media_id, p.patch_row, p.patch_col) -> p).toMap
+    assert(!got.keys.exists(_._1 == 2L), "empty payload yields no patches")
+    assert(got.keys.count(_._1 == 1L) === 2)
+    val left = got((1L, 0L, 0L)); val right = got((1L, 0L, 1L))
+    assert(left.patch_h === 4L && left.patch_w === 16L)
+    // left tile: rows 0-3 x cols 0-15 -> rows 0-2 full (16 px), row 3 has
+    // bytes 96..99 -> 4 px in cols 0-3
+    assert(left.n_px === 3 * 16 + 4)
+    // right tile: rows 0-2 x cols 16-31 (16 px each), row 3 empty
+    assert(right.n_px === 3 * 16)
+    // every pixel accounted exactly once across tiles
+    assert(left.n_px + right.n_px === 100L)
+    assert(left.px_sum === left.n_px * 'a'.toLong)
+    assert(right.px_sum === right.n_px * 'a'.toLong)
+    // checksum: row-major fold of 'a' bytes
+    def fold(n: Long): Long =
+      (1L to n).foldLeft(0L)((a, _) => (a * 31 + 'a'.toLong) % Media.FakeCodec.P)
+    assert(left.checksum === fold(left.n_px))
+    assert(right.checksum === fold(right.n_px))
+  }
+
   test("payload survives the binary roundtrip (opaque column)") {
     import spark.implicits._
     val docs = Seq((9L, "opaque payload ≠ text")).toDF("doc_id", "text")
