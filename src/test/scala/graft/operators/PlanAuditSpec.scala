@@ -29,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t5_tfidf",          // tf × broadcast n_docs scalar
     "g16_modularity",    // per-community frame × broadcast edge-count m scalar
     "s11_binary_rerank", // 2-long signatures × 5 broadcast query sigs (Hamming scan)
-    "s12_index_recall")  // re-invokes s1 verbatim — inherits its declared cross join
+    "s12_index_recall",  // re-invokes s1 verbatim — inherits its declared cross join
+    "t17_zipf")          // k-row top frame × broadcast total_tokens scalar
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
