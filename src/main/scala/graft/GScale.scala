@@ -68,7 +68,9 @@ object GScale {
       // round-6 additions with nontrivial growth behavior
       "t10_top_ngrams", "d13_group_sample", "q45_topk_group",
       "d14_containment", "g16_modularity", "g17_clustering_coeff",
-      "s9_knn_graph", "d18_simhash_clusters")
+      "s9_knn_graph", "d18_simhash_clusters",
+      // round-7 additions with nontrivial growth behavior
+      "s11_binary_rerank", "d20_incremental_dedup")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {
