@@ -633,6 +633,32 @@ object GraphQueries {
       .orderBy("id")
   }
 
+  /** g23: bounded eccentricity / diameter probe — per sampled source
+    * (the g14/g21 source set), the farthest BFS distance within the
+    * [[BcDepth]] horizon, the reach count, and the min-id farthest
+    * vertex; max(ecc) over sources is the standard diameter lower
+    * bound a topology health-check reports. Pure reuse of the shared
+    * [[bfsDistances]] frontier machinery — one extra max/count
+    * aggregate over the already-computed distance table, O(sources·V)
+    * like g21; the farthest-vertex pick is the q33 `max(struct)` hash
+    * aggregate, no window. */
+  def g23Eccentricity(s: SparkSession, d: String): DataFrame = {
+    val te = partPairsMaterialized(s, d).where(col("weight") >= LinkMinWeight)
+      .select("src", "dst")
+    val se = te.union(te.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = se.select(col("src").as("id")).distinct().materialize()
+    val srcs = verts.orderBy("id").limit(BcSources).select(col("id").as("q"))
+    bfsDistances(se, verts, srcs, BcDepth)
+      .where(col("v").isNotNull && col("v") > 0)
+      .groupBy(col("q"))
+      .agg(max(col("v")).as("ecc"), count(lit(1)).as("n_reached"),
+        max(struct(col("v"), (-col("id")).as("nid"))).as("am"))
+      .select(col("q").as("source_id"), col("ecc"), col("n_reached"),
+        (-col("am.nid")).as("farthest_id"))
+      .orderBy("source_id")
+  }
+
   private val HitsIters = 3
   private val HitsScale = 1000000L
 
@@ -1131,6 +1157,7 @@ object GraphQueries {
     "g20_hits" -> g20Hits,
     "g21_harmonic" -> g21Harmonic,
     "g22_assortativity" -> g22Assortativity,
+    "g23_eccentricity" -> g23Eccentricity,
     "q54_transitive_closure" -> q54TransitiveClosure)
 
   val oracle: Map[String, String] = Map(
@@ -1187,6 +1214,18 @@ object GraphQueries {
          |  m2 * sum_jk - sum_j * sum_j AS r_num,
          |  m2 * sum_j2 - sum_j * sum_j AS r_den
          |FROM mom""".stripMargin,
+    "g23_eccentricity" ->
+      s"""WITH $edgeCtes,
+         |${bfsPrefixSql(BcSources)},
+         |${bfsRelaxCtes(BcDepth)},
+         |r AS (SELECT q, id, v FROM bd$BcDepth WHERE v IS NOT NULL AND v > 0),
+         |mx AS (SELECT q, max(v) AS ecc, count(*) AS n_reached
+         |  FROM r GROUP BY q)
+         |SELECT mx.q AS source_id, CAST(ecc AS BIGINT) AS ecc,
+         |  CAST(n_reached AS BIGINT) AS n_reached,
+         |  min(r.id) AS farthest_id
+         |FROM mx JOIN r ON mx.q = r.q AND r.v = mx.ecc
+         |GROUP BY mx.q, ecc, n_reached ORDER BY source_id""".stripMargin,
     "q54_transitive_closure" -> reachSql(ReachDepth, ReachSeeds),
     "g18_ktruss" -> {
       val rounds = (1 to TrussRounds).map { r =>

@@ -225,6 +225,40 @@ object TemporalQueries {
       .orderBy("event_type")
   }
 
+  /** q58: overlapping-interval coalescing — each event opens a
+    * VALUE-DEPENDENT interval (duration = value in cents × 0.6 s, so
+    * durations span seconds to ~100 minutes and long intervals
+    * genuinely bridge gaps that q17's fixed point-gap sessionization
+    * would split); per user, overlapping-or-touching intervals merge
+    * into maximal covered spans. The islands formulation: a new span
+    * starts exactly where the running max of PRIOR interval ends falls
+    * short of the current start — one window pass over (user, start
+    * order), island id = running sum of the break flag, then one
+    * aggregate per island. Never an interval self-join. All-integer
+    * µs arithmetic (durations from exact cents, the q48 convention);
+    * same-start ties are island-order-invariant by construction. */
+  def q58IntervalMerge(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("st"),
+      (unix_micros(col("ts")) +
+        round(col("value") * 100).cast("long") * 600000L).as("en"))
+    val ord = Window.partitionBy("user_id").orderBy(col("st"), col("event_id"))
+    val prevMax = max(col("en")).over(
+      ord.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = iv.withColumn("brk",
+      when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+    val sid = sum(col("brk")).over(
+      ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    flagged.withColumn("sid", sid)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("st")).as("span_start_us"), max(col("en")).as("span_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("span_start_us"), col("span_end_us"),
+        (col("span_end_us") - col("span_start_us")).as("span_us"),
+        col("n_events"))
+      .orderBy("user_id", "span_start_us")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_asof_join" -> q24AsofJoin,
     "q25_range_join" -> q25RangeJoin,
@@ -232,7 +266,8 @@ object TemporalQueries {
     "q41_funnel" -> q41Funnel,
     "q48_scd2" -> q48Scd2,
     "q49_seq_match" -> q49SeqMatch,
-    "q56_overlap_peak" -> q56OverlapPeak)
+    "q56_overlap_peak" -> q56OverlapPeak,
+    "q58_interval_merge" -> q58IntervalMerge)
 
   // ---- DuckDB oracles ----
 
@@ -318,6 +353,28 @@ object TemporalQueries {
          |FROM cums c JOIN mx m
          |  ON c.event_type = m.event_type AND c.cum = m.peak
          |GROUP BY c.event_type, m.peak ORDER BY c.event_type""".stripMargin,
+    "q58_interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 600000 AS en
+        |  FROM events),
+        |f AS (SELECT user_id, st, en,
+        |    CASE WHEN max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR st > max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS brk,
+        |    event_id
+        |  FROM iv),
+        |g AS (SELECT user_id, st, en,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(st) AS span_start_us, max(en) AS span_end_us,
+        |  max(en) - min(st) AS span_us, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, span_start_us""".stripMargin,
     "q41_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

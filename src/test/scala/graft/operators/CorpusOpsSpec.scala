@@ -504,6 +504,54 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q57.filter(!_._4).foreach(t => assert(t._3.isEmpty))
   }
 
+  test("g23 eccentricity matches a local BFS reference") {
+    val te = GraphQueries.partPairsMaterialized(spark, sf)
+      .where(org.apache.spark.sql.functions.col("weight") >= 2.0)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    te.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val verts = (te.map(_._1) ++ te.map(_._2)).distinct.sorted
+    val expected = verts.take(5).map { s0 =>
+      var d = Map(s0 -> 0L); var frontier = Set(s0)
+      for (h <- 1 to 12) {
+        frontier = frontier.flatMap(adj).filterNot(d.contains)
+        d ++= frontier.map(_ -> h.toLong)
+      }
+      val reached = d.filter(_._2 > 0)
+      val ecc = reached.values.max
+      (s0, ecc, reached.size.toLong,
+        reached.filter(_._2 == ecc).keys.min)
+    }.toSeq
+    val got = GraphQueries.g23Eccentricity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._2 > 1), "every source's eccentricity is 1 — trivial fixture")
+  }
+
+  test("q58 interval merge matches a local sweep reference") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS st",
+        "unix_micros(ts) + CAST(round(value * 100) AS BIGINT) * 600000 AS en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(t => (t._3, t._2))
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var curStart = -1L; var curEnd = -1L; var n = 0L
+      sorted.foreach { case (_, _, st, en) =>
+        if (curStart < 0 || st > curEnd) {
+          if (curStart >= 0) spans += ((curStart, curEnd, n))
+          curStart = st; curEnd = en; n = 1
+        } else { curEnd = math.max(curEnd, en); n += 1 }
+      }
+      if (curStart >= 0) spans += ((curStart, curEnd, n))
+      spans.map { case (s0, e0, k) => (u, s0, e0, e0 - s0, k) }
+    }.sortBy(t => (t._1, t._2))
+    val got = TemporalQueries.q58IntervalMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._5 > 1), "no interval ever merged — degenerate durations")
+  }
+
   test("t16 readability matches a local regex reference") {
     val docsRows = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
