@@ -626,7 +626,50 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** s13: int8-quantization recall — s12's twin for the COMPRESSION leg:
+    * recall@10 of brute-force search over the s5-quantized vectors
+    * against the exact float baseline. Ranking uses the scale-free
+    * quantized cosine `dotq(a,b) / (√dotq(a,a)·√dotq(b,b))` — the
+    * per-vector scales cancel exactly, so the score needs only integer
+    * dot products (exact BIGINTs) plus one sqrt+division per pair.
+    * Together with s12 this completes the index-quality story: at
+    * sf0.01 compression loses ~nothing while bucketing trades recall —
+    * the measured numbers a deployment decides with. */
+  def s13QuantRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.select(col("vec_id"),
+        transform(col("v"), x => floor(x * (lit(127.0) /
+          array_max(transform(col("v"), y => abs(y)))) + lit(0.5)).cast("long"))
+          .as("q"))
+      .select(col("vec_id"), col("q"),
+        sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (a, c) -> a + c)")
+          .cast("double")).as("qn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = broadcast(q.where(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("qn").as("qan")))
+    val scored = q.crossJoin(probes)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(expr("aggregate(zip_with(qa, q, (x, y) -> x * y), 0L, (a, c) -> a + c)")
+          .cast("double") / (col("qan") * col("qn")), 6).as("cos_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id"))
+    val apx = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    s1AnnBruteforce(s, d).select(col("query_id"), col("neighbor_id"))
+      .join(apx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        expr("(1000000 * n_hit) DIV n_exact").as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s13_quant_recall" -> s13QuantRecall,
     "s12_index_recall" -> s12IndexRecall,
     "s1_ann_bruteforce" -> s1AnnBruteforce,
     "s2_ann_lsh" -> s2AnnLsh,
@@ -990,6 +1033,41 @@ object SimilarityQueries {
     * exactly as their own gates do, so it references their oracle
     * strings verbatim. */
   val oracle: Map[String, String] = oracleBase +
+    ("s13_quant_recall" ->
+      s"""WITH exact AS (${oracleBase("s1_ann_bruteforce")}),
+         |e2 AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id, v,
+         |    127.0 / list_max(list_transform(v, y -> abs(y))) AS scale
+         |  FROM e2),
+         |qv AS (SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+         |  FROM qs),
+         |qnrm AS (SELECT vec_id, q,
+         |    sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_zip(q, q), s -> s[1]*s[2])),
+         |      (a, c) -> a + c) AS DOUBLE)) AS qn
+         |  FROM qv),
+         |probes AS (SELECT vec_id AS query_id, q AS qa, qn AS qan
+         |  FROM qnrm WHERE vec_id < $NQueryVecs),
+         |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+         |    round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_zip(p.qa, b.q), s -> s[1]*s[2])),
+         |      (a, c) -> a + c) AS DOUBLE) / (p.qan * b.qn), 6) AS cos_q
+         |  FROM probes p CROSS JOIN qnrm b WHERE b.vec_id != p.query_id),
+         |apx AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_q DESC, neighbor_id) AS rank FROM scored)
+         |  WHERE rank <= $TopK),
+         |hits AS (SELECT e.query_id, e.neighbor_id,
+         |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM exact e LEFT JOIN apx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+         |SELECT query_id, count(*) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  (1000000 * CAST(sum(hit) AS BIGINT)) // count(*) AS recall_ppm
+         |FROM hits GROUP BY query_id ORDER BY query_id""".stripMargin) +
     ("s12_index_recall" ->
       s"""WITH exact AS (${oracleBase("s1_ann_bruteforce")}),
          |apx AS (${oracleBase("s2_ann_lsh")}),

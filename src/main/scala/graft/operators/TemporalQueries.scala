@@ -259,6 +259,34 @@ object TemporalQueries {
       .orderBy("user_id", "span_start_us")
   }
 
+  /** q59: cohort retention matrix — users grouped by first-seen DAY
+    * (the cohort), then per (cohort, day-offset) the count of distinct
+    * cohort members active that day, plus retention in integer ppm of
+    * the cohort size. The canonical product-analytics rollup; the scale
+    * shape is two map-combinable aggregates (per-user first-seen, then
+    * the distinct (user, day) activity set — already keyed by user from
+    * the first shuffle) and a final count per (cohort, offset) — no
+    * window over raw events, no self-join. Day arithmetic in exact
+    * epoch-day integers (µs DIV 86400e6 — the events span days, so
+    * day granularity gives a real matrix where weeks would collapse). */
+  def q59CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("cohort_size"),
+        col("n_active"),
+        expr("(1000000 * n_active) DIV cohort_size").as("retention_ppm"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_asof_join" -> q24AsofJoin,
     "q25_range_join" -> q25RangeJoin,
@@ -267,7 +295,8 @@ object TemporalQueries {
     "q48_scd2" -> q48Scd2,
     "q49_seq_match" -> q49SeqMatch,
     "q56_overlap_peak" -> q56OverlapPeak,
-    "q58_interval_merge" -> q58IntervalMerge)
+    "q58_interval_merge" -> q58IntervalMerge,
+    "q59_cohort_retention" -> q59CohortRetention)
 
   // ---- DuckDB oracles ----
 
@@ -353,6 +382,24 @@ object TemporalQueries {
          |FROM cums c JOIN mx m
          |  ON c.event_type = m.event_type AND c.cum = m.peak
          |GROUP BY c.event_type, m.peak ORDER BY c.event_type""".stripMargin,
+    "q59_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort_day FROM act
+        |  GROUP BY user_id),
+        |sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM first
+        |  GROUP BY cohort_day),
+        |m AS (SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+        |    count(*) AS n_active
+        |  FROM act a JOIN first f ON a.user_id = f.user_id
+        |  GROUP BY f.cohort_day, a.day - f.cohort_day)
+        |SELECT m.cohort_day AS cohort_day, day_offset,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  (1000000 * CAST(n_active AS BIGINT)) // cohort_size
+        |    AS retention_ppm
+        |FROM m JOIN sizes ON m.cohort_day = sizes.cohort_day
+        |ORDER BY m.cohort_day, day_offset""".stripMargin,
     "q58_interval_merge" ->
       """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st,
         |    epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 600000 AS en

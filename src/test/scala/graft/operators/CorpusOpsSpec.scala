@@ -488,6 +488,40 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q59 cohort retention: day-0 row is full and offsets never exceed size") {
+    val rows = TemporalQueries.q59CohortRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val d0 = rs.find(_._2 == 0L)
+      assert(d0.isDefined, s"cohort $c missing its day-0 row")
+      assert(d0.get._4 === d0.get._3, s"cohort $c day-0 must be fully active")
+      assert(d0.get._5 === 1000000L)
+      rs.foreach { case (_, off, size, active, ppm) =>
+        assert(off >= 0L && active <= size && ppm <= 1000000L)
+      }
+    }
+    assert(rows.exists(r => r._2 > 0L && r._4 < r._3),
+      "retention never decays — degenerate fixture")
+  }
+
+  test("s13 int8 recall bounds hold and beat the LSH index on this corpus") {
+    val s13 = SimilarityQueries.s13QuantRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val s12 = SimilarityQueries.s12IndexRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(s13.nonEmpty)
+    s13.foreach { case (q, nExact, nHit, ppm) =>
+      assert(nExact === 10L)
+      assert(nHit >= 0L && nHit <= nExact)
+      assert(ppm === 1000000L * nHit / nExact)
+      // int8 keeps full precision up to rounding; losing to the
+      // bucketed index would mean the quantized cosine is broken
+      assert(ppm >= s12(q), s"query $q: int8 recall below LSH recall")
+    }
+  }
+
   test("q57 left-outer interval join covers every click; matched rows = q40 pairs") {
     val q40 = StreamingQueries.q40ClickAfterView(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

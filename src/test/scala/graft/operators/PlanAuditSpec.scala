@@ -30,6 +30,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "g16_modularity",    // per-community frame × broadcast edge-count m scalar
     "s11_binary_rerank", // 2-long signatures × 5 broadcast query sigs (Hamming scan)
     "s12_index_recall",  // re-invokes s1 verbatim — inherits its declared cross join
+    "s13_quant_recall",  // quantized corpus × 5 broadcast probes + the s1 baseline
     "t17_zipf")          // k-row top frame × broadcast total_tokens scalar
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
