@@ -929,7 +929,67 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d22 knobs: saturated term frequency (min(tf, 16) — BM25's
+    * sublinear-tf insight in cap form; also THE BIGINT bound: weight ≤
+    * 16·[[TcIdfScale]]·N, so Σw² stays < 2⁶³ to N ~ 10⁷ docs with the
+    * scale constant as the knob), integer idf surrogate scale, cosine
+    * keep threshold. */
+  private val TcTfCap = 16L
+  private val TcIdfScale = 100L
+  private val TcThreshold = 0.5
+
+  /** d22: TF-IDF cosine near-dup — the FIFTH similarity model of the
+    * dedup family (jaccard d2, MinHash d3, SimHash d4, embedding d5):
+    * docs as sparse saturated-tf·integer-idf vectors, pairs scored by
+    * cosine over shared terms. Topically-rewritten near-dups share
+    * WEIGHTED vocabulary even when shingle/fingerprint methods miss
+    * them — the recall face the others lack.
+    *
+    * Scale shape is the d2 discipline end-to-end: candidates come ONLY
+    * from rare-term postings (df ≤ the d2 [[DfCap]] — per-term pair
+    * expansion bounded at DfCap²), the dot product joins the weight
+    * table on (candidate, term) so only candidate pairs' SHARED terms
+    * ever multiply, and norms are one map-combinable Σw² per doc. The
+    * pairs-sharing-only-hot-terms class is documented out of scope by
+    * d2's Ω(df) argument (boilerplate — d1/t7 are the tools there).
+    * Exact BIGINT dot/norms; the single rounded double division is the
+    * only float, identical cross-engine. */
+  def d22TfidfCosine(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d)
+      .select(col("id"), explode(Portable.wordHashes(col("text"))).as("h"))
+      .groupBy("id", "h").agg(least(count(lit(1)), lit(TcTfCap)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy("h").agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(docs(s, d).agg(count(lit(1)).as("n_docs")))
+    val weights = tf.join(dfreq, "h").crossJoin(nDocs)
+      .select(col("id"), col("h"),
+        (col("tf") * expr(s"($TcIdfScale * n_docs) DIV df")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = weights.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
+    val rare = tf.join(dfreq.where(col("df") >= 2 && col("df") <= DfCap), "h")
+      .select(col("id"), col("h"))
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb")).distinct()
+    val dot = cand
+      .join(weights.select(col("id").as("ida"), col("h"), col("w").as("wa")), "ida")
+      .join(weights.select(col("id").as("idb"), col("h"), col("w").as("wb")),
+        Seq("idb", "h"))
+      .groupBy("ida", "idb")
+      .agg(sum(col("wa") * col("wb")).as("dot"), count(lit(1)).as("n_shared"))
+    dot
+      .join(norms.select(col("id").as("ida"), col("n2").as("na2")), "ida")
+      .join(norms.select(col("id").as("idb"), col("n2").as("nb2")), "idb")
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"), col("n_shared"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6)
+          .as("cos_sim"))
+      .where(col("cos_sim") >= TcThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d22_tfidf_cosine" -> d22TfidfCosine,
     "d21_minhash_calibration" -> d21MinhashCalibration,
     "d11_dup_spans" -> d11DupSpans,
     "d12_sig_dedup" -> d12SigDedup,
@@ -1147,6 +1207,40 @@ object DedupQueries {
          |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
          |FROM cand WHERE levenshtein(name_a, name_b) <= 1
          |ORDER BY name_a, name_b""".stripMargin,
+    "d22_tfidf_cosine" ->
+      s"""WITH wh AS (SELECT doc_id AS id,
+         |    unnest(list_transform(string_split(text, ' '),
+         |      w -> ${sqlCharHash("w")})) AS h
+         |  FROM documents),
+         |tfq AS (SELECT id, h, least(count(*), $TcTfCap) AS tf
+         |  FROM wh GROUP BY id, h),
+         |dfq AS (SELECT h, count(*) AS df FROM tfq GROUP BY h),
+         |nn AS (SELECT count(*) AS n_docs FROM documents),
+         |wt AS MATERIALIZED (SELECT id, tfq.h,
+         |    CAST(tf * (($TcIdfScale * (SELECT n_docs FROM nn)) // df)
+         |      AS BIGINT) AS w
+         |  FROM tfq JOIN dfq USING (h)),
+         |nrm AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS n2
+         |  FROM wt GROUP BY id),
+         |rare AS (SELECT id, h FROM tfq JOIN dfq USING (h)
+         |  WHERE df BETWEEN 2 AND $DfCap),
+         |cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb
+         |  FROM rare a JOIN rare b ON a.h = b.h AND a.id < b.id),
+         |dotp AS (SELECT c.ida, c.idb,
+         |    CAST(sum(wa.w * wb.w) AS BIGINT) AS dot,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM cand c JOIN wt wa ON c.ida = wa.id
+         |              JOIN wt wb ON c.idb = wb.id AND wa.h = wb.h
+         |  GROUP BY c.ida, c.idb),
+         |sc AS (SELECT dotp.ida, dotp.idb, n_shared,
+         |    round(CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+         |      AS cos_sim
+         |  FROM dotp JOIN nrm na ON dotp.ida = na.id
+         |            JOIN nrm nb ON dotp.idb = nb.id)
+         |SELECT ida AS doc_a, idb AS doc_b, n_shared, cos_sim
+         |FROM sc WHERE cos_sim >= $TcThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d21_minhash_calibration" ->
       s"""WITH $lshPairsCte,
          |dp AS (SELECT ida, idb FROM lshpairs WHERE j >= ${cfg.threshold}),

@@ -586,6 +586,42 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(_._5 > 1), "no interval ever merged — degenerate durations")
   }
 
+  test("d22 tfidf cosine matches a local sparse-vector reference") {
+    val P = graft.functions.Portable.P
+    def wh(w: String): Long = w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val docsRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val tf = docsRows.map { case (id, t) =>
+      id -> t.split(" ", -1).map(wh).groupBy(identity)
+        .map { case (h, xs) => h -> math.min(xs.length.toLong, 16L) }
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (h, xs) => h -> xs.size.toLong }
+    val n = docsRows.length.toLong
+    val w = tf.map { case (id, m) =>
+      id -> m.map { case (h, t) => h -> t * ((100L * n) / df(h)) } }
+    val n2 = w.map { case (id, m) => id -> m.values.map(x => x * x).sum }
+    val rareTerms = df.filter { case (_, c) => c >= 2 && c <= 64 }.keySet
+    val cand = (for {
+      (a, ma) <- tf.toSeq; (b, mb) <- tf.toSeq if a < b
+      if (ma.keySet & mb.keySet & rareTerms).nonEmpty
+    } yield (a, b))
+    val expected = cand.flatMap { case (a, b) =>
+      val shared = w(a).keySet & w(b).keySet
+      if (shared.isEmpty) None else {
+        val dot = shared.toSeq.map(h => w(a)(h) * w(b)(h)).sum
+        val cos = BigDecimal(dot.toDouble /
+            (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (cos >= 0.5) Some((a, b, shared.size.toLong, cos)) else None
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = DedupQueries.d22TfidfCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "no tfidf near-dup pairs at spec SF — assertion vacuous")
+  }
+
   test("t16 readability matches a local regex reference") {
     val docsRows = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
