@@ -55,11 +55,35 @@ object MultimodalQueries {
     Media.patchGrid(media).toDF().orderBy("media_id", "patch_row", "patch_col")
   }
 
+  /** m5: scene-cut detection over the m2 frame samples — the keyframe-
+    * extraction step of a video pipeline (decode sampled frames, diff
+    * consecutive frame features, keep the big jumps): per media, the
+    * per-frame stub feature (checksum % 1000 — a real pipeline puts a
+    * perceptual hash here) is diffed against the previous sampled frame
+    * with one lag window ORDERED BY frame index; a cut is a first frame
+    * or a jump ≥ [[SceneCutThreshold]]. The window partitions by media —
+    * frames-per-media is bounded, never corpus-wide. */
+  def m5SceneCuts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = Media.mediaFromText(Tables.documents(s, d), "doc_id", "text",
+      kind = "video/frames")
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    Media.sampleFrames(media).toDF()
+      .withColumn("feat", col("frame_checksum") % 1000)
+      .withColumn("delta", abs(col("feat") - lag(col("feat"), 1).over(w)))
+      .select(col("media_id"), col("frame_idx"), col("feat"), col("delta"),
+        (col("delta").isNull || col("delta") >= SceneCutThreshold).as("is_cut"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  private val SceneCutThreshold = 250L
+
   val queries: Map[String, Q] = Map(
     "m1_media_features" -> m1MediaFeatures,
     "m2_frame_sample" -> m2FrameSample,
     "m3_audio_energy" -> m3AudioEnergy,
-    "m4_patch_grid" -> m4PatchGrid)
+    "m4_patch_grid" -> m4PatchGrid,
+    "m5_scene_cuts" -> m5SceneCuts)
 
   private def sqlCharHash(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -120,6 +144,24 @@ object MultimodalQueries {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
          |    (a, c) -> (a*31 + c) % ${Media.FakeCodec.P}) AS checksum
          |FROM t ORDER BY media_id, patch_row, patch_col""".stripMargin,
+    "m5_scene_cuts" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+         |k AS (SELECT doc_id, text, nb,
+         |    unnest(list_transform(
+         |      range(0, CAST(ceil(nb / 64.0) AS BIGINT), 4),
+         |      x -> CAST(x AS BIGINT))) AS fi FROM b),
+         |f AS (SELECT doc_id AS media_id, fi AS frame_idx,
+         |    ${sqlCharHash("substring(text, CAST(fi * 64 + 1 AS BIGINT), 64)")}
+         |      % 1000 AS feat
+         |  FROM k),
+         |dl AS (SELECT media_id, frame_idx, feat,
+         |    abs(feat - lag(feat, 1) OVER (PARTITION BY media_id
+         |      ORDER BY frame_idx)) AS delta
+         |  FROM f)
+         |SELECT media_id, frame_idx, feat, delta,
+         |  delta IS NULL OR delta >= 250 AS is_cut
+         |FROM dl ORDER BY media_id, frame_idx""".stripMargin,
     "m3_audio_energy" ->
       s"""WITH b AS (SELECT doc_id, text,
          |    CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),

@@ -91,6 +91,23 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(right.checksum === fold(right.n_px))
   }
 
+  test("m5 scene cuts: first frame always cuts; both outcomes occur at spec SF") {
+    val rows = graft.operators.MultimodalQueries
+      .m5SceneCuts(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (m, rs) =>
+      val first = rs.minBy(_._2)
+      assert(first._3.isEmpty && first._4, s"media $m first frame must cut")
+    }
+    assert(rows.exists(r => r._3.isDefined && r._4), "no threshold-crossing cut")
+    assert(rows.exists(r => r._3.isDefined && !r._4), "every frame cuts — degenerate")
+    rows.foreach { case (_, _, d, cut) =>
+      assert(cut === (d.isEmpty || d.get >= 250L))
+    }
+  }
+
   test("payload survives the binary roundtrip (opaque column)") {
     import spark.implicits._
     val docs = Seq((9L, "opaque payload ≠ text")).toDF("doc_id", "text")
