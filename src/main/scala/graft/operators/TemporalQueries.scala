@@ -208,20 +208,29 @@ object TemporalQueries {
     * bounded by event_type's tiny cardinality here; the general-key
     * form is the two-pass range-partitioned prefix sum (documented, not
     * needed). Epoch-µs integers end-to-end. */
-  def q56OverlapPeak(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("event_type"), unix_micros(col("ts")).as("us"))
-    val pts = ev.select(col("event_type"), col("us"), lit(1L).as("delta"))
-      .union(ev.select(col("event_type"), (col("us") + GapUs).as("us"),
-        lit(-1L).as("delta")))
-      .groupBy("event_type", "us").agg(sum(col("delta")).as("net"))
-    val w = Window.partitionBy("event_type").orderBy("us")
+  /** The q56 sweep kernel over an interval frame `(key, st, en)`:
+    * per-key peak concurrency + earliest instant it is reached.
+    * End-exclusive semantics via the per-instant net delta. */
+  private[operators] def overlapPeak(iv: DataFrame): DataFrame = {
+    val pts = iv.select(col("key"), col("st").as("us"), lit(1L).as("delta"))
+      .union(iv.select(col("key"), col("en").as("us"), lit(-1L).as("delta")))
+      .groupBy("key", "us").agg(sum(col("delta")).as("net"))
+    val w = Window.partitionBy("key").orderBy("us")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pts.withColumn("cum", sum(col("net")).over(w))
-      .groupBy("event_type")
+      .groupBy("key")
       .agg(max(struct(col("cum"), (-col("us")).as("nus"))).as("am"))
-      .select(col("event_type"), col("am.cum").as("peak_concurrent"),
+      .select(col("key"), col("am.cum").as("peak_concurrent"),
         (-col("am.nus")).as("peak_at_us"))
+  }
+
+  def q56OverlapPeak(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d)
+      .select(col("event_type").as("key"), unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + GapUs).as("en"))
+    overlapPeak(iv)
+      .select(col("key").as("event_type"), col("peak_concurrent"),
+        col("peak_at_us"))
       .orderBy("event_type")
   }
 
@@ -237,12 +246,11 @@ object TemporalQueries {
     * aggregate per island. Never an interval self-join. All-integer
     * µs arithmetic (durations from exact cents, the q48 convention);
     * same-start ties are island-order-invariant by construction. */
-  def q58IntervalMerge(s: SparkSession, d: String): DataFrame = {
-    val iv = Tables.events(s, d).select(col("user_id"), col("event_id"),
-      unix_micros(col("ts")).as("st"),
-      (unix_micros(col("ts")) +
-        round(col("value") * 100).cast("long") * 600000L).as("en"))
-    val ord = Window.partitionBy("user_id").orderBy(col("st"), col("event_id"))
+  /** The q58 islands kernel over an interval frame `(key, seq, st,
+    * en)` (`seq` = the intra-key ordering tiebreak): maximal covered
+    * spans per key via the running-max break pass. */
+  private[operators] def mergeIntervals(iv: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("key").orderBy(col("st"), col("seq"))
     val prevMax = max(col("en")).over(
       ord.rowsBetween(Window.unboundedPreceding, -1))
     val flagged = iv.withColumn("brk",
@@ -250,12 +258,23 @@ object TemporalQueries {
     val sid = sum(col("brk")).over(
       ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     flagged.withColumn("sid", sid)
-      .groupBy(col("user_id"), col("sid"))
+      .groupBy(col("key"), col("sid"))
       .agg(min(col("st")).as("span_start_us"), max(col("en")).as("span_end_us"),
         count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("span_start_us"), col("span_end_us"),
+      .select(col("key"), col("span_start_us"), col("span_end_us"),
         (col("span_end_us") - col("span_start_us")).as("span_us"),
         col("n_events"))
+  }
+
+  def q58IntervalMerge(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d).select(col("user_id").as("key"),
+      col("event_id").as("seq"),
+      unix_micros(col("ts")).as("st"),
+      (unix_micros(col("ts")) +
+        round(col("value") * 100).cast("long") * 600000L).as("en"))
+    mergeIntervals(iv)
+      .select(col("key").as("user_id"), col("span_start_us"),
+        col("span_end_us"), col("span_us"), col("n_events"))
       .orderBy("user_id", "span_start_us")
   }
 
