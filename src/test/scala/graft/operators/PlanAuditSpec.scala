@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s11_binary_rerank", // 2-long signatures × 5 broadcast query sigs (Hamming scan)
     "s12_index_recall",  // re-invokes s1 verbatim — inherits its declared cross join
     "s13_quant_recall",  // quantized corpus × 5 broadcast probes + the s1 baseline
-    "t17_zipf")          // k-row top frame × broadcast total_tokens scalar
+    "t17_zipf",          // k-row top frame × broadcast total_tokens scalar
+    "d22_tfidf_cosine")  // weight table × broadcast n_docs scalar (the t5 idf shape)
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
