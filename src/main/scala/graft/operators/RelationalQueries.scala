@@ -287,6 +287,34 @@ object RelationalQueries {
     * over a handful-row group dim (broadcast joins back); the scale path
     * for the exact percentile inside is the q36 histogram sketch, same
     * as q21. */
+  /** q60: join-key skew diagnostics — the decide-before-you-salt ops
+    * report for any planned big join: the heaviest keys with their
+    * exact counts and integer-ppm share, plus the global skew ratio
+    * `max·n_keys / total` (1000‰ = perfectly uniform; q31's salting —
+    * and AQE's skew-join split — are warranted when it blows up). One
+    * map-combinable count per key, one 5-long scalar aggregate, and a
+    * TakeOrderedAndProject top-k — the diagnostic never shuffles more
+    * than the distinct-key frame, so it is safe to run casually on the
+    * 100 TB fact table before committing to a join strategy. */
+  def q60KeySkew(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.lineitem(s, d)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+    val stats = broadcast(counts.agg(
+      count(lit(1)).as("n_keys"), sum($"cnt").as("total"),
+      max($"cnt").as("max_cnt")))
+    counts.orderBy($"cnt".desc, $"l_suppkey").limit(10)
+      .crossJoin(stats)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"cnt".desc, $"l_suppkey")).cast("long"))
+      .select($"rank", $"l_suppkey", $"cnt",
+        expr("(1000000 * cnt) DIV total").as("share_ppm"),
+        col("n_keys"), expr("(1000 * max_cnt * n_keys) DIV total")
+          .as("skew_ratio_milli"))
+      .orderBy("rank")
+  }
+
   def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select($"event_type",
@@ -710,9 +738,24 @@ object RelationalQueries {
     "q27_weighted_avg" -> q27WeightedAvg,
     "q44_upsert" -> q44Upsert,
     "q45_topk_group" -> q45TopkGroup,
-    "q55_mad_outliers" -> q55MadOutliers)
+    "q55_mad_outliers" -> q55MadOutliers,
+    "q60_key_skew" -> q60KeySkew)
 
   val oracle: Map[String, String] = Map(
+    "q60_key_skew" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem
+        |  GROUP BY l_suppkey),
+        |st AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+        |    max(cnt) AS max_cnt FROM c),
+        |r AS (SELECT l_suppkey, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rank FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, l_suppkey,
+        |  CAST(cnt AS BIGINT) AS cnt,
+        |  (1000000 * CAST(cnt AS BIGINT)) // total AS share_ppm,
+        |  CAST(n_keys AS BIGINT) AS n_keys,
+        |  (1000 * CAST(max_cnt AS BIGINT) * n_keys) // total
+        |    AS skew_ratio_milli
+        |FROM r, st WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q30_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
