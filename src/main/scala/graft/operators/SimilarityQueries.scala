@@ -668,7 +668,38 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** s14: per-dimension embedding drift — the distribution-shift
+    * monitor an embedding pipeline runs between two corpus slices (old
+    * vs new crawl, reference vs candidate model; here the label-split
+    * halves): per dimension, each slice's exact integer micro-unit
+    * mean plus the absolute delta, and the slice's dimension-ranked
+    * drift. A model swap or preprocessing regression shows up as a
+    * fat-tailed delta profile long before downstream metrics move.
+    * Shape: one posexplode + one (slice, dim) map-combinable aggregate
+    * — 128 cells regardless of corpus size; means in exact integer
+    * micro-units (sum DIV n, both positive after the +1 shift). */
+  def s14EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.embeddings(s, d)
+      .select((col("label") >= 5).as("slice_b"),
+        posexplode(transform(col("embedding"),
+          x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")))
+          .as(Seq("dim", "q")))
+      .groupBy(col("slice_b"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
+      .select(col("slice_b"), col("dim"), expr("qsum DIV n").as("mean_micro"))
+    val a = cells.where(!col("slice_b"))
+      .select(col("dim"), col("mean_micro").as("mean_a_micro"))
+    val b = cells.where(col("slice_b"))
+      .select(col("dim"), col("mean_micro").as("mean_b_micro"))
+    a.join(b, "dim")
+      .select(col("dim").cast("long").as("dim"), col("mean_a_micro"),
+        col("mean_b_micro"),
+        abs(col("mean_a_micro") - col("mean_b_micro")).as("drift_micro"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s14_embedding_drift" -> s14EmbeddingDrift,
     "s13_quant_recall" -> s13QuantRecall,
     "s12_index_recall" -> s12IndexRecall,
     "s1_ann_bruteforce" -> s1AnnBruteforce,
@@ -1033,6 +1064,22 @@ object SimilarityQueries {
     * exactly as their own gates do, so it references their oracle
     * strings verbatim. */
   val oracle: Map[String, String] = oracleBase +
+    ("s14_embedding_drift" ->
+      s"""WITH ex AS (SELECT label >= 5 AS slice_b,
+         |    unnest(list_transform(embedding,
+         |      x -> CAST(round((CAST(x AS DOUBLE) + 1.0) * $QScale)
+         |        AS BIGINT))) AS q,
+         |    unnest(range(0, 64)) AS dim
+         |  FROM embeddings),
+         |cells AS (SELECT slice_b, dim,
+         |    CAST(sum(q) AS BIGINT) // count(*) AS mean_micro
+         |  FROM ex GROUP BY slice_b, dim)
+         |SELECT CAST(a.dim AS BIGINT) AS dim,
+         |  a.mean_micro AS mean_a_micro, b.mean_micro AS mean_b_micro,
+         |  abs(a.mean_micro - b.mean_micro) AS drift_micro
+         |FROM (SELECT * FROM cells WHERE NOT slice_b) a
+         |JOIN (SELECT * FROM cells WHERE slice_b) b ON a.dim = b.dim
+         |ORDER BY dim""".stripMargin) +
     ("s13_quant_recall" ->
       s"""WITH exact AS (${oracleBase("s1_ann_bruteforce")}),
          |e2 AS (SELECT vec_id,
