@@ -264,6 +264,12 @@ object SimilarityQueries {
   private val KmIters = 2
   private val QScale = 1000000L
 
+  /** s15 semantic-dup radius on [[QScale]]-quantized squared distance —
+    * exact BIGINT, so the frontier is engine-independent; sized to mark
+    * ~25% of the sf0.01 corpus as semantic dups (probed: 126 within-cell
+    * pairs at this radius). */
+  private val SemDupD2 = 1300000000000L
+
   /** s4: Lloyd's k-means over the embeddings — the reference's declared
     * KMeans capability (`/root/reference/algorithms.h:212-250`, a stub
     * whose body is a copy of PageRank) made real, and made
@@ -279,7 +285,13 @@ object SimilarityQueries {
     * centroid. Scale shape: the exploded (vec, dim, q) table shuffles
     * once per round on (cluster, dim); centroids are k×dim rows —
     * broadcast; assignment is a windowed argmin per vector. */
-  def s4Kmeans(s: SparkSession, d: String): DataFrame = {
+  def s4Kmeans(s: SparkSession, d: String): DataFrame =
+    kmeansAssign(s, d).orderBy("vec_id")
+
+  /** Shared integer-Lloyd's assignment (vec_id, cluster, d2) — the body
+    * of s4, reused by s15 so SemDeDup's cells are exactly the gated
+    * k-means assignment. */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     val q = Tables.embeddings(s, d).select(col("vec_id"),
         posexplode(transform(col("embedding"),
           x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")))
@@ -304,7 +316,53 @@ object SimilarityQueries {
         .select(col("cluster"), col("dim"), coalesce(col("ncd"), col("cd")).as("cd"))
         .materialize()
     }
-    assign(centroids).orderBy("vec_id")
+    assign(centroids)
+  }
+
+  /** s15: SemDeDup — semantic (embedding-space) deduplication via k-means
+    * cells + within-cell pairwise distance (Abbas et al. 2023,
+    * arXiv:2303.09540), the corpus-curation operator that removes
+    * "different words, same meaning" duplicates exact dedup (d1) and
+    * lexical near-dedup (d2/d3/d4) both miss. The LLM-pipeline face of
+    * the reference's KMeans capability (`/root/reference/algorithms.h:
+    * 212-250`): cluster, then compare ONLY within cells.
+    *
+    * Pipeline: [[kmeansAssign]] cells (exact integer Lloyd's — the gated
+    * s4 assignment verbatim) → per-cell self-join on the quantized
+    * vectors → exact BIGINT squared distance ≤ [[SemDupD2]] marks a
+    * semantic-dup pair → greedy keep-lowest-id: a vector is dropped iff
+    * some lower-id vector in its cell is within the radius (the paper's
+    * keep-one-representative policy; `dup_of` is the first such witness,
+    * = own id for kept vectors, so the column is total and null-free).
+    *
+    * Scale shape (the paper's own design): k grows with N so cell size
+    * stays constant, making the per-cell quadratic a bounded local
+    * workload; the candidate join is an equi-join on the cell id (one
+    * shuffle, never a global cross product); centroids are k×dim rows —
+    * broadcast; the embedding column is scanned once and carried as a
+    * quantized array, never re-read. Everything is exact BIGINT
+    * arithmetic, so the dup/kept frontier is bit-identical across any
+    * partitioning and in the DuckDB oracle. */
+  def s15SemDedup(s: SparkSession, d: String): DataFrame = {
+    val qa = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")).as("qv"))
+    val m = qa.join(kmeansAssign(s, d).select("vec_id", "cluster"), "vec_id")
+      .materialize()
+    val pairD2 = aggregate(
+      zip_with(col("a.qv"), col("b.qv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val dupOf = m.as("a").join(m.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .where(pairD2 <= SemDupD2)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("witness"))
+    m.join(dupOf, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("witness"), col("vec_id")).as("dup_of"),
+        col("witness").isNull.as("kept"))
+      .orderBy("vec_id")
   }
 
   /** s5: symmetric int8 quantization of the embedding column — the
@@ -712,7 +770,8 @@ object SimilarityQueries {
     "s8_ann_filtered" -> s8AnnFiltered,
     "s9_knn_graph" -> s9KnnGraph,
     "s10_mmr" -> s10Mmr,
-    "s11_binary_rerank" -> s11BinaryRerank)
+    "s11_binary_rerank" -> s11BinaryRerank,
+    "s15_semdedup" -> s15SemDedup)
 
   // ---- DuckDB oracles ----
 
@@ -724,6 +783,37 @@ object SimilarityQueries {
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |  list_transform(list_zip(q.qv, n.v), s -> s[1]*s[2])),
       |  (a, b) -> a + b) / (q.qn * n.nrm)""".stripMargin
+
+  /** Unrolled integer-Lloyd's CTE chain (`q` quantized rows → `c0..cK`
+    * centroid rounds → `aout` final assignment) — shared by the s4 and
+    * s15 oracles so both sides of SemDeDup see the identical cells. */
+  private def kmeansOracleCtes: String = {
+    def assignCte(name: String, c: String) =
+      s"""$name AS (SELECT vec_id, cluster, d2 FROM (
+         |  SELECT q.vec_id, c.cluster,
+         |    sum((q.qd - c.cd) * (q.qd - c.cd)) AS d2,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY sum((q.qd - c.cd) * (q.qd - c.cd)), c.cluster) AS rn
+         |  FROM q JOIN $c c ON q.dim = c.dim
+         |  GROUP BY q.vec_id, c.cluster) WHERE rn = 1)""".stripMargin
+    def updateCte(name: String, a: String, prev: String) =
+      s"""$name AS (SELECT p.cluster, p.dim, coalesce(n.ncd, p.cd) AS cd
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.cluster, q.dim, CAST(sum(q.qd) AS BIGINT) // count(*) AS ncd
+         |    FROM q JOIN $a a ON q.vec_id = a.vec_id
+         |    GROUP BY a.cluster, q.dim) n
+         |  ON p.cluster = n.cluster AND p.dim = n.dim)""".stripMargin
+    val rounds = (1 to KmIters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""q AS (SELECT vec_id, u.pos - 1 AS dim,
+       |    CAST(round((CAST(u.x AS DOUBLE) + 1.0) * $QScale) AS BIGINT) AS qd
+       |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS x,
+       |    generate_subscripts(embedding, 1) AS pos) u),
+       |c0 AS (SELECT vec_id AS cluster, dim, qd AS cd FROM q WHERE vec_id < $KmK),
+       |$rounds,
+       |${assignCte("aout", s"c$KmIters")}""".stripMargin
+  }
 
   /** SQL form of [[planeComponent]] for a plane-index expression `j`
     * and dimension lambda variable `d` (exact integer arithmetic, then
@@ -972,35 +1062,27 @@ object SimilarityQueries {
          |  ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
-    "s4_kmeans" -> {
-      def assignCte(name: String, c: String) =
-        s"""$name AS (SELECT vec_id, cluster, d2 FROM (
-           |  SELECT q.vec_id, c.cluster,
-           |    sum((q.qd - c.cd) * (q.qd - c.cd)) AS d2,
-           |    row_number() OVER (PARTITION BY q.vec_id
-           |      ORDER BY sum((q.qd - c.cd) * (q.qd - c.cd)), c.cluster) AS rn
-           |  FROM q JOIN $c c ON q.dim = c.dim
-           |  GROUP BY q.vec_id, c.cluster) WHERE rn = 1)""".stripMargin
-      def updateCte(name: String, a: String, prev: String) =
-        s"""$name AS (SELECT p.cluster, p.dim, coalesce(n.ncd, p.cd) AS cd
-           |  FROM $prev p LEFT JOIN (
-           |    SELECT a.cluster, q.dim, CAST(sum(q.qd) AS BIGINT) // count(*) AS ncd
-           |    FROM q JOIN $a a ON q.vec_id = a.vec_id
-           |    GROUP BY a.cluster, q.dim) n
-           |  ON p.cluster = n.cluster AND p.dim = n.dim)""".stripMargin
-      val rounds = (1 to KmIters).map { i =>
-        assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i", s"c${i - 1}")
-      }.mkString(",\n")
-      s"""WITH q AS (SELECT vec_id, u.pos - 1 AS dim,
-         |    CAST(round((CAST(u.x AS DOUBLE) + 1.0) * $QScale) AS BIGINT) AS qd
-         |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS x,
-         |    generate_subscripts(embedding, 1) AS pos) u),
-         |c0 AS (SELECT vec_id AS cluster, dim, qd AS cd FROM q WHERE vec_id < $KmK),
-         |$rounds,
-         |${assignCte("aout", s"c$KmIters")}
+    "s4_kmeans" ->
+      s"""WITH $kmeansOracleCtes
          |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2
-         |FROM aout ORDER BY vec_id""".stripMargin
-    },
+         |FROM aout ORDER BY vec_id""".stripMargin,
+    "s15_semdedup" ->
+      s"""WITH $kmeansOracleCtes,
+         |qa AS (SELECT vec_id, list(qd ORDER BY dim) AS qv FROM q GROUP BY vec_id),
+         |m AS MATERIALIZED (SELECT qa.vec_id, aout.cluster, qa.qv
+         |  FROM qa JOIN aout ON qa.vec_id = aout.vec_id),
+         |dup AS (SELECT vec_id, min(ida) AS witness FROM (
+         |  SELECT a.vec_id AS ida, b.vec_id AS vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_zip(a.qv, b.qv),
+         |        s -> (s[1] - s[2]) * (s[1] - s[2]))), (x, y) -> x + y) AS pair_d2
+         |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |  WHERE pair_d2 <= $SemDupD2 GROUP BY vec_id)
+         |SELECT m.vec_id, m.cluster,
+         |  coalesce(dup.witness, m.vec_id) AS dup_of,
+         |  dup.vec_id IS NULL AS kept
+         |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
     "s6_ann_pq" ->
       s"""WITH $pqTrainCtes,
          |ad AS (SELECT dq.query_id, k.vec_id AS neighbor_id,

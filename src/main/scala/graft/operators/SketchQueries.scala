@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.graph.Materialize.MaterializeOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -151,6 +152,54 @@ object SketchQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** q61: HLL register-merge rollup — the mergeability proof that makes
+    * sketches THE 100 TB distinct-count plan. Per-group registers (the
+    * q34 build, computed ONCE and materialized) roll up to the global
+    * estimate by elementwise `max` over the 256-row register frames —
+    * the corpus is never rescanned for the higher level, and at cluster
+    * scale this is exactly how per-shard sketches combine: only
+    * registers cross the wire, O(m · groups) bytes total regardless of
+    * data volume. Every register term 1/2^r is an exact power of two
+    * and partial sums stay multiples of 2^-23 below 2^8 (31 mantissa
+    * bits), so the occupancy sum is EXACT in IEEE double in any
+    * accumulation order — the estimate is partitioning- and
+    * engine-independent without any quantization step. The exact
+    * per-scope distinct beside it is the shuffle the sketch replaces;
+    * the spec pins merged('ALL') == the direct global build. */
+  def q61HllMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val h = expr(hllHashSql("l_partkey"))
+    val b = li.select($"l_returnflag", (h % HllM).as("bucket"),
+      expr(s"(${hllHashSql("l_partkey")}) DIV $HllM").as("v"))
+    val rho = when($"v" === 0L, lit(HllMaxRho))
+      .otherwise(lit(HllMaxRho) - length(bin($"v")))
+    val regs = b.select($"l_returnflag", $"bucket", rho.as("rho"))
+      .groupBy($"l_returnflag", $"bucket").agg(max($"rho").as("r"))
+      .materialize()
+    val scoped = regs.select($"l_returnflag".as("scope"), $"bucket", $"r")
+      .union(regs.groupBy($"bucket").agg(max($"r").as("r"))
+        .select(lit("ALL").as("scope"), $"bucket", $"r"))
+    val g = scoped.groupBy($"scope").agg(
+      sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), r)").cast("double")).as("occ"),
+      count(lit(1)).as("nb"))
+    val raw = lit(HllAlphaM2) / ($"occ" + (lit(HllM) - $"nb").cast("double"))
+    val linArr = array(HllLinearTable.map(lit): _*)
+    val est = when(raw <= lit(2.5 * HllM) && $"nb" < lit(HllM.toLong),
+        element_at(linArr, (lit(HllM) - $"nb").cast("int")))
+      .otherwise(raw)
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_exact"))
+      .select($"l_returnflag".as("scope"), $"n_exact")
+      .union(li.agg(countDistinct($"l_partkey").as("n_exact"))
+        .select(lit("ALL").as("scope"), $"n_exact"))
+    g.join(exact, "scope")
+      .select($"scope", $"n_exact",
+        round(est, 4).as("hll_estimate"),
+        round(est / $"n_exact", 4).as("ratio"))
+      .orderBy($"scope")
+  }
+
   /** Count-Min geometry: 4 independent rows × 256 counters (8 KB of
     * longs). Row-hash multipliers are the classic public mixing primes
     * (Knuth 2654435761; xxHash 2246822519 / 3266489917 / 668265263). */
@@ -262,7 +311,8 @@ object SketchQueries {
     "q29_kmv_distinct" -> q29KmvDistinct,
     "q34_hll_distinct" -> q34HllDistinct,
     "q35_cms_topk" -> q35CmsTopk,
-    "q36_hist_quantiles" -> q36HistQuantiles)
+    "q36_hist_quantiles" -> q36HistQuantiles,
+    "q61_hll_merge" -> q61HllMerge)
 
   val oracle: Map[String, String] = Map(
     "q29_kmv_distinct" ->
@@ -307,6 +357,33 @@ object SketchQueries {
          |  round(est, 4) AS hll_estimate,
          |  round(est/n_exact, 4) AS ratio
          |FROM e JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    "q61_hll_merge" ->
+      s"""WITH h AS (SELECT l_returnflag,
+         |    ${hllHashSql("l_partkey")} AS h FROM lineitem),
+         |b AS (SELECT l_returnflag, h % $HllM AS bucket, h // $HllM AS v FROM h),
+         |r AS (SELECT l_returnflag, bucket,
+         |    max(CASE WHEN v = 0 THEN $HllMaxRho
+         |        ELSE $HllMaxRho - length(bin(v)) END) AS r
+         |  FROM b GROUP BY l_returnflag, bucket),
+         |ru AS (SELECT l_returnflag AS scope, bucket, r FROM r
+         |  UNION ALL SELECT 'ALL', bucket, max(r) FROM r GROUP BY bucket),
+         |g AS (SELECT scope,
+         |    sum(1.0/CAST(CAST(1 AS BIGINT) << r AS DOUBLE)) AS occ,
+         |    count(*) AS nb
+         |  FROM ru GROUP BY scope),
+         |e0 AS (SELECT scope, nb,
+         |    $HllAlphaM2Sql/(occ + CAST($HllM - nb AS DOUBLE)) AS raw FROM g),
+         |e AS (SELECT scope,
+         |    CASE WHEN raw <= CAST(${(2.5 * HllM).toInt} AS DOUBLE) AND nb < $HllM
+         |         THEN ($HllLinearSqlList)[CAST($HllM - nb AS INT)]
+         |         ELSE raw END AS est FROM e0),
+         |ex AS (SELECT l_returnflag AS scope, count(DISTINCT l_partkey) AS n_exact
+         |  FROM lineitem GROUP BY l_returnflag
+         |  UNION ALL SELECT 'ALL', count(DISTINCT l_partkey) FROM lineitem)
+         |SELECT e.scope, n_exact,
+         |  round(est, 4) AS hll_estimate,
+         |  round(est/n_exact, 4) AS ratio
+         |FROM e JOIN ex USING (scope) ORDER BY scope""".stripMargin,
     "q35_cms_topk" -> {
       val rowsCte = (0 until CmsD).map(r =>
         s"SELECT $r AS r, ${CmsA(r)} AS a, ${cmsB(r)} AS b").mkString(" UNION ALL ")

@@ -107,6 +107,36 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SemDeDup (s15): kept set is the greedy lowest-id cover of in-cell dup pairs") {
+    import org.apache.spark.sql.functions._
+    val rows = SimilarityQueries.s15SemDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val n = graft.core.Tables.embeddings(spark, d).count()
+    assert(rows.length === n)
+    // cells match the gated s4 assignment verbatim
+    val cells = SimilarityQueries.s4Kmeans(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (v, c, _, _) => assert(cells(v) === c, s"cell of $v") }
+    // kept <=> dup_of == own id; every witness is a lower id in the SAME cell
+    rows.foreach { case (v, c, w, kept) =>
+      assert(kept === (w == v))
+      if (!kept) { assert(w < v); assert(cells(w) === c, s"witness cell of $v") }
+    }
+    // non-degenerate at sf0.001: dups exist, and the kept majority remains
+    val dropped = rows.count(!_._4)
+    assert(dropped > 0 && dropped < n / 2, s"dropped=$dropped")
+  }
+
+  test("SemDeDup (s15): dup frontier is invariant to shuffle partitioning") {
+    def run(parts: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SimilarityQueries.s15SemDedup(spark, d).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(run("1") === run("7"))
+  }
+
   test("seed vectors stay closest to their own cluster's centroid line") {
     // vec 0..3 seed the clusters; after 2 Lloyd rounds each seed's d2 to
     // its assigned centroid is no larger than to any other (argmin law,

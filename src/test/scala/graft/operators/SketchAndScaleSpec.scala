@@ -91,6 +91,36 @@ class SketchAndScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaAgg === viaQuery)
   }
 
+  test("q61 register merge: 'ALL' row == direct global HLL build, flags == q34") {
+    import spark.implicits._
+    val rows = SketchQueries.q61HllMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // per-flag rows are exactly q34's (register build shared verbatim)
+    val q34 = SketchQueries.q34HllDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    q34.foreach { case (flag, v) => assert(rows(flag) === v, s"flag $flag") }
+    // merged 'ALL' == the estimate of a DIRECT global register build:
+    // max-merge over per-group registers is lossless for HLL.
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val h = expr(graft.operators.SketchQueries.hllHashSql("l_partkey"))
+    val direct = li.select((h % SketchQueries.HllM).as("bucket"),
+        expr(s"(${SketchQueries.hllHashSql("l_partkey")}) DIV ${SketchQueries.HllM}").as("v"))
+      .select($"bucket", when($"v" === 0L, lit(SketchQueries.HllMaxRho))
+        .otherwise(lit(SketchQueries.HllMaxRho) - length(bin($"v"))).as("rho"))
+      .groupBy($"bucket").agg(max($"rho").as("r"))
+      .agg(sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), r)").cast("double")).as("occ"),
+        count(lit(1)).as("nb"))
+      .collect()(0)
+    val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 /
+      (direct.getDouble(0) + (SketchQueries.HllM - direct.getLong(1)).toDouble)
+    val est = if (raw <= 2.5 * SketchQueries.HllM && direct.getLong(1) < SketchQueries.HllM)
+      SketchQueries.HllM * math.log(SketchQueries.HllM.toDouble /
+        (SketchQueries.HllM - direct.getLong(1)))
+    else raw
+    assert(rows("ALL")._2 ===
+      BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("HLL estimate within 15% at 5k distinct, invariant to partitioning") {
     import spark.implicits._
     val hll = udaf(new Aggregators.HllDistinct(SketchQueries.HllM, SketchQueries.HllMaxRho))
