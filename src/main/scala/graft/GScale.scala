@@ -70,7 +70,12 @@ object GScale {
       "d14_containment", "g16_modularity", "g17_clustering_coeff",
       "s9_knn_graph", "d18_simhash_clusters",
       // round-7 additions with nontrivial growth behavior
-      "s11_binary_rerank", "d20_incremental_dedup")
+      "s11_binary_rerank", "d20_incremental_dedup",
+      // s15: the within-cell pair join is the growth risk — with k fixed
+      // at 4 while N grows 10×, cells hold 10× vectors → ~100× in-cell
+      // pairs, the documented grow-k-with-N knob made measurable (the
+      // s9 probe's analog; at real scale k scales with N).
+      "s15_semdedup", "q61_hll_merge")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {

@@ -270,6 +270,11 @@ object SimilarityQueries {
     * pairs at this radius). */
   private val SemDupD2 = 1300000000000L
 
+  /** s15 target cell occupancy: k = max(KmK, N/this), so cells hold
+    * ~this many vectors at ANY corpus size (N=500 testdata → k = KmK,
+    * keeping the gated parity surface identical to a fixed-k build). */
+  private[operators] val SemCellTarget = 125L
+
   /** s4: Lloyd's k-means over the embeddings — the reference's declared
     * KMeans capability (`/root/reference/algorithms.h:212-250`, a stub
     * whose body is a copy of PageRank) made real, and made
@@ -288,10 +293,12 @@ object SimilarityQueries {
   def s4Kmeans(s: SparkSession, d: String): DataFrame =
     kmeansAssign(s, d).orderBy("vec_id")
 
-  /** Shared integer-Lloyd's assignment (vec_id, cluster, d2) — the body
-    * of s4, reused by s15 so SemDeDup's cells are exactly the gated
-    * k-means assignment. */
-  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+  /** Per-dim integer-Lloyd's assignment (vec_id, cluster, d2) — the body
+    * of s4, and the reference formulation KmeansArrayParitySpec pins
+    * [[kmeansAssignArray]] against (at k = [[KmK]] and at a derived
+    * k > [[KmK]]). */
+  private[operators] def kmeansAssign(
+      s: SparkSession, d: String, k: Long = KmK.toLong): DataFrame = {
     val q = Tables.embeddings(s, d).select(col("vec_id"),
         posexplode(transform(col("embedding"),
           x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")))
@@ -305,7 +312,7 @@ object SimilarityQueries {
       dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("vec_id"), col("cluster"), col("d2"))
     }
-    var centroids = q.where(col("vec_id") < KmK)
+    var centroids = q.where(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("dim"), col("qd").as("cd"))
     for (_ <- 1 to KmIters) {
       val sums = q.join(assign(centroids).select("vec_id", "cluster"), "vec_id")
@@ -319,6 +326,48 @@ object SimilarityQueries {
     assign(centroids)
   }
 
+  /** Array-kernel integer Lloyd's for a DERIVED cluster count — s15's
+    * cell build. Same arithmetic as [[kmeansAssign]] (same quantization,
+    * init = vec_id < k, integer-div centroid means, empty cells keep
+    * their previous centroid, ties broken by lowest cluster id — the
+    * struct-min is lexicographic (d2, cluster), exactly the per-dim
+    * window's ORDER BY), but shaped for k that grows with N: the
+    * distance leg is one broadcast of k centroid ROWS against the
+    * quantized-array corpus (N×k rows of one fused zip_with fold each),
+    * not the per-dim join's N×64×k exploded rows; the update leg
+    * explodes only the assigned corpus once per round (N×64 rows,
+    * linear). KmeansArrayParitySpec pins cell-for-cell equality with
+    * the per-dim formulation at both k = 4 and a derived k > 4. */
+  private[operators] def kmeansAssignArray(s: SparkSession, d: String, k: Long): DataFrame = {
+    val qa = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d2 = aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    def assign(cent: DataFrame): DataFrame =
+      qa.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cluster"), d2.as("d2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.d2").as("d2"))
+    var cent = qa.where(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("qv").as("cv"))
+    for (_ <- 1 to KmIters) {
+      val sums = qa.join(assign(cent).select("vec_id", "cluster"), "vec_id")
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "qd")))
+        .groupBy("cluster", "dim")
+        .agg(expr("sum(qd) DIV count(1)").as("ncd"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("ncd")))),
+          x => x.getField("ncd")).as("ncv"))
+      cent = cent.join(sums, Seq("cluster"), "left_outer")
+        .select(col("cluster"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .materialize()
+    }
+    assign(cent)
+  }
+
   /** s15: SemDeDup — semantic (embedding-space) deduplication via k-means
     * cells + within-cell pairwise distance (Abbas et al. 2023,
     * arXiv:2303.09540), the corpus-curation operator that removes
@@ -327,27 +376,37 @@ object SimilarityQueries {
     * the reference's KMeans capability (`/root/reference/algorithms.h:
     * 212-250`): cluster, then compare ONLY within cells.
     *
-    * Pipeline: [[kmeansAssign]] cells (exact integer Lloyd's — the gated
-    * s4 assignment verbatim) → per-cell self-join on the quantized
-    * vectors → exact BIGINT squared distance ≤ [[SemDupD2]] marks a
-    * semantic-dup pair → greedy keep-lowest-id: a vector is dropped iff
-    * some lower-id vector in its cell is within the radius (the paper's
-    * keep-one-representative policy; `dup_of` is the first such witness,
-    * = own id for kept vectors, so the column is total and null-free).
+    * Pipeline: [[kmeansAssignArray]] cells with k DERIVED from a one-row
+    * `count()` of the corpus — k = max(4, N/[[SemCellTarget]]), the s9
+    * discipline: the scale knob moves with N, so cell occupancy stays
+    * O([[SemCellTarget]]) and the within-cell pair volume stays O(N) at
+    * any corpus size (a fixed k measured 47× time at 10× data — cells
+    * held 10× the vectors, ~100× the pairs). Then: per-cell self-join on
+    * the quantized vectors → exact BIGINT squared distance ≤
+    * [[SemDupD2]] marks a semantic-dup pair → greedy keep-lowest-id: a
+    * vector is dropped iff some lower-id vector in its cell is within
+    * the radius (the paper's keep-one-representative policy; `dup_of`
+    * is the first such witness, = own id for kept vectors, so the
+    * column is total and null-free).
     *
-    * Scale shape (the paper's own design): k grows with N so cell size
-    * stays constant, making the per-cell quadratic a bounded local
-    * workload; the candidate join is an equi-join on the cell id (one
-    * shuffle, never a global cross product); centroids are k×dim rows —
-    * broadcast; the embedding column is scanned once and carried as a
-    * quantized array, never re-read. Everything is exact BIGINT
-    * arithmetic, so the dup/kept frontier is bit-identical across any
-    * partitioning and in the DuckDB oracle. */
+    * Scale shape: the candidate join is an equi-join on the cell id
+    * (one shuffle, never a global cross product); centroids are k rows
+    * — broadcast (the declared centroid cross join, the s3 anchor
+    * pattern); the embedding column is scanned once and carried as a
+    * quantized array, never re-read. The assignment leg is O(N·k·d)
+    * compute with no shuffle growth; at extreme k the production
+    * refinement is IVF-style coarse-probing of centroids (s7's
+    * composition), which changes no semantics here. Everything is exact
+    * BIGINT arithmetic, so the dup/kept frontier is bit-identical
+    * across any partitioning and in the DuckDB oracle (whose CTE chain
+    * derives the same k via a scalar subquery). */
   def s15SemDedup(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    val k = math.max(KmK.toLong, n / SemCellTarget)
     val qa = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")).as("qv"))
-    val m = qa.join(kmeansAssign(s, d).select("vec_id", "cluster"), "vec_id")
+    val m = qa.join(kmeansAssignArray(s, d, k).select("vec_id", "cluster"), "vec_id")
       .materialize()
     val pairD2 = aggregate(
       zip_with(col("a.qv"), col("b.qv"), (x, y) => (x - y) * (x - y)),
@@ -786,8 +845,10 @@ object SimilarityQueries {
 
   /** Unrolled integer-Lloyd's CTE chain (`q` quantized rows → `c0..cK`
     * centroid rounds → `aout` final assignment) — shared by the s4 and
-    * s15 oracles so both sides of SemDeDup see the identical cells. */
-  private def kmeansOracleCtes: String = {
+    * s15 oracles so both sides of SemDeDup see the identical cells.
+    * `kSql` is the cluster count as a SQL expression: s4 pins the
+    * constant [[KmK]]; s15 derives k from N exactly as the engine does. */
+  private def kmeansOracleCtes(kSql: String = KmK.toString): String = {
     def assignCte(name: String, c: String) =
       s"""$name AS (SELECT vec_id, cluster, d2 FROM (
          |  SELECT q.vec_id, c.cluster,
@@ -810,7 +871,7 @@ object SimilarityQueries {
        |    CAST(round((CAST(u.x AS DOUBLE) + 1.0) * $QScale) AS BIGINT) AS qd
        |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS x,
        |    generate_subscripts(embedding, 1) AS pos) u),
-       |c0 AS (SELECT vec_id AS cluster, dim, qd AS cd FROM q WHERE vec_id < $KmK),
+       |c0 AS (SELECT vec_id AS cluster, dim, qd AS cd FROM q WHERE vec_id < ($kSql)),
        |$rounds,
        |${assignCte("aout", s"c$KmIters")}""".stripMargin
   }
@@ -1063,11 +1124,12 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "s4_kmeans" ->
-      s"""WITH $kmeansOracleCtes
+      s"""WITH ${kmeansOracleCtes()}
          |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2
          |FROM aout ORDER BY vec_id""".stripMargin,
     "s15_semdedup" ->
-      s"""WITH $kmeansOracleCtes,
+      s"""WITH ${kmeansOracleCtes(
+             s"SELECT greatest($KmK, count(DISTINCT vec_id) // $SemCellTarget) FROM q")},
          |qa AS (SELECT vec_id, list(qd ORDER BY dim) AS qv FROM q GROUP BY vec_id),
          |m AS MATERIALIZED (SELECT qa.vec_id, aout.cluster, qa.qv
          |  FROM qa JOIN aout ON qa.vec_id = aout.vec_id),

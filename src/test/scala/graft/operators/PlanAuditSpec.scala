@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s13_quant_recall",  // quantized corpus × 5 broadcast probes + the s1 baseline
     "t17_zipf",          // k-row top frame × broadcast total_tokens scalar
     "d22_tfidf_cosine",  // weight table × broadcast n_docs scalar (the t5 idf shape)
-    "q60_key_skew")      // 10-row top frame × broadcast count-stats scalar
+    "q60_key_skew",      // 10-row top frame × broadcast count-stats scalar
+    "s15_semdedup")      // quantized corpus × broadcast k centroid rows (s3 anchor pattern)
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
