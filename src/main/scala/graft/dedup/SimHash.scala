@@ -42,10 +42,11 @@ object SimHash {
   /** Scale path: candidates = docs sharing any contiguous bit slice of the
     * fingerprint (pigeonhole: hamming ≤ bands-1 guarantees a shared band).
     * Join key is (band, slice) — no cross join, no blocking column needed. */
-  def bandedPairs(fps: DataFrame, bands: Int, maxHamming: Int): DataFrame = {
+  def bandedPairs(fps: DataFrame, bands: Int, maxHamming: Int,
+                  bits: Int = Bits): DataFrame = {
     val spark = fps.sparkSession
     import spark.implicits._
-    val width = Bits / bands
+    val width = bits / bands
     val bandTbl = broadcast(
       (0 until bands).map(b => (b, 1L << (b * width))).toDF("band", "divisor"))
     val sliced = fps.crossJoin(bandTbl).select(

@@ -184,4 +184,39 @@ object Media {
       }
     }
   }
+
+  final case class MediaHash(media_id: Long, phash: Long)
+
+  /** Perceptual-hash stub: split the payload into `windows` equal byte
+    * windows (w = ceil(n/windows); trailing windows may be empty — their
+    * bit is 0) and set bit j to the parity of window j's byte-fold
+    * checksum. A real image pipeline puts pHash/aHash (DCT or mean
+    * threshold over a downscaled raster) here — the property that
+    * matters downstream is the same: locally-perturbed payloads flip few
+    * bits, so near-dups sit at small hamming distance. Same narrow
+    * mapPartitions shape as [[sampleFrames]]: no shuffle, 8 bytes out
+    * per payload in. */
+  def perceptualHash(media: Dataset[MediaRecord],
+                     windows: Int = 60): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { r =>
+        val n = r.payload.length
+        val w = (n + windows - 1) / windows
+        var h = 0L
+        var j = 0
+        while (j < windows) {
+          val off = j * w
+          val end = math.min(off + w, n)
+          var acc = 0L
+          var i = off
+          while (i < end) { acc = (acc * 31 + (r.payload(i) & 0xff)) % FakeCodec.P; i += 1 }
+          h |= (acc & 1L) << j
+          j += 1
+        }
+        MediaHash(r.media_id, h)
+      }
+    }
+  }
 }

@@ -78,12 +78,38 @@ object MultimodalQueries {
 
   private val SceneCutThreshold = 250L
 
+  /** m6: perceptual-hash media dedup — the image-dedup pipeline (pHash +
+    * small-hamming pairing) over the binary payloads: the 60-bit stub
+    * perceptual hash per payload ([[graft.multimodal.Media.perceptualHash]];
+    * a real pipeline computes DCT-pHash in the same mapPartitions slot),
+    * then candidate pairs via the d4 banding kernel — 4 bands × 15 bits,
+    * pigeonhole-complete for hamming ≤ 3 — and the exact popcount
+    * verify. Near-identical payloads (small localized edits) flip few
+    * window parities, so they meet at small hamming; the join is
+    * equi-key on band slices, never all-pairs, and each payload has
+    * been reduced to 8 bytes before anything shuffles. */
+  def m6PhashDedup(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromText(Tables.documents(s, d), "doc_id", "text",
+      kind = "image/gray8")
+    val fps = Media.perceptualHash(media, windows = PhBits).toDF()
+      .select(col("media_id").as("id"), col("phash").as("simhash"))
+    graft.dedup.SimHash.bandedPairs(fps, bands = PhBands,
+        maxHamming = PhMaxHamming, bits = PhBits)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val PhBits = 60
+  private val PhBands = 4
+  private val PhMaxHamming = 3 // ≤ bands-1: banding is pigeonhole-complete
+
   val queries: Map[String, Q] = Map(
     "m1_media_features" -> m1MediaFeatures,
     "m2_frame_sample" -> m2FrameSample,
     "m3_audio_energy" -> m3AudioEnergy,
     "m4_patch_grid" -> m4PatchGrid,
-    "m5_scene_cuts" -> m5SceneCuts)
+    "m5_scene_cuts" -> m5SceneCuts,
+    "m6_phash_dedup" -> m6PhashDedup)
 
   private def sqlCharHash(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -91,6 +117,21 @@ object MultimodalQueries {
        |  (a, b) -> (a*31 + b) % ${Media.FakeCodec.P})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "m6_phash_dedup" ->
+      s"""WITH d0 AS (SELECT doc_id AS id, text,
+         |    octet_length(encode(text)) AS n FROM documents),
+         |wz AS (SELECT id, text, (n + ${PhBits - 1}) // $PhBits AS w FROM d0),
+         |seg AS (SELECT id, range AS j,
+         |    substring(text, CAST(range*w + 1 AS INT), CAST(w AS INT)) AS sg
+         |  FROM wz, range(0, $PhBits)),
+         |fp AS MATERIALIZED (SELECT id,
+         |    CAST(sum((${sqlCharHash("sg")} % 2) << j) AS BIGINT) AS ph
+         |  FROM seg GROUP BY id)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.id < b.id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= $PhMaxHamming
+         |ORDER BY id_a, id_b""".stripMargin,
     "m1_media_features" ->
       s"""SELECT doc_id AS media_id, 'text/plain' AS kind,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -108,6 +108,46 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("perceptualHash: local reference, edge payloads, locality property") {
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 240), (2L, "a" * 239 + "b"), (3L, ""),
+      (4L, "xy")).toDF("doc_id", "text")
+    val hs = Media.perceptualHash(Media.mediaFromText(docs, "doc_id", "text"))
+      .collect().map(h => h.media_id -> h.phash).toMap
+    // local reference fold (bytes, 60 windows, parity bit per window)
+    def ref(t: String): Long = {
+      val b = t.getBytes("UTF-8"); val n = b.length; val w = (n + 59) / 60
+      (0 until 60).map { j =>
+        var acc = 0L
+        (j * w until math.min((j + 1) * w, n)).foreach(i =>
+          acc = (acc * 31 + (b(i) & 0xff)) % Media.FakeCodec.P)
+        (acc & 1L) << j
+      }.sum
+    }
+    Seq(1L -> "a" * 240, 2L -> ("a" * 239 + "b"), 3L -> "", 4L -> "xy")
+      .foreach { case (id, t) => assert(hs(id) === ref(t), s"id $id") }
+    assert(hs(3L) === 0L) // empty payload → all-zero hash
+    // locality: a single-byte edit in one window flips at most that
+    // window's bit — docs 1/2 differ only in the last 4-byte window
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 1)
+  }
+
+  test("m6 banded pairing == all-pairs popcount filter at spec SF") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val media = Media.mediaFromText(
+      graft.core.Tables.documents(spark, sf), "doc_id", "text")
+    val fps = Media.perceptualHash(media).collect().map(h => h.media_id -> h.phash)
+    val expect = (for {
+      (ia, ha) <- fps; (ib, hb) <- fps
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    val got = graft.operators.MultimodalQueries.m6PhashDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "spec SF must exercise the pairing")
+  }
+
   test("payload survives the binary roundtrip (opaque column)") {
     import spark.implicits._
     val docs = Seq((9L, "opaque payload ≠ text")).toDF("doc_id", "text")

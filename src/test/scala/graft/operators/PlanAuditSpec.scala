@@ -34,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t17_zipf",          // k-row top frame × broadcast total_tokens scalar
     "d22_tfidf_cosine",  // weight table × broadcast n_docs scalar (the t5 idf shape)
     "q60_key_skew",      // 10-row top frame × broadcast count-stats scalar
-    "s15_semdedup")      // quantized corpus × broadcast k centroid rows (s3 anchor pattern)
+    "s15_semdedup",      // quantized corpus × broadcast k centroid rows (s3 anchor pattern)
+    "m6_phash_dedup")    // 8-byte hashes × 4 broadcast band ids (the d4 banding kernel)
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
