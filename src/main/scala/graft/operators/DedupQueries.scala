@@ -415,6 +415,36 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d23: contamination overlap-score report — d7's scoring face, the
+    * number a model card publishes ("x% of eval n-grams appear in
+    * training documents"): per training document, the DISTINCT shared
+    * shingle count over its total distinct shingles as exact integer
+    * ppm (n_shared·10⁶ DIV n_total — no float thresholds, the frontier
+    * is engine-exact). d7 answers "drop it or not" at a fixed cutoff;
+    * the score report is what humans tune that cutoff FROM.
+    *
+    * Same scale shape as d7 (the eval shingle set broadcasts, the
+    * training corpus never shuffles for the match), plus one
+    * per-document `size()` on the already-computed shingle array — no
+    * second pass over text. */
+  def d23OverlapScore(s: SparkSession, d: String): DataFrame = {
+    val sh = docs(s, d).select(col("id"),
+      Portable.shingleHashes(col("text"), DecontamK).as("shs"))
+    val ex = sh.select(col("id"), explode(col("shs")).as("h"))
+    val evalH = broadcast(
+      ex.where(col("id") % 20 === 0).select("h").distinct())
+    val hits = ex.where(col("id") % 20 =!= 0).join(evalH, "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    sh.where(col("id") % 20 =!= 0)
+      .select(col("id"), size(col("shs")).cast("long").as("n_total"))
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"), col("n_total"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_ppm", when(col("n_total") === 0, lit(0L))
+        .otherwise(expr("n_shared * 1000000 DIV n_total")))
+      .orderBy("doc_id")
+  }
+
   /** d8: end-to-end corpus selection — the composition a real pipeline
     * ships: a document enters the training corpus iff it (a) is not in
     * the held-out eval slice, (b) passes the t7 repetition-quality gate,
@@ -1001,6 +1031,7 @@ object DedupQueries {
     "d6_dedup_clusters" -> d6DedupClusters,
     "d7_decontaminate" -> d7Decontaminate,
     "d8_corpus_select" -> d8CorpusSelect,
+    "d23_overlap_score" -> d23OverlapScore,
     "d9_bloom_decontaminate" -> d9BloomDecontaminate,
     "d10_source_mix" -> d10SourceMix,
     "d13_group_sample" -> d13GroupSample,
@@ -1460,6 +1491,25 @@ object DedupQueries {
          |  coalesce(n_shared, 0) >= $DecontamMinShared AS contaminated
          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.id
          |WHERE d.doc_id % 20 != 0 ORDER BY doc_id""".stripMargin
+    },
+    "d23_overlap_score" -> {
+      val gram = (0 until DecontamK).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+      s"""WITH wd AS (SELECT doc_id AS id, string_split(text, ' ') AS words FROM documents),
+         |shl AS (SELECT id, list_distinct(list_transform(
+         |    list_transform(range(1, greatest(len(words)-${DecontamK - 1}, 0)+1),
+         |      i -> $gram),
+         |    s -> ${sqlCharHash("s")})) AS shs FROM wd),
+         |sh AS (SELECT id, unnest(shs) AS h FROM shl),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE id % 20 = 0),
+         |hits AS (SELECT sh.id, count(*) AS n_shared
+         |  FROM sh JOIN ev USING (h) WHERE sh.id % 20 != 0 GROUP BY sh.id),
+         |tot AS (SELECT id, len(shs) AS n_total FROM shl WHERE id % 20 != 0)
+         |SELECT tot.id AS doc_id, CAST(n_total AS BIGINT) AS n_total,
+         |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+         |  CAST(CASE WHEN n_total = 0 THEN 0
+         |       ELSE coalesce(n_shared, 0) * 1000000 // n_total END AS BIGINT)
+         |    AS overlap_ppm
+         |FROM tot LEFT JOIN hits USING (id) ORDER BY doc_id""".stripMargin
     },
     "d9_bloom_decontaminate" -> {
       val gram = (0 until DecontamK).map(j => s"words[i+$j]").mkString(" || ' ' || ")

@@ -27,6 +27,23 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d23 overlap score: consistent with d7's gate, ppm exact and bounded") {
+    val d7 = DedupQueries.d7Decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val rows = DedupQueries.d23OverlapScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSet === d7.keySet) // same training population
+    rows.foreach { case (id, nTotal, nShared, ppm) =>
+      assert(nShared === d7(id)._1, s"doc $id n_shared") // d7's count verbatim
+      assert(nShared <= nTotal, s"doc $id shared>total")
+      assert(ppm >= 0L && ppm <= 1000000L, s"doc $id ppm range")
+      if (nTotal > 0) assert(ppm === nShared * 1000000L / nTotal, s"doc $id ppm")
+      else assert(ppm === 0L)
+    }
+    // the report is non-degenerate at spec SF: both clean and overlapping docs
+    assert(rows.exists(_._4 > 0) && rows.exists(_._4 === 0L))
+  }
+
   test("g13 link prediction matches a local common-neighbor reference") {
     val allPairs = GraphQueries.partPairsMaterialized(spark, sf)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
