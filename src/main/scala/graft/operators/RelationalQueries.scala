@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.graph.Materialize.MaterializeOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -313,6 +314,39 @@ object RelationalQueries {
         col("n_keys"), expr("(1000 * max_cnt * n_keys) DIV total")
           .as("skew_ratio_milli"))
       .orderBy("rank")
+  }
+
+  /** q62: the TPC-H Q21 shape — correlated EXISTS + NOT EXISTS against
+    * the SAME fact table, the hardest classic decorrelation face — on
+    * the columns this schema carries: suppliers solely responsible for
+    * a returned line in multi-supplier orders (some line of theirs has
+    * `l_returnflag = 'R'`, ANOTHER supplier participates in the order,
+    * and NO other supplier has a returned line in it). Declaratively:
+    * the EXISTS is a left-semi self-join on the distinct
+    * (order, supplier) frame, the NOT EXISTS a left-anti on the
+    * returned-pairs frame — both equi on the order key with the
+    * supplier inequality as residual, so each is one hash-shuffle of
+    * the DISTINCT pair frames (never raw lines; dedup happens before
+    * the self-joins fan anything out). Ranking is total (numwait desc,
+    * then unique name), so the top-20 cut is deterministic. The oracle
+    * keeps the textbook correlated-subquery form — gating that the
+    * join rewrite IS that semantics. */
+  def q62WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val allPairs = li.select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    val retPairs = li.where($"l_returnflag" === "R")
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+      .materialize()
+    val multi = retPairs.as("a").join(allPairs.as("b"),
+      col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"), "left_semi")
+    val sole = multi.as("a").join(retPairs.as("c"),
+      col("a.ok") === col("c.ok") && col("a.sk") =!= col("c.sk"), "left_anti")
+    sole.groupBy($"sk".as("s_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(s, d).select($"s_suppkey", $"s_name"), "s_suppkey")
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+      .select($"s_suppkey", $"s_name", $"numwait")
   }
 
   def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
@@ -739,9 +773,21 @@ object RelationalQueries {
     "q44_upsert" -> q44Upsert,
     "q45_topk_group" -> q45TopkGroup,
     "q55_mad_outliers" -> q55MadOutliers,
-    "q60_key_skew" -> q60KeySkew)
+    "q60_key_skew" -> q60KeySkew,
+    "q62_waiting_suppliers" -> q62WaitingSuppliers)
 
   val oracle: Map[String, String] = Map(
+    "q62_waiting_suppliers" ->
+      """WITH rp AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |    FROM lineitem WHERE l_returnflag = 'R'),
+        |ap AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |w AS (SELECT a.sk, a.ok FROM rp a
+        |  WHERE EXISTS (SELECT 1 FROM ap b WHERE b.ok = a.ok AND b.sk != a.sk)
+        |    AND NOT EXISTS (SELECT 1 FROM rp c WHERE c.ok = a.ok AND c.sk != a.sk)),
+        |cnt AS (SELECT sk AS s_suppkey, count(*) AS numwait FROM w GROUP BY sk)
+        |SELECT s.s_suppkey, s_name, numwait
+        |FROM cnt JOIN supplier s USING (s_suppkey)
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q60_key_skew" ->
       """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem
         |  GROUP BY l_suppkey),

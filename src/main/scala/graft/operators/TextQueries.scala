@@ -452,7 +452,36 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** t18: JSONL ingestion roundtrip — the wire format training corpora
+    * actually arrive in. The documents table is written ONCE as
+    * JSON-lines to the derive-once cache (escaping/encoding exercised on
+    * real text), then read back with an EXPLICIT schema — never
+    * `inferSchema`, which is a full extra pass over 100 TB before the
+    * first real job — and reduced to per-source counts, an exact
+    * char-hash sum and a char-count sum. The oracle computes the same
+    * aggregates from the parquet truth, so the gate proves the JSON
+    * sink+source is byte-lossless for every document: any mangled
+    * escape, dropped row, or re-encoded character moves a hash sum.
+    * Scale shape: the write is one narrow pass, the read is a parallel
+    * line-splittable scan (JSONL's reason to exist), the aggregate is
+    * map-combinable. */
+  def t18JsonlIngest(s: SparkSession, d: String): DataFrame = {
+    val out = s"${sys.props("user.dir")}/target/graft_derived/" +
+      s"jsonl_v1/${graft.core.Derived.tag(d)}/documents_jsonl"
+    if (!new java.io.File(s"$out/_SUCCESS").exists())
+      Tables.documents(s, d).write.mode("overwrite").json(out)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Portable.charHash(col("text"))).as("hash_sum"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t18_jsonl_ingest" -> t18JsonlIngest,
     "t17_zipf" -> t17Zipf,
     "t16_readability" -> t16Readability,
     "t14_lm_score" -> t14LmScore,
@@ -547,6 +576,11 @@ object TextQueries {
        |  (a, b) -> (a*31 + b) % ${Portable.P})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t18_jsonl_ingest" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(${sqlCharHash("text")}) AS BIGINT) AS hash_sum,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "t17_zipf" ->
       s"""WITH w AS (SELECT unnest($sqlWords) AS word FROM documents),
          |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),

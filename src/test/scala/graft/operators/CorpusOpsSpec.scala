@@ -27,6 +27,25 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t18 JSONL roundtrip is lossless on hostile payloads") {
+    import spark.implicits._
+    // quotes, backslashes, newlines, tabs, unicode, emptiness — every
+    // class a JSON escape can mangle
+    val hostile = Seq(
+      (1L, "plain text"), (2L, "with \"double quotes\" inside"),
+      (3L, "back\\slash and tab\there"), (4L, "two\nlines\nhere"),
+      (5L, "unicode: café 中文 😀"), (6L, ""),
+      (7L, "{\"json\": \"looking\", \"n\": 1}"))
+      .toDF("doc_id", "text")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_t18_hostile"
+    hostile.write.mode("overwrite").json(dir)
+    val back = spark.read.schema("doc_id BIGINT, text STRING").json(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    hostile.collect().foreach { r =>
+      assert(back(r.getLong(0)) === r.getString(1), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("d23 overlap score: consistent with d7's gate, ppm exact and bounded") {
     val d7 = DedupQueries.d7Decontaminate(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
