@@ -815,7 +815,31 @@ object SimilarityQueries {
       .orderBy("dim")
   }
 
+  /** s16: cell medoids + cell profile — the coreset face of the s15
+    * cells: per derived k-means cell, the representative vector
+    * (argmin exact-BIGINT distance to the final centroid, ties to the
+    * lowest id — the struct-min is lexicographic), the occupancy and
+    * the squared cell radius. This is the "summarize 100 TB of
+    * embeddings as k rows" operator: coreset seeding, cluster
+    * diagnostics (occupancy skew, radius outliers), and the routing
+    * table an IVF index builds from. One aggregate over the assignment
+    * frame — k output rows at any N; k moves with N exactly as s15's
+    * ([[SemCellTarget]]), so "per-cell" stays a bounded local notion. */
+  def s16CellMedoids(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    val k = math.max(KmK.toLong, n / SemCellTarget)
+    kmeansAssignArray(s, d, k)
+      .groupBy(col("cluster"))
+      .agg(min(struct(col("d2"), col("vec_id"))).as("m"),
+        count(lit(1)).as("n_vecs"),
+        max(col("d2")).as("radius_d2"))
+      .select(col("cluster"), col("m.vec_id").as("medoid_id"),
+        col("m.d2").as("medoid_d2"), col("n_vecs"), col("radius_d2"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s16_cell_medoids" -> s16CellMedoids,
     "s14_embedding_drift" -> s14EmbeddingDrift,
     "s13_quant_recall" -> s13QuantRecall,
     "s12_index_recall" -> s12IndexRecall,
@@ -1127,6 +1151,18 @@ object SimilarityQueries {
       s"""WITH ${kmeansOracleCtes()}
          |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2
          |FROM aout ORDER BY vec_id""".stripMargin,
+    "s16_cell_medoids" ->
+      s"""WITH ${kmeansOracleCtes(
+             s"SELECT greatest($KmK, count(DISTINCT vec_id) // $SemCellTarget) FROM q")},
+         |r AS (SELECT cluster, vec_id, d2,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS rn
+         |  FROM aout),
+         |p AS (SELECT cluster, count(*) AS n_vecs,
+         |    CAST(max(d2) AS BIGINT) AS radius_d2 FROM aout GROUP BY cluster)
+         |SELECT p.cluster, r.vec_id AS medoid_id, CAST(r.d2 AS BIGINT) AS medoid_d2,
+         |  n_vecs, radius_d2
+         |FROM p JOIN r ON p.cluster = r.cluster AND r.rn = 1
+         |ORDER BY p.cluster""".stripMargin,
     "s15_semdedup" ->
       s"""WITH ${kmeansOracleCtes(
              s"SELECT greatest($KmK, count(DISTINCT vec_id) // $SemCellTarget) FROM q")},

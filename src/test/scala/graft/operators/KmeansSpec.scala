@@ -127,6 +127,23 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped > 0 && dropped < n / 2, s"dropped=$dropped")
   }
 
+  test("cell medoids (s16): per-cell argmin, occupancy sums to N, radius bounds") {
+    val rows = SimilarityQueries.s16CellMedoids(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val asg = SimilarityQueries.s4Kmeans(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._4).sum === asg.length) // occupancy accounts for every vector
+    val byCell = asg.groupBy(_._2)
+    rows.foreach { case (cell, medoid, md2, nv, rad) =>
+      val members = byCell(cell)
+      assert(nv === members.length)
+      val best = members.map(v => (v._3, v._1)).min // (d2, vec_id) lexicographic
+      assert((md2, medoid) === best, s"cell $cell medoid")
+      assert(rad === members.map(_._3).max, s"cell $cell radius")
+      assert(md2 <= rad)
+    }
+  }
+
   test("SemDeDup (s15): dup frontier is invariant to shuffle partitioning") {
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
