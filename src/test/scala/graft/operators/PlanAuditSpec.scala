@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d22_tfidf_cosine",  // weight table × broadcast n_docs scalar (the t5 idf shape)
     "q60_key_skew",      // 10-row top frame × broadcast count-stats scalar
     "s15_semdedup",      // quantized corpus × broadcast k centroid rows (s3 anchor pattern)
+    "s16_cell_medoids",  // same declared centroid cross join (the s15 cell build)
     "m6_phash_dedup")    // 8-byte hashes × 4 broadcast band ids (the d4 banding kernel)
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
