@@ -25,6 +25,21 @@ object G19Probe {
       PropertyGraph.symmetrize(pairs))
     val base = s"${sys.props("user.dir")}/target/graft_derived/probe_subgraph_rt"
     new java.io.File(base).getParentFile.mkdirs()
+    // decompose the writer's internal phases (mirrors writeMetisSubgraphs)
+    t("  w: allIntegral scan") {
+      g.edges.where(coalesce(col("weight"), lit(1.0)) =!=
+        floor(coalesce(col("weight"), lit(1.0)))).isEmpty
+    }
+    t("  w: lines build+count") {
+      val nbrs = g.edges
+        .select(col("src"), col("dst"), coalesce(col("weight"), lit(1.0)).as("w"))
+        .groupBy(col("src"))
+        .agg(sort_array(collect_list(struct(col("dst"),
+          pmod(col("dst"), lit(parts)).as("dpart"), col("w")))).as("ns"))
+      g.vertices.select(col("id"))
+        .join(nbrs, col("id") === col("src"), "left_outer")
+        .select(col("id"), pmod(col("id"), lit(parts)).as("part")).count()
+    }
     t("writeMetisSubgraphs") {
       graft.io.GraphLoaders.writeMetisSubgraphs(g, parts, base)
     }
