@@ -62,6 +62,15 @@ object GScale {
     replicate("lineitem", (df, k) => df
       .withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
       .withColumn("l_partkey", col("l_partkey") + lit(k * 10000000L)))
+    // supplier: dim table copied verbatim — suppkeys are NOT offset in
+    // the replicated lineitem, so a constant supplier dim against 10×
+    // facts is both correct and the realistic scale shape.
+    locally {
+      val out = s"$big/supplier.parquet"
+      if (!new java.io.File(s"$out/_SUCCESS").exists())
+        spark.read.parquet(s"$base/supplier.parquet")
+          .write.mode("overwrite").parquet(out)
+    }
 
     val all = Seq("d3_minhash_lsh", "d4_simhash", "d9_bloom_decontaminate",
       "g1_pagerank", "s6_ann_pq",
@@ -75,7 +84,12 @@ object GScale {
       // at 4 while N grows 10×, cells hold 10× vectors → ~100× in-cell
       // pairs, the documented grow-k-with-N knob made measurable (the
       // s9 probe's analog; at real scale k scales with N).
-      "s15_semdedup", "q61_hll_merge")
+      "s15_semdedup", "q61_hll_merge",
+      // late round-7 additions: banded phash pairs (density-dependent),
+      // broadcast-eval overlap scores, the Q21 semi/anti self-joins on
+      // distinct pair frames, cell-profile aggregate, JSONL write+read
+      "m6_phash_dedup", "d23_overlap_score", "q62_waiting_suppliers",
+      "s16_cell_medoids", "t18_jsonl_ingest")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {
