@@ -368,6 +368,25 @@ object SimilarityQueries {
     assign(cent)
   }
 
+  /** Derive-once cell assignment shared by s15/s16 (the dedup-family
+    * materialization discipline): the derived-k Lloyd's output
+    * (vec_id, cluster, d2) is written to parquet keyed by the source
+    * fingerprint; whichever of s15/s16 runs first pays the build, the
+    * other reads ~free. Deterministic content (exact integer pipeline)
+    * makes the cache partitioning-safe. */
+  private val CellsDerivedVersion = 1
+  private[operators] def cellAssignMaterialized(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      val path = s"${sys.props("user.dir")}/target/graft_derived/" +
+        s"cells_v$CellsDerivedVersion/${graft.core.Derived.tag(d)}/assign"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val n = Tables.embeddings(s, d).count()
+        val k = math.max(KmK.toLong, n / SemCellTarget)
+        kmeansAssignArray(s, d, k).write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+    }
+
   /** s15: SemDeDup — semantic (embedding-space) deduplication via k-means
     * cells + within-cell pairwise distance (Abbas et al. 2023,
     * arXiv:2303.09540), the corpus-curation operator that removes
@@ -376,8 +395,9 @@ object SimilarityQueries {
     * the reference's KMeans capability (`/root/reference/algorithms.h:
     * 212-250`): cluster, then compare ONLY within cells.
     *
-    * Pipeline: [[kmeansAssignArray]] cells with k DERIVED from a one-row
-    * `count()` of the corpus — k = max(4, N/[[SemCellTarget]]), the s9
+    * Pipeline: [[kmeansAssignArray]] cells (derive-once materialized,
+    * shared with s16 — [[cellAssignMaterialized]]) with k DERIVED from
+    * a one-row `count()` — k = max(4, N/[[SemCellTarget]]), the s9
     * discipline: the scale knob moves with N, so cell occupancy stays
     * O([[SemCellTarget]]) and the within-cell pair volume stays O(N) at
     * any corpus size (a fixed k measured 47× time at 10× data — cells
@@ -401,12 +421,10 @@ object SimilarityQueries {
     * across any partitioning and in the DuckDB oracle (whose CTE chain
     * derives the same k via a scalar subquery). */
   def s15SemDedup(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.embeddings(s, d).count()
-    val k = math.max(KmK.toLong, n / SemCellTarget)
     val qa = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")).as("qv"))
-    val m = qa.join(kmeansAssignArray(s, d, k).select("vec_id", "cluster"), "vec_id")
+    val m = qa.join(cellAssignMaterialized(s, d).select("vec_id", "cluster"), "vec_id")
       .materialize()
     val pairD2 = aggregate(
       zip_with(col("a.qv"), col("b.qv"), (x, y) => (x - y) * (x - y)),
@@ -826,9 +844,7 @@ object SimilarityQueries {
     * frame — k output rows at any N; k moves with N exactly as s15's
     * ([[SemCellTarget]]), so "per-cell" stays a bounded local notion. */
   def s16CellMedoids(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.embeddings(s, d).count()
-    val k = math.max(KmK.toLong, n / SemCellTarget)
-    kmeansAssignArray(s, d, k)
+    cellAssignMaterialized(s, d)
       .groupBy(col("cluster"))
       .agg(min(struct(col("d2"), col("vec_id"))).as("m"),
         count(lit(1)).as("n_vecs"),
