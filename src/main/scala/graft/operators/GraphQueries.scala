@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.graph.Materialize.MaterializeOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.graph._
@@ -731,6 +731,64 @@ object GraphQueries {
         (col("m2") * col("sum_j2") - col("sum_j") * col("sum_j")).as("r_den"))
   }
 
+  private val RichClubPcts = Seq(50L, 75L, 90L, 95L, 99L)
+
+  /** g24: rich-club coefficient (Zhou & Mondragón 2004) — do the
+    * highest-degree vertices form a densely wired club? For each degree
+    * cutoff k, φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k counts vertices
+    * with deg > k and E_k the edges with BOTH endpoints above the
+    * cutoff. The cutoffs are data-derived degree percentiles (50/75/90/
+    * 95/99th by rank over the degree table), not fixed constants — a
+    * fixed k degenerates the moment the corpus densifies (the s9/s15
+    * lesson: constants sized to testdata go quadratic or vacuous at
+    * 100×). Rank r = ⌈p·n/100⌉ in exact integer arithmetic both sides.
+    *
+    * Scale shape: the degree table is the part DIMENSION (bounded at any
+    * corpus SF), so ranking it is a dimension-sized window and the five
+    * derived cutoffs are an O(1) collect — the s15 derived-constant
+    * pattern. E_k is one pass over the edge list with two broadcast
+    * degree joins and a row-local 5-way explode (no BNLJ, no per-k
+    * rescan); N_k is the same explode over the dimension table. Output
+    * is five rows at any N. */
+  def g24RichClub(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dg = vertexDegMaterialized(s, d)
+      .select(col("id"), col("deg").cast("long").as("deg"))
+    val n = dg.count()
+    val ranked = dg.select(col("deg"),
+      row_number().over(Window.orderBy(col("deg"))).as("rn"))
+    val ranks = RichClubPcts.map(p => (p, (p * n + 99L) / 100L))
+    val thr: Map[Long, Long] = ranked
+      .where(col("rn").isInCollection(ranks.map(_._2)))
+      .collect().map(r => r.getInt(1).toLong -> r.getLong(0)).toMap
+    val cuts = ranks.map { case (p, r) => (p, thr(r)) }
+    def perCut(in: DataFrame, cond: Long => Column, out: String): DataFrame =
+      in.select(explode(array(cuts.map { case (p, k) =>
+          struct(lit(p).as("pct"), lit(k).as("k"), cond(k).as("in"))
+        }: _*)).as("t"))
+        .where(col("t.in"))
+        .groupBy(col("t.pct").as("pct"), col("t.k").as("k"))
+        .agg(count(lit(1)).as(out))
+    val nk = perCut(dg, k => col("deg") > k, "n_k")
+    val edges = partPairsMaterialized(s, d)
+      .join(broadcast(dg.select(col("id").as("src"), col("deg").as("ds"))), "src")
+      .join(broadcast(dg.select(col("id").as("dst"), col("deg").as("dd"))), "dst")
+      .select(least(col("ds"), col("dd")).as("mindeg"))
+    val ek = perCut(edges, k => col("mindeg") > k, "e_k")
+    val spark = s
+    import spark.implicits._
+    cuts.toDF("pct", "k")
+      .join(nk, Seq("pct", "k"), "left_outer")
+      .join(ek, Seq("pct", "k"), "left_outer")
+      .select(col("pct"), col("k"),
+        coalesce(col("n_k"), lit(0L)).as("n_k"),
+        coalesce(col("e_k"), lit(0L)).as("e_k"))
+      .withColumn("phi_ppm",
+        when(col("n_k") >= 2,
+          expr("(2000000 * e_k) DIV (n_k * (n_k - 1))")).otherwise(lit(0L)))
+      .orderBy("pct")
+  }
+
   private val ReachSeeds = 5
   private val ReachDepth = 4
 
@@ -1158,6 +1216,7 @@ object GraphQueries {
     "g21_harmonic" -> g21Harmonic,
     "g22_assortativity" -> g22Assortativity,
     "g23_eccentricity" -> g23Eccentricity,
+    "g24_rich_club" -> g24RichClub,
     "q54_transitive_closure" -> q54TransitiveClosure)
 
   val oracle: Map[String, String] = Map(
@@ -1226,6 +1285,28 @@ object GraphQueries {
          |  min(r.id) AS farthest_id
          |FROM mx JOIN r ON mx.q = r.q AND r.v = mx.ecc
          |GROUP BY mx.q, ecc, n_reached ORDER BY source_id""".stripMargin,
+    "g24_rich_club" ->
+      s"""WITH $edgeCtes,
+         |nn AS (SELECT count(*) AS c FROM deg),
+         |rk AS (SELECT deg AS dv, row_number() OVER (ORDER BY deg) AS rn
+         |  FROM deg),
+         |pc AS (SELECT CAST(pct AS BIGINT) AS pct,
+         |    (CAST(pct AS BIGINT) * c + 99) // 100 AS rank
+         |  FROM (VALUES (50),(75),(90),(95),(99)) t(pct), nn),
+         |thr AS (SELECT pct, (SELECT dv FROM rk WHERE rn = rank) AS k
+         |  FROM pc),
+         |nk AS (SELECT pct, k,
+         |    (SELECT count(*) FROM deg WHERE deg > k) AS n_k FROM thr),
+         |ek AS (SELECT pct, k,
+         |    (SELECT count(*) FROM cpairs c
+         |       JOIN deg da ON c.src = da.id JOIN deg db ON c.dst = db.id
+         |     WHERE least(da.deg, db.deg) > k) AS e_k
+         |  FROM thr)
+         |SELECT nk.pct, nk.k, CAST(n_k AS BIGINT) AS n_k,
+         |  CAST(e_k AS BIGINT) AS e_k,
+         |  CASE WHEN n_k >= 2 THEN (2000000 * CAST(e_k AS BIGINT))
+         |    // (CAST(n_k AS BIGINT) * (n_k - 1)) ELSE 0 END AS phi_ppm
+         |FROM nk JOIN ek ON nk.pct = ek.pct ORDER BY nk.pct""".stripMargin,
     "q54_transitive_closure" -> reachSql(ReachDepth, ReachSeeds),
     "g18_ktruss" -> {
       val rounds = (1 to TrussRounds).map { r =>

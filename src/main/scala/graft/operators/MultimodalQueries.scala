@@ -103,13 +103,39 @@ object MultimodalQueries {
   private val PhBands = 4
   private val PhMaxHamming = 3 // ≤ bands-1: banding is pigeonhole-complete
 
+  /** m7: silence trimming over the m3 audio windows — the
+    * loudness-gate/trim primitive those windows exist for (drop leading/
+    * trailing low-energy audio before feature extraction): a window is
+    * silent when its mean squared sample falls below
+    * [[SilenceMeanSq]] (`energy < T·n_samples`, exact integers), and the
+    * per-media trim is min/max active window index + active count — one
+    * map-combinable conditional aggregate over the window frame, grouped
+    * by media (bounded per-media windows, no corpus-wide window
+    * function). All-silent media report -1/-1 and keep nothing. A real
+    * decoder changes only the window kernel, not this shape. */
+  def m7SilenceTrim(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromText(Tables.documents(s, d), "doc_id", "text",
+      kind = "audio/pcm8")
+    val act = col("energy") >= lit(SilenceMeanSq) * col("n_samples")
+    Media.windowedEnergy(media).toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(act, 1L).otherwise(0L)).as("n_active"),
+        coalesce(min(when(act, col("window_idx"))), lit(-1L)).as("first_active"),
+        coalesce(max(when(act, col("window_idx"))), lit(-1L)).as("last_active"))
+      .orderBy("media_id")
+  }
+
+  private val SilenceMeanSq = 9700L
+
   val queries: Map[String, Q] = Map(
     "m1_media_features" -> m1MediaFeatures,
     "m2_frame_sample" -> m2FrameSample,
     "m3_audio_energy" -> m3AudioEnergy,
     "m4_patch_grid" -> m4PatchGrid,
     "m5_scene_cuts" -> m5SceneCuts,
-    "m6_phash_dedup" -> m6PhashDedup)
+    "m6_phash_dedup" -> m6PhashDedup,
+    "m7_silence_trim" -> m7SilenceTrim)
 
   private def sqlCharHash(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -203,6 +229,28 @@ object MultimodalQueries {
          |SELECT media_id, frame_idx, feat, delta,
          |  delta IS NULL OR delta >= 250 AS is_cut
          |FROM dl ORDER BY media_id, frame_idx""".stripMargin,
+    "m7_silence_trim" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+         |k AS (SELECT doc_id, text, nb,
+         |    unnest(list_transform(
+         |      range(0, CAST(ceil(nb / 256.0) AS BIGINT)),
+         |      x -> CAST(x AS BIGINT))) AS wi FROM b),
+         |w AS (SELECT doc_id, wi, nb,
+         |    substring(text, CAST(wi * 256 + 1 AS BIGINT), 256) AS sub FROM k),
+         |e AS (SELECT doc_id, wi, least(nb - wi * 256, 256) AS ns,
+         |    CAST(list_sum(list_transform(string_split(sub, ''),
+         |      c -> CAST(ascii(c) AS BIGINT) * CAST(ascii(c) AS BIGINT)))
+         |      AS BIGINT) AS energy
+         |  FROM w)
+         |SELECT doc_id AS media_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN energy >= $SilenceMeanSq * ns THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_active,
+         |  CAST(coalesce(min(CASE WHEN energy >= $SilenceMeanSq * ns THEN wi END), -1)
+         |    AS BIGINT) AS first_active,
+         |  CAST(coalesce(max(CASE WHEN energy >= $SilenceMeanSq * ns THEN wi END), -1)
+         |    AS BIGINT) AS last_active
+         |FROM e GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "m3_audio_energy" ->
       s"""WITH b AS (SELECT doc_id, text,
          |    CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),

@@ -349,6 +349,52 @@ object RelationalQueries {
       .select($"s_suppkey", $"s_name", $"numwait")
   }
 
+  private val AssocMinSupport = 2L
+
+  /** q63: association-rule mining over order baskets — the market-basket
+    * "customers who bought A also bought B" face: for every co-purchased
+    * part pair above [[AssocMinSupport]], both directed rules A→B with
+    * exact integer support (pair orders / all orders, ppm), confidence
+    * (pair orders / antecedent orders, ppm) and lift (confidence over
+    * the consequent's base rate, milli — >1000 means genuinely
+    * associated, not just popular), top-50 by lift with a total
+    * (antecedent, consequent) tiebreak.
+    *
+    * Scale shape: the pair frame is the SHARED g-family co-occurrence
+    * materialization ([[GraphQueries.partPairsMaterialized]] — derive
+    * once, fan out), per-item order counts are the part dimension
+    * (broadcast), the order total is a broadcast scalar, and the top-50
+    * cut is TakeOrderedAndProject — nothing wider than the support-
+    * filtered pair list ever shuffles. The oracle recomputes the pairs
+    * from scratch, so the materialization's correctness is re-gated
+    * here too. */
+  def q63AssocRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = GraphQueries.partPairsMaterialized(s, d)
+      .select($"src", $"dst", $"weight".cast("long").as("cnt"))
+      .where($"cnt" >= AssocMinSupport)
+    val items = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val icnt = items.groupBy($"p").agg(count(lit(1)).as("icnt"))
+    val tot = broadcast(items.agg(countDistinct($"ok").as("n_orders")))
+    val rules = pairs
+      .select($"src".as("antecedent"), $"dst".as("consequent"), $"cnt")
+      .unionAll(pairs
+        .select($"dst".as("antecedent"), $"src".as("consequent"), $"cnt"))
+    rules
+      .join(broadcast(icnt.select($"p".as("antecedent"), $"icnt".as("cnt_a"))),
+        "antecedent")
+      .join(broadcast(icnt.select($"p".as("consequent"), $"icnt".as("cnt_c"))),
+        "consequent")
+      .crossJoin(tot)
+      .select($"antecedent", $"consequent", $"cnt",
+        expr("(1000000 * cnt) DIV n_orders").as("support_ppm"),
+        expr("(1000000 * cnt) DIV cnt_a").as("confidence_ppm"),
+        expr("(1000 * cnt * n_orders) DIV (cnt_a * cnt_c)").as("lift_milli"))
+      .orderBy($"lift_milli".desc, $"antecedent", $"consequent")
+      .limit(50)
+  }
+
   def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select($"event_type",
@@ -774,9 +820,28 @@ object RelationalQueries {
     "q45_topk_group" -> q45TopkGroup,
     "q55_mad_outliers" -> q55MadOutliers,
     "q60_key_skew" -> q60KeySkew,
-    "q62_waiting_suppliers" -> q62WaitingSuppliers)
+    "q62_waiting_suppliers" -> q62WaitingSuppliers,
+    "q63_assoc_rules" -> q63AssocRules)
 
   val oracle: Map[String, String] = Map(
+    "q63_assoc_rules" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |cp AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $AssocMinSupport),
+         |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS icnt FROM op GROUP BY p),
+         |nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+         |dr AS (SELECT src AS antecedent, dst AS consequent, cnt FROM cp
+         |  UNION ALL SELECT dst, src, cnt FROM cp)
+         |SELECT antecedent, consequent, cnt,
+         |  (1000000 * cnt) // n_orders AS support_ppm,
+         |  (1000000 * cnt) // a.icnt AS confidence_ppm,
+         |  (1000 * cnt * n_orders) // (a.icnt * c.icnt) AS lift_milli
+         |FROM dr JOIN ic a ON dr.antecedent = a.p
+         |        JOIN ic c ON dr.consequent = c.p, nn
+         |ORDER BY lift_milli DESC, antecedent, consequent
+         |LIMIT 50""".stripMargin,
     "q62_waiting_suppliers" ->
       """WITH rp AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
         |    FROM lineitem WHERE l_returnflag = 'R'),

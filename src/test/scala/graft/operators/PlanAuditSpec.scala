@@ -36,7 +36,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q60_key_skew",      // 10-row top frame × broadcast count-stats scalar
     "s15_semdedup",      // quantized corpus × broadcast k centroid rows (s3 anchor pattern)
     "s16_cell_medoids",  // same declared centroid cross join (the s15 cell build)
-    "m6_phash_dedup")    // 8-byte hashes × 4 broadcast band ids (the d4 banding kernel)
+    "m6_phash_dedup",    // 8-byte hashes × 4 broadcast band ids (the d4 banding kernel)
+    "q63_assoc_rules")   // rule frame × broadcast n_orders scalar (the q60 stats shape)
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
