@@ -334,6 +334,36 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d24: dedup yield report — the accounting an ops team reads AFTER
+    * d6's near-dup collapse runs: per source, how many docs survived,
+    * how many were folded into a canonical (and how many characters that
+    * frees), as exact counts + ppm. This is the number that decides
+    * whether the dedup pass paid for itself and which source carries the
+    * duplication — d6 gives the per-doc verdicts, this is their rollup
+    * against the source dimension.
+    *
+    * Scale shape: d6's O(docs) assignment table joined back to the
+    * corpus's (source, n_chars) projection on the doc key, then one
+    * map-combinable aggregate over the source DIMENSION — nothing here
+    * is wider than d6 itself. */
+  def d24DedupYield(s: SparkSession, d: String): DataFrame = {
+    val asg = d6DedupClusters(s, d).select(col("doc_id"), col("is_dup"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(asg, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("is_dup"), col("n_chars")).otherwise(lit(0L)))
+          .as("chars_removed"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        (col("n_docs") - col("n_dups")).as("n_kept"),
+        col("chars_total"), col("chars_removed"),
+        expr("(1000000 * n_dups) DIV n_docs").as("dup_ppm"))
+      .orderBy("source")
+  }
+
   /** d18: SimHash near-dup output SHAPING at scale — d4's banded pairs
     * collapsed to one row per document: pairs become edges, the
     * engine's min-label BSP connected components give the duplicate
@@ -1029,6 +1059,7 @@ object DedupQueries {
     "d4_simhash" -> d4Simhash,
     "d5_embedding_cosine" -> d5EmbeddingCosine,
     "d6_dedup_clusters" -> d6DedupClusters,
+    "d24_dedup_yield" -> d24DedupYield,
     "d7_decontaminate" -> d7Decontaminate,
     "d8_corpus_select" -> d8CorpusSelect,
     "d23_overlap_score" -> d23OverlapScore,
@@ -1452,6 +1483,26 @@ object DedupQueries {
          |  LEFT JOIN c$D6Iters c ON s.rep = c.id
          |ORDER BY d.doc_id""".stripMargin,
     "d6_dedup_clusters" -> dedupClustersSql(D6Iters),
+    "d24_dedup_yield" ->
+      s"""WITH $lshPairsCte,
+         |dp AS (SELECT ida, idb FROM lshpairs WHERE j >= ${cfg.threshold}),
+         |de AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM dp
+         |       UNION ALL SELECT idb, ida FROM dp),
+         |c0 AS (SELECT doc_id AS id, CAST(doc_id AS BIGINT) AS v FROM documents),
+         |${minLabelCcSteps(D6Iters)},
+         |asg AS (SELECT id AS doc_id, id != v AS is_dup FROM c$D6Iters)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN a.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dups,
+         |  CAST(count(*) - sum(CASE WHEN a.is_dup THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+         |  CAST(sum(CASE WHEN a.is_dup THEN d.n_chars ELSE 0 END) AS BIGINT)
+         |    AS chars_removed,
+         |  (1000000 * CAST(sum(CASE WHEN a.is_dup THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // count(*) AS dup_ppm
+         |FROM documents d JOIN asg a ON d.doc_id = a.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "d8_corpus_select" -> {
       val gram = (0 until DecontamK).map(j => s"words[i+$j]").mkString(" || ' ' || ")
       s"""WITH ${TextQueries.repetitionKeepSqlCtes("documents")},

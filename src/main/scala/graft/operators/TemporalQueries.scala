@@ -306,7 +306,37 @@ object TemporalQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** q64: cumulative reach / growth accounting — per epoch-day: distinct
+    * active users, first-time (new) users, and the running total of
+    * users ever seen. The DAU-vs-cumulative-reach report every event
+    * pipeline ends with, and the q59 cohort matrix's marginal: new_users
+    * is exactly q59's day-0 cohort size.
+    *
+    * Scale shape: one distinct over (user, day) — the q59 derivation —
+    * then a min-aggregate per user for first-seen and two day-keyed
+    * counts; the running sum is a window over the DAY dimension (rows =
+    * days observed, bounded at any event volume), never over raw
+    * events. Epoch-day integers end-to-end (µs DIV 86400e6). */
+  def q64CumulativeUsers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val act = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+    val daily = act.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    val firsts = act.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firsts, Seq("day"), "left_outer")
+      .select(col("day"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q64_cumulative_users" -> q64CumulativeUsers,
     "q24_asof_join" -> q24AsofJoin,
     "q25_range_join" -> q25RangeJoin,
     "q37_gap_fill" -> q37GapFill,
@@ -320,6 +350,20 @@ object TemporalQueries {
   // ---- DuckDB oracles ----
 
   val oracle: Map[String, String] = Map(
+    "q64_cumulative_users" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |daily AS (SELECT day, count(*) AS active_users FROM act
+        |  GROUP BY day),
+        |fs AS (SELECT min(day) AS day FROM act GROUP BY user_id),
+        |nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day)
+        |SELECT d.day, CAST(active_users AS BIGINT) AS active_users,
+        |  CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily d LEFT JOIN nu ON d.day = nu.day
+        |ORDER BY d.day""".stripMargin,
     "q24_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, ts, event_type, value FROM events
         |           WHERE event_type IN ('click', 'view')),

@@ -483,6 +483,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "t18_jsonl_ingest" -> t18JsonlIngest,
     "t17_zipf" -> t17Zipf,
+    "t19_vocab_growth" -> t19VocabGrowth,
     "t16_readability" -> t16Readability,
     "t14_lm_score" -> t14LmScore,
     "t15_phrase_search" -> t15PhraseSearch,
@@ -564,6 +565,36 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t19: lexical-diversity / vocabulary-growth stats per source — the
+    * Heaps'-law corpus-health screen beside t11's volume stats and t17's
+    * Zipf table: token volume, distinct-word (type) count, hapax
+    * legomena (words seen exactly once — the vocabulary's growth edge),
+    * type-token ratio and hapax share in exact ppm. A source whose TTR
+    * or hapax share collapses versus its peers is template/boilerplate-
+    * heavy; one whose hapax share explodes is noisy/garbled — both are
+    * curation signals before any model sees the data.
+    *
+    * Scale shape: one (source, word) hash aggregate — map-combinable,
+    * the t10 gram-count shape, shuffling unique (source, word) pairs
+    * only — then a per-source rollup of counters; never a distinct over
+    * raw tokens, no window. */
+  def t19VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val wc = docs(s, d)
+      .select(col("source"), explode(Portable.words(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+    val stats = wc.groupBy(col("source")).agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(stats, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        expr("(1000000 * n_types) DIV n_tokens").as("ttr_ppm"),
+        expr("(1000000 * n_hapax) DIV n_types").as("hapax_ppm"))
+      .orderBy("source")
+  }
+
   private val sqlWords = "string_split(text, ' ')"
 
   private def sqlStopCount(sw: Seq[String]): String =
@@ -581,6 +612,22 @@ object TextQueries {
          |  CAST(sum(${sqlCharHash("text")}) AS BIGINT) AS hash_sum,
          |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t19_vocab_growth" ->
+      s"""WITH w AS (SELECT source, unnest($sqlWords) AS word FROM documents),
+         |wc AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_types,
+         |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax
+         |  FROM wc GROUP BY source),
+         |nd AS (SELECT source, count(*) AS n_docs FROM documents
+         |  GROUP BY source)
+         |SELECT nd.source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+         |  CAST(n_types AS BIGINT) AS n_types, n_hapax,
+         |  (1000000 * CAST(n_types AS BIGINT)) // n_tokens AS ttr_ppm,
+         |  (1000000 * n_hapax) // CAST(n_types AS BIGINT) AS hapax_ppm
+         |FROM nd JOIN st ON nd.source = st.source
+         |ORDER BY nd.source""".stripMargin,
     "t17_zipf" ->
       s"""WITH w AS (SELECT unnest($sqlWords) AS word FROM documents),
          |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
