@@ -62,6 +62,14 @@ object GScale {
     replicate("lineitem", (df, k) => df
       .withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
       .withColumn("l_partkey", col("l_partkey") + lit(k * 10000000L)))
+    // events: offset event ids and user ids per copy — 10× users over
+    // the same day span, so per-day frames grow 10× while the day
+    // dimension stays fixed (the realistic growth shape for q64's
+    // reach accounting). ts round-trips as raw nanos (Tables.events
+    // normalizes either encoding).
+    replicate("events", (df, k) => df
+      .withColumn("event_id", col("event_id") + lit(k * 100000000L))
+      .withColumn("user_id", col("user_id") + lit(k * 10000000L)))
     // supplier: dim table copied verbatim — suppkeys are NOT offset in
     // the replicated lineitem, so a constant supplier dim against 10×
     // facts is both correct and the realistic scale shape.
@@ -89,7 +97,13 @@ object GScale {
       // broadcast-eval overlap scores, the Q21 semi/anti self-joins on
       // distinct pair frames, cell-profile aggregate, JSONL write+read
       "m6_phash_dedup", "d23_overlap_score", "q62_waiting_suppliers",
-      "s16_cell_medoids", "t18_jsonl_ingest")
+      "s16_cell_medoids", "t18_jsonl_ingest",
+      // round-7 continuation: lift over the shared pair materialization,
+      // percentile-derived rich-club cutoffs (dimension-sized ranking),
+      // per-source word aggregates, day-dimension window, d6 rollup,
+      // window-frame conditional aggregate
+      "q63_assoc_rules", "g24_rich_club", "t19_vocab_growth",
+      "q64_cumulative_users", "d24_dedup_yield", "m7_silence_trim")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {

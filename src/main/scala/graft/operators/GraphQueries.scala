@@ -304,7 +304,9 @@ object GraphQueries {
   }
 
   /** Unrolled min-label propagation for connected components. */
-  private def componentsSql(iters: Int): String = {
+  /** Unrolled min-label CC supersteps (c0..c`iters`), shared by g4 and
+    * the g25 rollup. */
+  private def ccStepCtes(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""c$k AS MATERIALIZED (
          |  SELECT t.id, least(t.v, m.mv) AS v
@@ -313,11 +315,14 @@ object GraphQueries {
          |    FROM edges e JOIN c${k - 1} p ON e.src = p.id
          |    GROUP BY e.dst) m ON t.id = m.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $edgeCtes,
-       |c0 AS (SELECT id, CAST(id AS DOUBLE) AS v FROM verts),
-       |$steps
-       |SELECT id, CAST(v AS BIGINT) AS component FROM c$iters ORDER BY id""".stripMargin
+    s"""c0 AS (SELECT id, CAST(id AS DOUBLE) AS v FROM verts),
+       |$steps""".stripMargin
   }
+
+  private def componentsSql(iters: Int): String =
+    s"""WITH $edgeCtes,
+       |${ccStepCtes(iters)}
+       |SELECT id, CAST(v AS BIGINT) AS component FROM c$iters ORDER BY id""".stripMargin
 
   // ---- fixed superstep counts (must match between Spark and oracle) ----
   private val PrIters = 5
@@ -729,6 +734,30 @@ object GraphQueries {
       .select(col("m2"), col("sum_jk"), col("sum_j"), col("sum_j2"),
         (col("m2") * col("sum_jk") - col("sum_j") * col("sum_j")).as("r_num"),
         (col("m2") * col("sum_j2") - col("sum_j") * col("sum_j")).as("r_den"))
+  }
+
+  /** g25: component-size distribution — the graph-health rollup of g4's
+    * per-vertex component labels (the d24 pattern applied to graph
+    * structure): for each component SIZE, how many components have it
+    * and what vertex share they carry. The giant-component share — the
+    * largest size's row — is the one number that says whether the graph
+    * is one connected mass or fragmented islands, which decides
+    * partitioning strategy before any iterative algorithm runs.
+    *
+    * Scale shape: two map-combinable aggregates over the O(V) label
+    * table (labels → sizes, sizes → histogram) + a broadcast vertex
+    * total; output rows = distinct sizes ≪ V. */
+  def g25ComponentSizes(s: SparkSession, d: String): DataFrame = {
+    val comp = GmrRunner.runFixed(partGraph(s, d), ConnectedComponentsProgram,
+      CcIters).select(col("value").cast("long").as("component"))
+    val cs = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    val tot = broadcast(cs.agg(sum(col("csize")).as("n_vertices")))
+    cs.groupBy(col("csize").as("size")).agg(count(lit(1)).as("n_components"))
+      .crossJoin(tot)
+      .select(col("size"), col("n_components"),
+        expr("(1000000 * size * n_components) DIV n_vertices")
+          .as("vertex_share_ppm"))
+      .orderBy("size")
   }
 
   private val RichClubPcts = Seq(50L, 75L, 90L, 95L, 99L)
@@ -1217,6 +1246,7 @@ object GraphQueries {
     "g22_assortativity" -> g22Assortativity,
     "g23_eccentricity" -> g23Eccentricity,
     "g24_rich_club" -> g24RichClub,
+    "g25_component_sizes" -> g25ComponentSizes,
     "q54_transitive_closure" -> q54TransitiveClosure)
 
   val oracle: Map[String, String] = Map(
@@ -1307,6 +1337,17 @@ object GraphQueries {
          |  CASE WHEN n_k >= 2 THEN (2000000 * CAST(e_k AS BIGINT))
          |    // (CAST(n_k AS BIGINT) * (n_k - 1)) ELSE 0 END AS phi_ppm
          |FROM nk JOIN ek ON nk.pct = ek.pct ORDER BY nk.pct""".stripMargin,
+    "g25_component_sizes" ->
+      s"""WITH $edgeCtes,
+         |${ccStepCtes(CcIters)},
+         |cs AS (SELECT CAST(v AS BIGINT) AS component, count(*) AS csize
+         |  FROM c$CcIters GROUP BY 1),
+         |tot AS (SELECT CAST(sum(csize) AS BIGINT) AS n_vertices FROM cs)
+         |SELECT CAST(csize AS BIGINT) AS size, count(*) AS n_components,
+         |  (1000000 * CAST(csize AS BIGINT) * count(*)) // n_vertices
+         |    AS vertex_share_ppm
+         |FROM cs, tot GROUP BY csize, n_vertices
+         |ORDER BY size""".stripMargin,
     "q54_transitive_closure" -> reachSql(ReachDepth, ReachSeeds),
     "g18_ktruss" -> {
       val rounds = (1 to TrussRounds).map { r =>

@@ -395,6 +395,37 @@ object RelationalQueries {
       .limit(50)
   }
 
+  /** q65: Pareto / ABC revenue concentration — "how many suppliers carry
+    * 80% of revenue": suppliers ranked by exact integer-cents revenue,
+    * running revenue share in ppm, and the classic A/B/C class cut at
+    * 70%/90% cumulative share. The inventory-analysis face every sales
+    * rollup ends with, and the ordered-cumulative-share pattern (q52 is
+    * the unordered share face).
+    *
+    * Scale shape: aggregate FIRST (one map-combinable cents sum over the
+    * fact table), THEN rank — the window runs over the supplier
+    * DIMENSION, never the raw lineitem; total is a broadcast scalar. */
+  def q65ParetoSuppliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, d)
+      .select($"l_suppkey",
+        floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100 + 0.5)
+          .cast("long").as("cents"))
+      .groupBy($"l_suppkey").agg(sum($"cents").as("revenue_cents"))
+    val tot = broadcast(rev.agg(sum($"revenue_cents").as("total_cents")))
+    val w = Window.orderBy($"revenue_cents".desc, $"l_suppkey")
+    rev.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cents", sum($"revenue_cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(tot)
+      .select($"rank", $"l_suppkey", $"revenue_cents", $"cum_cents",
+        expr("(1000000 * cum_cents) DIV total_cents").as("cum_share_ppm"))
+      .withColumn("abc_class",
+        when($"cum_share_ppm" <= 700000, "A")
+          .when($"cum_share_ppm" <= 900000, "B").otherwise("C"))
+      .orderBy("rank")
+  }
+
   def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select($"event_type",
@@ -821,9 +852,31 @@ object RelationalQueries {
     "q55_mad_outliers" -> q55MadOutliers,
     "q60_key_skew" -> q60KeySkew,
     "q62_waiting_suppliers" -> q62WaitingSuppliers,
-    "q63_assoc_rules" -> q63AssocRules)
+    "q63_assoc_rules" -> q63AssocRules,
+    "q65_pareto_suppliers" -> q65ParetoSuppliers)
 
   val oracle: Map[String, String] = Map(
+    "q65_pareto_suppliers" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total_cents
+        |  FROM r),
+        |k AS (SELECT l_suppkey, revenue_cents,
+        |    row_number() OVER (ORDER BY revenue_cents DESC, l_suppkey)
+        |      AS rank,
+        |    CAST(sum(revenue_cents) OVER (ORDER BY revenue_cents DESC,
+        |      l_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_cents
+        |  FROM r)
+        |SELECT CAST(rank AS BIGINT) AS rank, l_suppkey, revenue_cents,
+        |  cum_cents,
+        |  (1000000 * cum_cents) // total_cents AS cum_share_ppm,
+        |  CASE WHEN (1000000 * cum_cents) // total_cents <= 700000 THEN 'A'
+        |       WHEN (1000000 * cum_cents) // total_cents <= 900000 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM k, t ORDER BY rank""".stripMargin,
     "q63_assoc_rules" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
          |    FROM lineitem),

@@ -69,6 +69,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t20: language-ID confidence margin — the classifier-confidence face
+    * of t2: beside the argmax prediction, the gap between the best and
+    * second-best language scores. Confidence-thresholded filtering
+    * ("keep only docs the classifier is sure about") is standard
+    * curation practice; t2 gives the verdicts, this gives the number a
+    * threshold is tuned against (t12 then evaluates the model). A doc is
+    * `confident` when some profile matched at all AND the margin ≥ 2 —
+    * ties and one-hit wins stay un-confident.
+    *
+    * Scale shape: zero-shuffle row-local projection (the t3/t16 class);
+    * the n-language score sort is over a 4-element array per row. */
+  def t20LangidMargin(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.words(col("text"))
+    val scored = docs(s, d).select(
+      (col("doc_id") +:
+        Stopwords.map { case (l, sw) =>
+          stopwordCount(w, sw).cast("long").as(s"s_$l") }): _*)
+    val best = Stopwords.map { case (l, _) => col(s"s_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val predOrdered = Stopwords.foldLeft(Option.empty[Column]) {
+      case (None, (l, _)) => Some(when(col(s"s_$l") === best && best > 0, lit(l)))
+      case (Some(c), (l, _)) => Some(c.when(col(s"s_$l") === best && best > 0, lit(l)))
+    }.get.otherwise(lit("und"))
+    val arr = array_sort(array(Stopwords.map { case (l, _) => col(s"s_$l") }: _*))
+    val n = Stopwords.size
+    scored.select(col("doc_id"), predOrdered.as("pred_lang"),
+        element_at(arr, n).as("best_score"),
+        element_at(arr, n - 1).as("second_score"))
+      .withColumn("margin", col("best_score") - col("second_score"))
+      .withColumn("confident", col("best_score") > 0 && col("margin") >= 2)
+      .orderBy("doc_id")
+  }
+
   /** t12: language-ID confusion matrix — t2's per-document predictions
     * aggregated into the (labeled, predicted) cell counts with per-label
     * recall: the eval-harness face every classifier-in-the-pipeline
@@ -484,6 +517,7 @@ object TextQueries {
     "t18_jsonl_ingest" -> t18JsonlIngest,
     "t17_zipf" -> t17Zipf,
     "t19_vocab_growth" -> t19VocabGrowth,
+    "t20_langid_margin" -> t20LangidMargin,
     "t16_readability" -> t16Readability,
     "t14_lm_score" -> t14LmScore,
     "t15_phrase_search" -> t15PhraseSearch,
@@ -740,6 +774,24 @@ object TextQueries {
          |SELECT doc_id, labeled_lang,
          |  CASE $chain ELSE 'und' END AS pred_lang,
          |  (CASE $chain ELSE 'und' END) = labeled_lang AS agree
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "t20_langid_margin" -> {
+      val scores = Stopwords.map { case (l, sw) => s"${sqlStopCount(sw)} AS s_$l" }
+      val best = s"greatest(${Stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+      val chain = Stopwords.map { case (l, _) =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      val arr = Stopwords.map { case (l, _) => s"CAST(s_$l AS BIGINT)" }
+        .mkString("list_sort([", ", ", "])")
+      val n = Stopwords.size
+      s"""WITH scored AS (SELECT doc_id, ${scores.mkString(", ")} FROM documents),
+         |b AS (SELECT *, $best AS best, $arr AS arr FROM scored)
+         |SELECT doc_id,
+         |  CASE $chain ELSE 'und' END AS pred_lang,
+         |  arr[$n] AS best_score, arr[${n - 1}] AS second_score,
+         |  arr[$n] - arr[${n - 1}] AS margin,
+         |  best > 0 AND arr[$n] - arr[${n - 1}] >= 2 AS confident
          |FROM b ORDER BY doc_id""".stripMargin
     },
     "t3_quality" -> {

@@ -37,7 +37,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s15_semdedup",      // quantized corpus × broadcast k centroid rows (s3 anchor pattern)
     "s16_cell_medoids",  // same declared centroid cross join (the s15 cell build)
     "m6_phash_dedup",    // 8-byte hashes × 4 broadcast band ids (the d4 banding kernel)
-    "q63_assoc_rules")   // rule frame × broadcast n_orders scalar (the q60 stats shape)
+    "q63_assoc_rules",   // rule frame × broadcast n_orders scalar (the q60 stats shape)
+    "g25_component_sizes", // size histogram × broadcast vertex-total scalar
+    "q65_pareto_suppliers") // supplier dim × broadcast revenue-total scalar
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
