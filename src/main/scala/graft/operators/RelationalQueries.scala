@@ -387,10 +387,16 @@ object RelationalQueries {
       .join(broadcast(icnt.select($"p".as("consequent"), $"icnt".as("cnt_c"))),
         "consequent")
       .crossJoin(tot)
-      .select($"antecedent", $"consequent", $"cnt",
-        expr("(1000000 * cnt) DIV n_orders").as("support_ppm"),
-        expr("(1000000 * cnt) DIV cnt_a").as("confidence_ppm"),
-        expr("(1000 * cnt * n_orders) DIV (cnt_a * cnt_c)").as("lift_milli"))
+      // lift from the already-floored confidence (conf·N / 10³·cnt_c),
+      // not 10³·cnt·N/(cnt_a·cnt_c): the direct product overflows BIGINT
+      // once cnt and N both grow with the corpus (the q65 GScale
+      // lesson); conf ≤ 10⁶ bounds this form to N ≤ 9.2e12 orders.
+      .withColumn("support_ppm", expr("(1000000 * cnt) DIV n_orders"))
+      .withColumn("confidence_ppm", expr("(1000000 * cnt) DIV cnt_a"))
+      .withColumn("lift_milli",
+        expr("(confidence_ppm * n_orders) DIV (1000 * cnt_c)"))
+      .select($"antecedent", $"consequent", $"cnt", $"support_ppm",
+        $"confidence_ppm", $"lift_milli")
       .orderBy($"lift_milli".desc, $"antecedent", $"consequent")
       .limit(50)
   }
@@ -404,7 +410,12 @@ object RelationalQueries {
     *
     * Scale shape: aggregate FIRST (one map-combinable cents sum over the
     * fact table), THEN rank — the window runs over the supplier
-    * DIMENSION, never the raw lineitem; total is a broadcast scalar. */
+    * DIMENSION, never the raw lineitem; total is a broadcast scalar.
+    * The share divides by the PRE-SCALED total (total DIV 10⁶, floored
+    * at 1) instead of multiplying the numerator by 10⁶ — at the 10×
+    * probe's revenue volume `10⁶ · cum_cents` already overflows BIGINT
+    * (caught by GScale, ANSI mode), and cum ≤ total ≤ 2⁶³ can never;
+    * the ≤1-ppm floor error is identical in both engines. */
   def q65ParetoSuppliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rev = Tables.lineitem(s, d)
@@ -419,7 +430,8 @@ object RelationalQueries {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(tot)
       .select($"rank", $"l_suppkey", $"revenue_cents", $"cum_cents",
-        expr("(1000000 * cum_cents) DIV total_cents").as("cum_share_ppm"))
+        expr("cum_cents DIV greatest(total_cents DIV 1000000, 1)")
+          .as("cum_share_ppm"))
       .withColumn("abc_class",
         when($"cum_share_ppm" <= 700000, "A")
           .when($"cum_share_ppm" <= 900000, "B").otherwise("C"))
@@ -872,9 +884,11 @@ object RelationalQueries {
         |  FROM r)
         |SELECT CAST(rank AS BIGINT) AS rank, l_suppkey, revenue_cents,
         |  cum_cents,
-        |  (1000000 * cum_cents) // total_cents AS cum_share_ppm,
-        |  CASE WHEN (1000000 * cum_cents) // total_cents <= 700000 THEN 'A'
-        |       WHEN (1000000 * cum_cents) // total_cents <= 900000 THEN 'B'
+        |  cum_cents // greatest(total_cents // 1000000, 1) AS cum_share_ppm,
+        |  CASE WHEN cum_cents // greatest(total_cents // 1000000, 1)
+        |         <= 700000 THEN 'A'
+        |       WHEN cum_cents // greatest(total_cents // 1000000, 1)
+        |         <= 900000 THEN 'B'
         |       ELSE 'C' END AS abc_class
         |FROM k, t ORDER BY rank""".stripMargin,
     "q63_assoc_rules" ->
@@ -890,7 +904,8 @@ object RelationalQueries {
          |SELECT antecedent, consequent, cnt,
          |  (1000000 * cnt) // n_orders AS support_ppm,
          |  (1000000 * cnt) // a.icnt AS confidence_ppm,
-         |  (1000 * cnt * n_orders) // (a.icnt * c.icnt) AS lift_milli
+         |  (((1000000 * cnt) // a.icnt) * n_orders) // (1000 * c.icnt)
+         |    AS lift_milli
          |FROM dr JOIN ic a ON dr.antecedent = a.p
          |        JOIN ic c ON dr.consequent = c.p, nn
          |ORDER BY lift_milli DESC, antecedent, consequent
