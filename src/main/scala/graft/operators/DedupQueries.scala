@@ -364,6 +364,40 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  /** d25: corpus snapshot diff — the versioned-corpus CDC face (q44 is
+    * the relational MERGE; this is its corpus dual): two crawl
+    * snapshots compared by doc key + content hash into per-source
+    * added / removed / changed / unchanged counts, the release-notes
+    * accounting of a recurring ingestion ("what did this month's crawl
+    * actually change?"). Snapshots are derived deterministically from
+    * the documents table (old = id % 7 ≠ 0, new = id % 5 ≠ 0 with
+    * id % 3 = 0 texts edited) so the oracle can replay them; a real
+    * deployment points the two frames at two partitions of the corpus.
+    *
+    * Scale shape: each side reduces to (key, source, sha256) BEFORE the
+    * join — one full-outer sort-merge on the doc key over 40-byte rows,
+    * never text; the status rollup is a source×status dimension
+    * aggregate. */
+  def d25SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val old = base.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), col("source").as("src_old"),
+        sha2(col("text"), 256).as("h_old"))
+    val nw = base.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"), col("source").as("src_new"),
+        sha2(when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")), 256)
+          .as("h_new"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"), col("status")).agg(count(lit(1)).as("n"))
+      .orderBy("source", "status")
+  }
+
   /** d18: SimHash near-dup output SHAPING at scale — d4's banded pairs
     * collapsed to one row per document: pairs become edges, the
     * engine's min-label BSP connected components give the duplicate
@@ -1060,6 +1094,7 @@ object DedupQueries {
     "d5_embedding_cosine" -> d5EmbeddingCosine,
     "d6_dedup_clusters" -> d6DedupClusters,
     "d24_dedup_yield" -> d24DedupYield,
+    "d25_snapshot_diff" -> d25SnapshotDiff,
     "d7_decontaminate" -> d7Decontaminate,
     "d8_corpus_select" -> d8CorpusSelect,
     "d23_overlap_score" -> d23OverlapScore,
@@ -1483,6 +1518,21 @@ object DedupQueries {
          |  LEFT JOIN c$D6Iters c ON s.rep = c.id
          |ORDER BY d.doc_id""".stripMargin,
     "d6_dedup_clusters" -> dedupClustersSql(D6Iters),
+    "d25_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, source AS src_old, sha256(text) AS h_old
+        |    FROM documents WHERE doc_id % 7 != 0),
+        |n AS (SELECT doc_id, source AS src_new,
+        |    sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+        |      ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |j AS (SELECT coalesce(src_new, src_old) AS source,
+        |    CASE WHEN h_old IS NULL THEN 'added'
+        |         WHEN h_new IS NULL THEN 'removed'
+        |         WHEN h_old != h_new THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT source, status, count(*) AS n FROM j
+        |GROUP BY source, status ORDER BY source, status""".stripMargin,
     "d24_dedup_yield" ->
       s"""WITH $lshPairsCte,
          |dp AS (SELECT ida, idb FROM lshpairs WHERE j >= ${cfg.threshold}),

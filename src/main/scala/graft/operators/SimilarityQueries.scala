@@ -854,7 +854,41 @@ object SimilarityQueries {
       .orderBy("cluster")
   }
 
+  private val CoresetK = 2
+  private val CoresetSalt = "coreset1"
+
+  /** s17: stratified coreset sample — an eval/QA slice that COVERS the
+    * embedding space: exactly [[CoresetK]] vectors drawn per derived
+    * k-means cell (the s15/s16 shared assignment) by a salted
+    * content-independent hash draw. A uniform corpus draw (d13's shape
+    * over sources) oversamples dense regions; stratifying by cell gives
+    * every semantic neighborhood a voice — the representative-subset
+    * primitive behind eval-slice construction and coreset distillation
+    * (s16 picks each cell's CENTER; this draws unbiased members).
+    *
+    * Scale shape: one bounded BottomK heap per cell over the O(N)
+    * assignment table — O(k·CoresetK) output at any N, k moves with N
+    * (SemCellTarget) so cells stay bounded; draw is RNG-free and
+    * reproducible (the d13 discipline, its own salt). */
+  def s17CoresetSample(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.Aggregators.BottomK(CoresetK),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    cellAssignMaterialized(s, d)
+      .select(col("cluster"),
+        graft.functions.Portable.charHash(
+          concat(col("vec_id").cast("string"), lit(CoresetSalt))).as("draw"),
+        col("vec_id"))
+      .groupBy(col("cluster"))
+      .agg(topk(col("draw"), col("vec_id")).as("tk"))
+      .select(col("cluster"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("cluster"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("vec_id"), col("p.m").as("draw"))
+      .orderBy("cluster", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s17_coreset_sample" -> s17CoresetSample,
     "s16_cell_medoids" -> s16CellMedoids,
     "s14_embedding_drift" -> s14EmbeddingDrift,
     "s13_quant_recall" -> s13QuantRecall,
@@ -1167,6 +1201,20 @@ object SimilarityQueries {
       s"""WITH ${kmeansOracleCtes()}
          |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2
          |FROM aout ORDER BY vec_id""".stripMargin,
+    "s17_coreset_sample" ->
+      s"""WITH ${kmeansOracleCtes(
+             s"SELECT greatest($KmK, count(DISTINCT vec_id) // $SemCellTarget) FROM q")},
+         |dr AS (SELECT cluster, vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(CAST(vec_id AS VARCHAR)
+         |        || '$CoresetSalt', ''),
+         |      c -> CAST(ascii(c) AS BIGINT))),
+         |      (a, b) -> (a*31 + b) % ${graft.functions.Portable.P}) AS draw
+         |  FROM aout),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY draw, vec_id) AS rank FROM dr)
+         |SELECT cluster, CAST(rank AS BIGINT) AS rank, vec_id, draw
+         |FROM r WHERE rank <= $CoresetK ORDER BY cluster, rank""".stripMargin,
     "s16_cell_medoids" ->
       s"""WITH ${kmeansOracleCtes(
              s"SELECT greatest($KmK, count(DISTINCT vec_id) // $SemCellTarget) FROM q")},

@@ -335,8 +335,36 @@ object TemporalQueries {
       .orderBy("day")
   }
 
+  /** q66: event-transition matrix — per-user consecutive event-type
+    * pairs counted into the (from, to) Markov transition table with
+    * exact row-normalized probabilities: the "common user journeys"
+    * report behind q41's fixed funnel (the funnel asks one path; this
+    * reports all single-step paths and their likelihood).
+    *
+    * Scale shape: one lead() window PER USER ordered by (ts, event_id)
+    * — per-user event counts are bounded, never a corpus-wide window —
+    * then a map-combinable (from, to) count; the probability share
+    * windows over the event-type² cell frame (the t12 confusion-matrix
+    * pattern), which is dimension-sized at any event volume. */
+  def q66EventTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+    tr.groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000000 * n) DIV from_total").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q64_cumulative_users" -> q64CumulativeUsers,
+    "q66_event_transitions" -> q66EventTransitions,
     "q24_asof_join" -> q24AsofJoin,
     "q25_range_join" -> q25RangeJoin,
     "q37_gap_fill" -> q37GapFill,
@@ -350,6 +378,19 @@ object TemporalQueries {
   // ---- DuckDB oracles ----
 
   val oracle: Map[String, String] = Map(
+    "q66_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*) AS n
+        |  FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  (1000000 * CAST(n AS BIGINT))
+        |    // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS p_ppm
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q64_cumulative_users" ->
       """WITH act AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),
