@@ -104,7 +104,8 @@ object GScale {
       // window-frame conditional aggregate
       "q63_assoc_rules", "g24_rich_club", "t19_vocab_growth",
       "q64_cumulative_users", "d24_dedup_yield", "m7_silence_trim",
-      "t20_langid_margin", "q65_pareto_suppliers", "g25_component_sizes")
+      "t20_langid_margin", "q65_pareto_suppliers", "g25_component_sizes",
+      "q66_event_transitions", "d25_snapshot_diff", "s17_coreset_sample")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {
