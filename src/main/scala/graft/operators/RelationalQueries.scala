@@ -438,6 +438,33 @@ object RelationalQueries {
       .orderBy("rank")
   }
 
+  /** q67: month-over-month revenue — the period-over-period face (lag
+    * over the aggregated TIME dimension): per order month, exact cents
+    * revenue, order count, the previous month's revenue and the signed
+    * delta. The growth ratio itself stays client-side — signed integer
+    * division truncates toward zero in Spark but floors in DuckDB (the
+    * g22 negative-division rule), and delta/prev is one client op over
+    * exact BIGINTs.
+    *
+    * Scale shape: aggregate first (map-combinable cents sum to the
+    * month dimension), then one lag window over the months frame —
+    * bounded at any fact volume. */
+  def q67MomGrowth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = Tables.orders(s, d)
+      .select((year($"o_orderdate") * 100 + month($"o_orderdate"))
+          .cast("long").as("ym"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"ym")
+      .agg(sum($"cents").as("revenue_cents"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy($"ym")
+    m.withColumn("prev_cents",
+        coalesce(lag($"revenue_cents", 1).over(w), lit(0L)))
+      .select($"ym", $"n_orders", $"revenue_cents", $"prev_cents",
+        ($"revenue_cents" - $"prev_cents").as("delta_cents"))
+      .orderBy("ym")
+  }
+
   def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select($"event_type",
@@ -865,9 +892,23 @@ object RelationalQueries {
     "q60_key_skew" -> q60KeySkew,
     "q62_waiting_suppliers" -> q62WaitingSuppliers,
     "q63_assoc_rules" -> q63AssocRules,
-    "q65_pareto_suppliers" -> q65ParetoSuppliers)
+    "q65_pareto_suppliers" -> q65ParetoSuppliers,
+    "q67_mom_growth" -> q67MomGrowth)
 
   val oracle: Map[String, String] = Map(
+    "q67_mom_growth" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+        |      AS BIGINT) AS ym,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS revenue_cents,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT ym, CAST(n_orders AS BIGINT) AS n_orders, revenue_cents,
+        |  CAST(coalesce(lag(revenue_cents, 1) OVER (ORDER BY ym), 0)
+        |    AS BIGINT) AS prev_cents,
+        |  revenue_cents - CAST(coalesce(lag(revenue_cents, 1)
+        |    OVER (ORDER BY ym), 0) AS BIGINT) AS delta_cents
+        |FROM m ORDER BY ym""".stripMargin,
     "q65_pareto_suppliers" ->
       """WITH r AS (SELECT l_suppkey,
         |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100

@@ -854,6 +854,48 @@ object SimilarityQueries {
       .orderBy("cluster")
   }
 
+  private val SepTopCells = 12
+
+  /** s18: cell-separation diagnostic — is the IVF/SemDeDup routing table
+    * well-separated or do cells overlap? For the [[SepTopCells]] largest
+    * derived cells: the nearest other top cell's medoid-to-medoid
+    * exact quantized distance beside the cell's own squared radius,
+    * with an overlap-risk verdict (separation < 4·radius ⇒ the two
+    * cells' pointsets plausibly interleave — probe more cells, or
+    * re-derive k). s16 profiles cells in isolation; this is the
+    * BETWEEN-cells quality check an ANN deployment reads before
+    * trusting nprobe=2.
+    *
+    * Scale shape: bounded by construction — the pairwise frame is the
+    * TOP-P cells only (P fixed), so P² = 144 medoid pairs at any N and
+    * any derived k; a full k×k matrix would grow quadratically in the
+    * derived k (which moves with N), exactly the blowup class the probe
+    * bans. The medoid join touches P embedding rows. */
+  def s18CellSeparation(s: SparkSession, d: String): DataFrame = {
+    val top = s16CellMedoids(s, d)
+      .orderBy(col("n_vecs").desc, col("cluster")).limit(SepTopCells)
+      .select(col("cluster"), col("medoid_id"), col("n_vecs"), col("radius_d2"))
+    val qa = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")).as("qv"))
+    val mv = top.join(qa, top("medoid_id") === qa("vec_id"))
+      .select(col("cluster"), col("n_vecs"), col("radius_d2"), col("qv"))
+    val a = mv.select(col("cluster").as("ca"), col("n_vecs"),
+      col("radius_d2"), col("qv").as("va"))
+    val b = mv.select(col("cluster").as("cb"), col("qv").as("vb"))
+    val d2 = aggregate(zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    a.join(broadcast(b), col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb"), col("n_vecs"), col("radius_d2"),
+        d2.as("sep_d2"))
+      .groupBy(col("ca").as("cluster"), col("n_vecs"), col("radius_d2"))
+      .agg(min(struct(col("sep_d2"), col("cb"))).as("m"))
+      .select(col("cluster"), col("n_vecs"), col("radius_d2"),
+        col("m.cb").as("nearest_cell"), col("m.sep_d2").as("sep_d2"),
+        (col("m.sep_d2") < col("radius_d2") * 4).as("overlap_risk"))
+      .orderBy("cluster")
+  }
+
   private val CoresetK = 2
   private val CoresetSalt = "coreset1"
 
@@ -888,6 +930,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "s18_cell_separation" -> s18CellSeparation,
     "s17_coreset_sample" -> s17CoresetSample,
     "s16_cell_medoids" -> s16CellMedoids,
     "s14_embedding_drift" -> s14EmbeddingDrift,
@@ -1201,6 +1244,31 @@ object SimilarityQueries {
       s"""WITH ${kmeansOracleCtes()}
          |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2
          |FROM aout ORDER BY vec_id""".stripMargin,
+    "s18_cell_separation" ->
+      s"""WITH ${kmeansOracleCtes(
+             s"SELECT greatest($KmK, count(DISTINCT vec_id) // $SemCellTarget) FROM q")},
+         |r AS (SELECT cluster, vec_id, d2, row_number() OVER (
+         |    PARTITION BY cluster ORDER BY d2, vec_id) AS rn FROM aout),
+         |p AS (SELECT cluster, count(*) AS n_vecs,
+         |    CAST(max(d2) AS BIGINT) AS radius_d2 FROM aout GROUP BY cluster),
+         |tc AS (SELECT p.cluster, p.n_vecs, p.radius_d2,
+         |    r.vec_id AS medoid_id,
+         |    row_number() OVER (ORDER BY p.n_vecs DESC, p.cluster) AS orn
+         |  FROM p JOIN r ON p.cluster = r.cluster AND r.rn = 1),
+         |top AS (SELECT * FROM tc WHERE orn <= $SepTopCells),
+         |mv AS (SELECT top.cluster, top.n_vecs, top.radius_d2, q.dim, q.qd
+         |  FROM top JOIN q ON top.medoid_id = q.vec_id),
+         |pd AS (SELECT a.cluster AS ca, b.cluster AS cb,
+         |    max(a.n_vecs) AS n_vecs, max(a.radius_d2) AS radius_d2,
+         |    CAST(sum((a.qd - b.qd) * (a.qd - b.qd)) AS BIGINT) AS sep_d2
+         |  FROM mv a JOIN mv b ON a.dim = b.dim AND a.cluster != b.cluster
+         |  GROUP BY 1, 2),
+         |nr AS (SELECT *, row_number() OVER (PARTITION BY ca
+         |    ORDER BY sep_d2, cb) AS rn2 FROM pd)
+         |SELECT ca AS cluster, CAST(n_vecs AS BIGINT) AS n_vecs, radius_d2,
+         |  cb AS nearest_cell, sep_d2,
+         |  sep_d2 < radius_d2 * 4 AS overlap_risk
+         |FROM nr WHERE rn2 = 1 ORDER BY cluster""".stripMargin,
     "s17_coreset_sample" ->
       s"""WITH ${kmeansOracleCtes(
              s"SELECT greatest($KmK, count(DISTINCT vec_id) // $SemCellTarget) FROM q")},
