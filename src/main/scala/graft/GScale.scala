@@ -70,6 +70,10 @@ object GScale {
     replicate("events", (df, k) => df
       .withColumn("event_id", col("event_id") + lit(k * 100000000L))
       .withColumn("user_id", col("user_id") + lit(k * 10000000L)))
+    // orders: offset order keys — 10× orders over the same month span
+    // (q67's months dimension stays fixed while the fact volume grows).
+    replicate("orders", (df, k) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L)))
     // supplier: dim table copied verbatim — suppkeys are NOT offset in
     // the replicated lineitem, so a constant supplier dim against 10×
     // facts is both correct and the realistic scale shape.
@@ -105,7 +109,8 @@ object GScale {
       "q63_assoc_rules", "g24_rich_club", "t19_vocab_growth",
       "q64_cumulative_users", "d24_dedup_yield", "m7_silence_trim",
       "t20_langid_margin", "q65_pareto_suppliers", "g25_component_sizes",
-      "q66_event_transitions", "d25_snapshot_diff", "s17_coreset_sample")
+      "q66_event_transitions", "d25_snapshot_diff", "s17_coreset_sample",
+      "q67_mom_growth", "s18_cell_separation")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {
