@@ -33,6 +33,20 @@ object StreamingQueries {
         round(col("total"), 2).as("total"))
       .orderBy("window_start", "event_type")
 
+  /** q68: sliding-window stats (the [[EventStreams.hoppingStats]] face,
+    * batch form — 2-hour windows hopping hourly, so every event lands in
+    * exactly two windows; the oracle materializes the two window starts
+    * per event with a 2-element unnest, the row-local dual of Spark's
+    * window() expansion). */
+  def q68HoppingStats(s: SparkSession, d: String): DataFrame =
+    EventStreams.hoppingStats(Tables.events(s, d),
+        windowLen = "2 hours", slide = "1 hour")
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"),
+        round(col("total"), 2).as("total"))
+      .orderBy("window_start", "event_type")
+
   /** q28: streaming dedup (batch form — the streaming path is
     * dropDuplicatesWithinWatermark, exercised by EventStreamsSpec):
     * first event per (user, type, minute) with duplicate accounting. */
@@ -174,7 +188,8 @@ object StreamingQueries {
     "q40_click_after_view" -> q40ClickAfterView,
     "q42_state_sessions" -> q42StateSessions,
     "q43_window_distinct" -> q43WindowDistinct,
-    "q57_click_no_view" -> q57ClickNoView)
+    "q57_click_no_view" -> q57ClickNoView,
+    "q68_hopping_stats" -> q68HoppingStats)
 
   val oracle: Map[String, String] = Map(
     "q17_sessions" ->
@@ -194,6 +209,13 @@ object StreamingQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q68_hopping_stats" ->
+      """WITH h AS (SELECT event_type, value,
+        |    date_trunc('hour', ts) - unnest([0, 1]) * INTERVAL 1 HOUR AS ws
+        |  FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM h GROUP BY ws, event_type ORDER BY 1, 2""".stripMargin,
     "q28_stream_dedup" ->
       """SELECT user_id, event_type,
         |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,

@@ -26,6 +26,25 @@ object EventStreams {
         col("event_type"), col("n"), col("total"))
   }
 
+  /** Sliding (hopping) window stats — the third time-window face beside
+    * tumbling ([[windowedStats]]) and session ([[sessions]]): overlapping
+    * windows of `windowLen` advancing every `slide`, each event
+    * contributing to windowLen/slide windows. The trend-smoothing shape
+    * tumbling can't express (a 2-hour view refreshed hourly); streaming
+    * state cost is the overlap factor × the tumbling equivalent —
+    * bounded and CHOSEN, not data-driven. Batch and streaming identical. */
+  def hoppingStats(events: DataFrame,
+                   windowLen: String = "2 hours",
+                   slide: String = "1 hour",
+                   watermarkDelay: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    src.groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total"))
+  }
+
   /** Gap-based sessionization with the built-in session_window (batch and
     * streaming; streaming requires the watermark). */
   def sessions(events: DataFrame,

@@ -32,6 +32,33 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("hoppingStats over a MemoryStream: each event lands in len/slide windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hoppingStats(df, "2 hours", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("hop_out")
+      .outputMode("complete").start()
+    try {
+      // minute 70 sits in windows [0h,2h) and [1h,3h); minute 10 in
+      // [-1h,1h) and [0h,2h) — the [0h,2h) window sees both events.
+      mem.addData((ts(10), "click", 1.0), (ts(70), "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("hop_out")
+        .select(col("window_start"), col("n"), col("total")).collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000L, r.getLong(1), r.getDouble(2))).toSet
+      assert(rows === Set((-60L, 1L, 1.0), (0L, 2L, 3.0), (60L, 1L, 2.0)))
+      // batch dual on the same rows is identical
+      val batch = EventStreams.hoppingStats(
+        Seq((ts(10), "click", 1.0), (ts(70), "click", 2.0))
+          .toDF("ts", "event_type", "value"), "2 hours", "1 hour")
+        .select(col("window_start"), col("n"), col("total")).collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000L, r.getLong(1), r.getDouble(2))).toSet
+      assert(batch === rows)
+    } finally q.stop()
+  }
+
   test("sessions (session_window) over a MemoryStream with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
