@@ -97,7 +97,8 @@ object GmrRunner {
     * Catalyst plan, so per-phase (map/sort/reduce/update) splits don't
     * exist separately. */
   final case class RunResult(vertices: DataFrame, iterations: Int, lastDelta: Double,
-                             supersteps: Seq[Double] = Nil)
+                             supersteps: Seq[Double] = Nil,
+                             residuals: Seq[Double] = Nil)
 
   /** Run to convergence (max-abs-delta < tolerance, `gmr.h:125`) or the
     * iteration cap. */
@@ -122,8 +123,19 @@ object GmrRunner {
   def loopTimed(graph: PropertyGraph, program: VertexProgram, iterations: Int): RunResult =
     loop(graph, program, iterations, convergenceCheck = false, checkpointInterval = 1)
 
+  /** [[runFixed]] with per-superstep residual recording — the
+    * reference's per-iteration deviation report (`gmr.h:127-128`)
+    * surfaced as data: exactly `iterations` supersteps (no early stop,
+    * so the trace length is deterministic and oracle-unrollable), each
+    * paying the same one max(_delta) action convergence mode pays. */
+  def runTraced(graph: PropertyGraph, program: VertexProgram,
+                iterations: Int): RunResult =
+    loop(graph, program, iterations, convergenceCheck = true,
+      checkpointInterval = 1, earlyStop = false)
+
   private def loop(graph: PropertyGraph, program: VertexProgram, maxIter: Int,
-                   convergenceCheck: Boolean, checkpointInterval: Int): RunResult = {
+                   convergenceCheck: Boolean, checkpointInterval: Int,
+                   earlyStop: Boolean = true): RunResult = {
     val nShuffle = graph.edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // Static side of every superstep join: partition once by src, keep hot.
     val edges = graph.edges.repartition(nShuffle, col("src"))
@@ -141,6 +153,7 @@ object GmrRunner {
     var lastDelta = Double.MaxValue
     var converged = false
     val timings = Seq.newBuilder[Double]
+    val residuals = Seq.newBuilder[Double]
     while (iter < maxIter && !converged) {
       val tickStart = System.nanoTime()
       val senders = if (program.frontierOnly) state.where(col("_delta") > 0.0) else state
@@ -157,12 +170,14 @@ object GmrRunner {
       val next = if (checkpointNow) stepped.materialize() else stepped
       if (convergenceCheck) {
         lastDelta = next.agg(max(col("_delta"))).first().getDouble(0)
-        converged = lastDelta < program.tolerance
+        residuals += lastDelta
+        converged = earlyStop && lastDelta < program.tolerance
       }
       state = next
       timings += (System.nanoTime() - tickStart) / 1e9
     }
     edges.unpersist(blocking = false)
-    RunResult(state.drop("_delta"), iter, lastDelta, timings.result())
+    RunResult(state.drop("_delta"), iter, lastDelta, timings.result(),
+      residuals.result())
   }
 }

@@ -128,7 +128,9 @@ object GraphQueries {
 
   /** Unrolled PageRank supersteps (damping 0.85, global n — the standard
     * variant; reference-compat d=0.5 lives in [[graft.graph.PageRank.compat]]). */
-  private def pagerankSql(iters: Int): String = {
+  /** Unrolled PageRank step CTEs (nn, pr0..pr`iters`) — shared by g1 and
+    * the g26 residual trace. */
+  private def prStepCtes(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""pr$k AS MATERIALIZED (
          |  SELECT t.id, 0.15/(SELECT n FROM nn) + 0.85*coalesce(m.s, 0) AS v
@@ -138,12 +140,15 @@ object GraphQueries {
          |                 JOIN deg d ON d.id = e.src
          |    GROUP BY e.dst) m ON t.id = m.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $edgeCtes,
-       |nn AS (SELECT count(*) AS n FROM verts),
+    s"""nn AS (SELECT count(*) AS n FROM verts),
        |pr0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS v FROM verts),
-       |$steps
-       |SELECT id, round(v, 8) AS rank FROM pr$iters ORDER BY id""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private def pagerankSql(iters: Int): String =
+    s"""WITH $edgeCtes,
+       |${prStepCtes(iters)}
+       |SELECT id, round(v, 8) AS rank FROM pr$iters ORDER BY id""".stripMargin
 
   /** Unrolled personalized-PageRank supersteps: the g1 unroll with the
     * teleport term gated on the seed indicator (id ≡ 0 mod seedMod). */
@@ -760,6 +765,34 @@ object GraphQueries {
       .orderBy("size")
   }
 
+  private val TraceIters = 6
+
+  /** g26: convergence residual trace — the reference's per-iteration
+    * deviation report (`/root/reference/gmr.h:127-128`, printed per rank
+    * per superstep) re-expressed as a gated relational output: exactly
+    * [[TraceIters]] PageRank supersteps, each row the superstep's
+    * max-abs-delta residual plus the reference's convergence verdict
+    * (residual < 1e-4, `gmr.h:25`). This puts the RUNNER's convergence
+    * bookkeeping — the delta column, the max aggregate, the threshold
+    * compare (O16/O12's piggybacked consensus) — under the DuckDB
+    * oracle, where before only end-state values were gated.
+    *
+    * Scale shape: identical to g1 (one O(E) shuffle + join per
+    * superstep) plus the one-row max action per superstep that
+    * convergence mode always pays; output is TraceIters rows. */
+  def g26ConvergenceTrace(s: SparkSession, d: String): DataFrame = {
+    val run = PageRank(partGraph(s, d))
+    val res = GmrRunner.runTraced(run.graph, run.program, TraceIters)
+    val spark = s
+    import spark.implicits._
+    res.residuals.zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r) }
+      .toDF("iter", "raw")
+      .select(col("iter"), round(col("raw"), 8).as("residual"),
+        (round(col("raw"), 8) < run.program.tolerance).as("converged"))
+      .orderBy("iter")
+  }
+
   private val RichClubPcts = Seq(50L, 75L, 90L, 95L, 99L)
 
   /** g24: rich-club coefficient (Zhou & Mondragón 2004) — do the
@@ -1247,6 +1280,7 @@ object GraphQueries {
     "g23_eccentricity" -> g23Eccentricity,
     "g24_rich_club" -> g24RichClub,
     "g25_component_sizes" -> g25ComponentSizes,
+    "g26_convergence_trace" -> g26ConvergenceTrace,
     "q54_transitive_closure" -> q54TransitiveClosure)
 
   val oracle: Map[String, String] = Map(
@@ -1337,6 +1371,18 @@ object GraphQueries {
          |  CASE WHEN n_k >= 2 THEN (2000000 * CAST(e_k AS BIGINT))
          |    // (CAST(n_k AS BIGINT) * (n_k - 1)) ELSE 0 END AS phi_ppm
          |FROM nk JOIN ek ON nk.pct = ek.pct ORDER BY nk.pct""".stripMargin,
+    "g26_convergence_trace" -> {
+      val res = (1 to TraceIters).map { k =>
+        s"""SELECT $k AS iter, round(max(abs(a.v - b.v)), 8) AS residual
+           |FROM pr$k a JOIN pr${k - 1} b ON a.id = b.id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $edgeCtes,
+         |${prStepCtes(TraceIters)},
+         |res AS ($res)
+         |SELECT CAST(iter AS BIGINT) AS iter, residual,
+         |  residual < 0.0001 AS converged
+         |FROM res ORDER BY iter""".stripMargin
+    },
     "g25_component_sizes" ->
       s"""WITH $edgeCtes,
          |${ccStepCtes(CcIters)},
