@@ -319,20 +319,33 @@ object DedupQueries {
     * no near-dup are their own canonical. At scale this is the "keep one
     * copy per near-dup set" materialization — pair volume is LSH-bounded
     * and the component iteration shuffles O(|pairs|) per superstep. */
-  def d6DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = lshPairsMaterialized(s, d)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(pairs))
-    val comp = GmrRunner.runFixed(g, ConnectedComponentsProgram, D6Iters)
-      .select(col("id"), col("value").cast("long").as("comp"))
-    docs(s, d).select(col("id").as("doc_id"))
-      .join(comp, col("doc_id") === col("id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("comp"), col("doc_id")).as("canonical_id"))
-      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
-      .orderBy("doc_id")
-  }
+  /** The d6 canonical assignment materialized beside the pair table —
+    * d6 and d24 both consume it (the derive-once rule: without this each
+    * re-pays the [[D6Iters]]-superstep CC, ~3 s at sf0.1; the first
+    * caller pays, the other reads a scan-only plan). */
+  private[operators] def dedupAssignMaterialized(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      val tag = graft.core.Derived.tag(d)
+      val path = s"${sys.props("user.dir")}/target/graft_derived/lsh_v$LshDerivedVersion/$tag/assign"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val pairs = lshPairsMaterialized(s, d)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(pairs))
+        val comp = GmrRunner.runFixed(g, ConnectedComponentsProgram, D6Iters)
+          .select(col("id"), col("value").cast("long").as("comp"))
+        docs(s, d).select(col("id").as("doc_id"))
+          .join(comp, col("doc_id") === col("id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+          .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+    }
+
+  def d6DedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupAssignMaterialized(s, d).orderBy("doc_id")
 
   /** d24: dedup yield report — the accounting an ops team reads AFTER
     * d6's near-dup collapse runs: per source, how many docs survived,
@@ -347,7 +360,7 @@ object DedupQueries {
     * map-combinable aggregate over the source DIMENSION — nothing here
     * is wider than d6 itself. */
   def d24DedupYield(s: SparkSession, d: String): DataFrame = {
-    val asg = d6DedupClusters(s, d).select(col("doc_id"), col("is_dup"))
+    val asg = dedupAssignMaterialized(s, d).select(col("doc_id"), col("is_dup"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .join(asg, "doc_id")
@@ -362,6 +375,31 @@ object DedupQueries {
         col("chars_total"), col("chars_removed"),
         expr("(1000000 * n_dups) DIV n_docs").as("dup_ppm"))
       .orderBy("source")
+  }
+
+  /** d26: split-leakage audit — does the train/val/test split keep
+    * near-duplicate pairs on one side? t9's content-hash bucketing
+    * guarantees byte-identical docs can't straddle splits, but NEAR
+    * duplicates (d3's verified pairs) still can — and a near-dup of a
+    * test doc sitting in train is evaluation contamination the d7/d9
+    * decontamination passes exist to prevent. This is the audit that
+    * measures it: every verified near-dup pair labeled by its endpoints'
+    * splits, rolled up per unordered split pair with a leaked verdict.
+    *
+    * Scale shape: the O(pairs) shared LSH materialization joined twice
+    * against the zero-shuffle split projection on the doc key; rollup is
+    * a 3×3-bounded cell aggregate. */
+  def d26SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val sp = TextQueries.splitAssignment(s, d)
+    lshPairsMaterialized(s, d).select(col("id_a"), col("id_b"))
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("side_a"),
+        greatest(col("sa"), col("sb")).as("side_b"))
+      .groupBy(col("side_a"), col("side_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("side_a") =!= col("side_b"))
+      .orderBy("side_a", "side_b")
   }
 
   /** d25: corpus snapshot diff — the versioned-corpus CDC face (q44 is
@@ -1095,6 +1133,7 @@ object DedupQueries {
     "d6_dedup_clusters" -> d6DedupClusters,
     "d24_dedup_yield" -> d24DedupYield,
     "d25_snapshot_diff" -> d25SnapshotDiff,
+    "d26_split_leakage" -> d26SplitLeakage,
     "d7_decontaminate" -> d7Decontaminate,
     "d8_corpus_select" -> d8CorpusSelect,
     "d23_overlap_score" -> d23OverlapScore,
@@ -1518,6 +1557,23 @@ object DedupQueries {
          |  LEFT JOIN c$D6Iters c ON s.rep = c.id
          |ORDER BY d.doc_id""".stripMargin,
     "d6_dedup_clusters" -> dedupClustersSql(D6Iters),
+    "d26_split_leakage" ->
+      s"""WITH $lshPairsCte,
+         |dp AS (SELECT ida, idb FROM lshpairs WHERE j >= ${cfg.threshold}),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ${sqlCharHash("text")} % 100 < ${TextQueries.SplitTrainLt}
+         |           THEN 'train'
+         |         WHEN ${sqlCharHash("text")} % 100 < ${TextQueries.SplitValLt}
+         |           THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |jx AS (SELECT least(a.split, b.split) AS side_a,
+         |    greatest(a.split, b.split) AS side_b
+         |  FROM dp JOIN sp a ON dp.ida = a.doc_id
+         |          JOIN sp b ON dp.idb = b.doc_id)
+         |SELECT side_a, side_b, count(*) AS n_pairs,
+         |  side_a != side_b AS leaked
+         |FROM jx GROUP BY side_a, side_b ORDER BY side_a, side_b""".stripMargin,
     "d25_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, source AS src_old, sha256(text) AS h_old
         |    FROM documents WHERE doc_id % 7 != 0),

@@ -315,8 +315,8 @@ object TextQueries {
   }
 
   /** t9 split fractions (bucket ∈ [0,100): <90 train, <95 val, else test). */
-  private val SplitTrainLt = 90L
-  private val SplitValLt = 95L
+  private[operators] val SplitTrainLt = 90L
+  private[operators] val SplitValLt = 95L
 
   /** t9: deterministic train/val/test split — the assignment a pipeline
     * must make reproducibly, with no RNG state and no reshuffling when
@@ -327,6 +327,16 @@ object TextQueries {
     * split-time complement of d1's dedup and d7's decontamination gates).
     * Row-local projection, zero shuffles beyond the output sort; the
     * portable rolling hash makes the oracle bit-exact. */
+  /** The t9 split assignment (doc_id, split) without the gate ordering —
+    * reused by d26's leakage audit. */
+  private[operators] def splitAssignment(s: SparkSession, d: String): DataFrame = {
+    val bucket = Portable.charHash(col("text")) % 100
+    docs(s, d).select(col("doc_id"),
+      when(bucket < SplitTrainLt, lit("train"))
+        .when(bucket < SplitValLt, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   def t9Split(s: SparkSession, d: String): DataFrame = {
     val bucket = Portable.charHash(col("text")) % 100
     docs(s, d).select(
