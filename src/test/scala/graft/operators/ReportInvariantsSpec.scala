@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-query invariants for the round-7 continuation reports — the
+  * relationships BETWEEN gated queries that no single-query oracle can
+  * check (each oracle replays one pipeline; these assert that two
+  * independent pipelines agree about the same underlying facts).
+  */
+class ReportInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.core.GraftSession.builder("4").getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d26 leakage cells partition d3's verified pair list exactly") {
+    val pairTotal = DedupQueries.d3MinhashLsh(spark, sf).count()
+    val cellTotal = DedupQueries.d26SplitLeakage(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).first().getLong(0)
+    assert(cellTotal === pairTotal,
+      "every near-dup pair must land in exactly one split-pair cell")
+  }
+
+  test("d24 yield rolls up d6's assignment without losing a doc") {
+    import org.apache.spark.sql.functions._
+    val y = DedupQueries.d24DedupYield(spark, sf)
+      .agg(sum("n_docs").as("docs"), sum("n_dups").as("dups"),
+        sum("n_kept").as("kept")).first()
+    val d6 = DedupQueries.d6DedupClusters(spark, sf)
+    assert(y.getLong(0) === d6.count())
+    assert(y.getLong(1) === d6.where(col("is_dup")).count())
+    assert(y.getLong(2) === y.getLong(0) - y.getLong(1))
+  }
+
+  test("g25 component sizes partition the vertex set; shares are a near-partition of 1e6") {
+    import org.apache.spark.sql.functions._
+    val cs = GraphQueries.g25ComponentSizes(spark, sf)
+    val v = GraphQueries.g4Components(spark, sf).count()
+    val covered = cs.agg(sum(col("size") * col("n_components"))).first().getLong(0)
+    assert(covered === v, "Σ size·n_components must equal |V|")
+    val shares = cs.agg(sum("vertex_share_ppm")).first().getLong(0)
+    // integer floor division loses < 1 ppm per row
+    assert(shares <= 1000000L && shares > 1000000L - cs.count())
+  }
+
+  test("g24 rich-club: phi in [0, 1e6]; N_k and E_k decrease in k") {
+    val rows = GraphQueries.g24RichClub(spark, sf)
+      .orderBy("pct").collect()
+    rows.foreach { r =>
+      val phi = r.getAs[Long]("phi_ppm")
+      assert(phi >= 0L && phi <= 1000000L)
+    }
+    val nk = rows.map(_.getAs[Long]("n_k"))
+    val ek = rows.map(_.getAs[Long]("e_k"))
+    val ks = rows.map(_.getAs[Long]("k"))
+    ks.zip(ks.tail).foreach { case (a, b) => assert(a <= b) }
+    nk.zip(nk.tail).zip(ks.zip(ks.tail)).foreach { case ((a, b), (ka, kb)) =>
+      if (ka < kb) assert(a >= b, "a higher cutoff cannot admit more vertices")
+    }
+    ek.zip(ek.tail).zip(ks.zip(ks.tail)).foreach { case ((a, b), (ka, kb)) =>
+      if (ka < kb) assert(a >= b, "a higher cutoff cannot admit more edges")
+    }
+  }
+
+  test("q65 Pareto: last cumulative share covers ~all revenue; classes are monotone") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.q65ParetoSuppliers(spark, sf)
+      .orderBy("rank").collect()
+    val last = rows.last
+    val total = rows.map(_.getAs[Long]("revenue_cents")).sum
+    assert(last.getAs[Long]("cum_cents") === total)
+    // cum shares non-decreasing, classes never go C -> B -> A backwards
+    val shares = rows.map(_.getAs[Long]("cum_share_ppm"))
+    shares.zip(shares.tail).foreach { case (a, b) => assert(a <= b) }
+    val cls = rows.map(_.getAs[String]("abc_class"))
+    cls.zip(cls.tail).foreach { case (a, b) => assert(a <= b) }
+  }
+
+  test("q64 cumulative reach: final cum_users equals the distinct user count") {
+    import org.apache.spark.sql.functions._
+    val rows = TemporalQueries.q64CumulativeUsers(spark, sf).orderBy("day").collect()
+    val users = graft.core.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.last.getAs[Long]("cum_users") === users)
+    assert(rows.map(_.getAs[Long]("new_users")).sum === users)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("active_users") >= r.getAs[Long]("new_users"))
+    }
+  }
+
+  test("q66 transition matrix: rows sum to the per-from totals; count conservation") {
+    import org.apache.spark.sql.functions._
+    val tr = TemporalQueries.q66EventTransitions(spark, sf)
+    val transitions = tr.agg(sum("n")).first().getLong(0)
+    val ev = graft.core.Tables.events(spark, sf)
+    val perUser = ev.groupBy("user_id").count()
+    val expected = perUser.agg(sum(col("count") - 1)).first().getLong(0)
+    assert(transitions === expected,
+      "each user with c events contributes exactly c-1 transitions")
+  }
+
+  test("d25 snapshot diff conserves both snapshots") {
+    import org.apache.spark.sql.functions._
+    val diff = DedupQueries.d25SnapshotDiff(spark, sf)
+    def tot(statuses: String*): Long =
+      diff.where(col("status").isin(statuses: _*))
+        .agg(coalesce(sum("n"), lit(0L))).first().getLong(0)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val oldN = docs.where(expr("doc_id % 7 != 0")).count()
+    val newN = docs.where(expr("doc_id % 5 != 0")).count()
+    assert(tot("removed", "changed", "unchanged") === oldN)
+    assert(tot("added", "changed", "unchanged") === newN)
+  }
+
+  test("g26 residual trace is the monotone tail of a contracting iteration") {
+    val rows = GraphQueries.g26ConvergenceTrace(spark, sf).orderBy("iter").collect()
+    assert(rows.length === 6)
+    val res = rows.map(_.getAs[Double]("residual"))
+    // PageRank on a strongly-mixing graph contracts monotonically
+    res.zip(res.tail).foreach { case (a, b) => assert(b <= a + 1e-9) }
+    rows.foreach { r =>
+      val conv = r.getAs[Boolean]("converged")
+      val v = r.getAs[Double]("residual")
+      assert(conv === (v < 1e-4))
+    }
+  }
+}
