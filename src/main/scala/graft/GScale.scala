@@ -110,7 +110,8 @@ object GScale {
       "q64_cumulative_users", "d24_dedup_yield", "m7_silence_trim",
       "t20_langid_margin", "q65_pareto_suppliers", "g25_component_sizes",
       "q66_event_transitions", "d25_snapshot_diff", "s17_coreset_sample",
-      "q67_mom_growth", "s18_cell_separation", "q68_hopping_stats")
+      "q67_mom_growth", "s18_cell_separation", "q68_hopping_stats",
+      "d26_split_leakage", "d24_dedup_yield")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {
