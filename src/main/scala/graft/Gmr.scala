@@ -168,6 +168,24 @@ object Gmr {
       spark.stop()
       return
     }
+    if (algorithm == "trace") {
+      // the reference's per-iteration deviation report (`gmr.h:127-128`,
+      // printed per rank each superstep) as a verb: fixed-length PageRank
+      // residual trace over any loadable graph file.
+      val graphfile = if (args.length > 1) args(1)
+        else "/root/reference/graph/rdsmall.graph"
+      val iters = if (args.length > 2) args(2).toInt else 6
+      val spark = graft.core.GraftSession.get(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      val pr = PageRank.compat(load(spark, graphfile))
+      val res = GmrRunner.runTraced(pr.graph, pr.program, iters)
+      res.residuals.zipWithIndex.foreach { case (r, i) =>
+        println(f"[gmr] iter=${i + 1}%3d residual=$r%.8f " +
+          s"converged=${r < pr.program.tolerance}")
+      }
+      spark.stop()
+      return
+    }
     val partition = if (args.length > 1) args(1) else "random"
     val graphfile = if (args.length > 2) args(2)
       else "/root/reference/graph/rdsmall.graph"

@@ -69,6 +69,22 @@ class GmrMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sccs === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("trace: runTraced residual sequence contracts on small.graph (d=0.5 compat)") {
+    val pr = graft.graph.PageRank.compat(Gmr.load(spark, s"$ref/small.graph"))
+    val res = graft.graph.GmrRunner.runTraced(pr.graph, pr.program, 5)
+    assert(res.residuals.length === 5)
+    res.residuals.zip(res.residuals.tail).foreach { case (a, b) =>
+      assert(b <= a + 1e-12, "the deviation report must contract per superstep")
+    }
+    // traced fixed-length run ends at the same state as runFixed
+    val fixedVals = graft.graph.GmrRunner
+      .runFixed(pr.graph, pr.program, 5)
+      .select("id", "value").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val tracedVals = res.vertices
+      .select("id", "value").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(tracedVals === fixedVals)
+  }
+
   test("partition verb: written parts reload and rerun identically") {
     val base = java.nio.file.Files.createTempDirectory("gmr-part").toString + "/small"
     Gmr.partitionFiles(spark, s"$ref/small.graph", 3, base)
