@@ -377,6 +377,31 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  /** d27: duplicate-cluster size histogram — g25's rollup applied to the
+    * d6 clusters: for each cluster SIZE, how many duplicate families
+    * have it and what share of the corpus they hold (size 1 = unique
+    * docs). The shape of this histogram decides the dedup strategy: a
+    * long tail of pairs is organic near-duplication, a few mega-clusters
+    * is boilerplate/templating that d1/t7 should catch upstream instead
+    * (the "dup GROUPS are quadratic in their size" exposure the sf1
+    * probes measured, as a report).
+    *
+    * Scale shape: two map-combinable aggregates over the O(docs) shared
+    * assignment + a broadcast doc total; output rows = distinct sizes. */
+  def d27ClusterSizes(s: SparkSession, d: String): DataFrame = {
+    val cs = dedupAssignMaterialized(s, d)
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("csize"))
+    val tot = broadcast(cs.agg(sum(col("csize")).as("n_docs")))
+    cs.groupBy(col("csize").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(tot)
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs_in"),
+        expr("(1000000 * cluster_size * n_clusters) DIV n_docs")
+          .as("doc_share_ppm"))
+      .orderBy("cluster_size")
+  }
+
   /** d26: split-leakage audit — does the train/val/test split keep
     * near-duplicate pairs on one side? t9's content-hash bucketing
     * guarantees byte-identical docs can't straddle splits, but NEAR
@@ -1134,6 +1159,7 @@ object DedupQueries {
     "d24_dedup_yield" -> d24DedupYield,
     "d25_snapshot_diff" -> d25SnapshotDiff,
     "d26_split_leakage" -> d26SplitLeakage,
+    "d27_cluster_sizes" -> d27ClusterSizes,
     "d7_decontaminate" -> d7Decontaminate,
     "d8_corpus_select" -> d8CorpusSelect,
     "d23_overlap_score" -> d23OverlapScore,
@@ -1557,6 +1583,23 @@ object DedupQueries {
          |  LEFT JOIN c$D6Iters c ON s.rep = c.id
          |ORDER BY d.doc_id""".stripMargin,
     "d6_dedup_clusters" -> dedupClustersSql(D6Iters),
+    "d27_cluster_sizes" ->
+      s"""WITH $lshPairsCte,
+         |dp AS (SELECT ida, idb FROM lshpairs WHERE j >= ${cfg.threshold}),
+         |de AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM dp
+         |       UNION ALL SELECT idb, ida FROM dp),
+         |c0 AS (SELECT doc_id AS id, CAST(doc_id AS BIGINT) AS v FROM documents),
+         |${minLabelCcSteps(D6Iters)},
+         |cz AS (SELECT CAST(v AS BIGINT) AS canon, count(*) AS csize
+         |  FROM c$D6Iters GROUP BY 1),
+         |tot AS (SELECT CAST(sum(csize) AS BIGINT) AS n_docs FROM cz)
+         |SELECT CAST(csize AS BIGINT) AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(csize * count(*) AS BIGINT) AS n_docs_in,
+         |  (1000000 * CAST(csize AS BIGINT) * count(*)) // n_docs
+         |    AS doc_share_ppm
+         |FROM cz, tot GROUP BY csize, n_docs
+         |ORDER BY cluster_size""".stripMargin,
     "d26_split_leakage" ->
       s"""WITH $lshPairsCte,
          |dp AS (SELECT ida, idb FROM lshpairs WHERE j >= ${cfg.threshold}),

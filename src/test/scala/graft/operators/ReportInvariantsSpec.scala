@@ -35,6 +35,21 @@ class ReportInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(y.getLong(2) === y.getLong(0) - y.getLong(1))
   }
 
+  test("d27 cluster sizes partition the corpus; dup share matches d24") {
+    import org.apache.spark.sql.functions._
+    val cz = DedupQueries.d27ClusterSizes(spark, sf)
+    val docs = graft.core.Tables.documents(spark, sf).count()
+    assert(cz.agg(sum("n_docs_in")).first().getLong(0) === docs)
+    // docs inside clusters of size >= 2, minus one canonical per cluster,
+    // is exactly d24's total dup count
+    val dupDocs = cz.where(col("cluster_size") >= 2)
+      .agg(coalesce(sum(col("n_docs_in") - col("n_clusters")), lit(0L)))
+      .first().getLong(0)
+    val d24Dups = DedupQueries.d24DedupYield(spark, sf)
+      .agg(sum("n_dups")).first().getLong(0)
+    assert(dupDocs === d24Dups)
+  }
+
   test("g25 component sizes partition the vertex set; shares are a near-partition of 1e6") {
     import org.apache.spark.sql.functions._
     val cs = GraphQueries.g25ComponentSizes(spark, sf)
