@@ -854,6 +854,38 @@ object SimilarityQueries {
       .orderBy("cluster")
   }
 
+  /** s19: ANN cost accounting — s12's twin (s12 measures the RECALL an
+    * index buys; this measures what it COSTS): per query, the distinct
+    * candidates the multi-probe LSH index would score versus the N−1
+    * every exact scan pays, with the scan fraction in exact ppm. The
+    * recall/cost pair is how an index parameter change (signature
+    * width, probe count) is actually evaluated before deployment.
+    *
+    * Scale shape: the same broadcast-probes × signature equi-join s2
+    * runs, reduced to counts — no cosine is ever computed; totals are a
+    * broadcast scalar. */
+  def s19AnnCost(s: SparkSession, d: String): DataFrame = {
+    val planes = derivedPlanes(Tables.embeddings(s, d).count())
+    val n = vecsWithNorm(s, d).withColumn("sig", signature(col("v"), planes))
+    val q = broadcast(n.where(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"),
+        explode(probeSigs(col("sig"), planes)).as("qsig")))
+    val cands = q.join(n.select(col("vec_id"), col("sig")),
+        col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+      .groupBy("query_id").agg(count(lit(1)).as("nc"))
+    val tot = broadcast(n.agg(count(lit(1)).as("n_vecs")))
+    n.where(col("vec_id") < NQueryVecs).select(col("vec_id").as("query_id"))
+      .join(cands, Seq("query_id"), "left_outer")
+      .crossJoin(tot)
+      .select(col("query_id"),
+        coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        (col("n_vecs") - 1).as("exact_scans"))
+      .withColumn("scan_frac_ppm",
+        expr("(1000000 * n_candidates) DIV exact_scans"))
+      .orderBy("query_id")
+  }
+
   private val SepTopCells = 12
 
   /** s18: cell-separation diagnostic — is the IVF/SemDeDup routing table
@@ -930,6 +962,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "s19_ann_cost" -> s19AnnCost,
     "s18_cell_separation" -> s18CellSeparation,
     "s17_coreset_sample" -> s17CoresetSample,
     "s16_cell_medoids" -> s16CellMedoids,
@@ -1244,6 +1277,26 @@ object SimilarityQueries {
       s"""WITH ${kmeansOracleCtes()}
          |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2
          |FROM aout ORDER BY vec_id""".stripMargin,
+    "s19_ann_cost" ->
+      s"""WITH $baseCte,
+         |$sqlSigDyn,
+         |q AS (SELECT vec_id AS query_id, psig AS qsig FROM probes
+         |  WHERE vec_id < $NQueryVecs),
+         |cand AS (SELECT DISTINCT q.query_id, sg.vec_id
+         |  FROM q JOIN (SELECT vec_id, sig FROM sigs) sg
+         |  ON sg.sig = q.qsig AND sg.vec_id != q.query_id),
+         |cc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nc
+         |  FROM cand GROUP BY query_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM sigs),
+         |qq AS (SELECT vec_id AS query_id FROM sigs
+         |  WHERE vec_id < $NQueryVecs)
+         |SELECT qq.query_id,
+         |  CAST(coalesce(nc, 0) AS BIGINT) AS n_candidates,
+         |  n_vecs - 1 AS exact_scans,
+         |  (1000000 * CAST(coalesce(nc, 0) AS BIGINT)) // (n_vecs - 1)
+         |    AS scan_frac_ppm
+         |FROM qq LEFT JOIN cc ON qq.query_id = cc.query_id, tot
+         |ORDER BY qq.query_id""".stripMargin,
     "s18_cell_separation" ->
       s"""WITH ${kmeansOracleCtes(
              s"SELECT greatest($KmK, count(DISTINCT vec_id) // $SemCellTarget) FROM q")},

@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "g25_component_sizes", // size histogram × broadcast vertex-total scalar
     "q65_pareto_suppliers", // supplier dim × broadcast revenue-total scalar
     "s18_cell_separation", // ≤12 top-cell medoids × their broadcast twin (P² bounded)
-    "d27_cluster_sizes")   // size histogram × broadcast doc-total scalar (the g25 shape)
+    "d27_cluster_sizes",   // size histogram × broadcast doc-total scalar (the g25 shape)
+    "s19_ann_cost")        // 5-query frame × broadcast vector-total scalar
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
