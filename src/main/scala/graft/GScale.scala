@@ -111,7 +111,8 @@ object GScale {
       "t20_langid_margin", "q65_pareto_suppliers", "g25_component_sizes",
       "q66_event_transitions", "d25_snapshot_diff", "s17_coreset_sample",
       "q67_mom_growth", "s18_cell_separation", "q68_hopping_stats",
-      "d26_split_leakage", "d24_dedup_yield")
+      "d26_split_leakage", "d24_dedup_yield", "d27_cluster_sizes",
+      "s19_ann_cost")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {
