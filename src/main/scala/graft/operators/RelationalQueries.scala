@@ -465,6 +465,82 @@ object RelationalQueries {
       .orderBy("ym")
   }
 
+  /** q69: column-correlation profile — the data-profiling face (what a
+    * profiler emits before anyone writes a query): Pearson r between the
+    * lineitem measures, one row per column pair, from ONE
+    * map-combinable moment aggregate (n, Σx, Σy, Σxy, Σx², Σy² — no
+    * per-pair rescan). Moments are DOUBLE by necessity — exact BIGINT
+    * Σx² overflows once x ~ 10⁵ and N ~ 10⁹ (the q65 overflow class
+    * with no pre-scaling escape) — so r is computed by the SAME
+    * explicit formula in both engines from their own float sums
+    * (never a builtin corr(), whose accumulation algorithm is
+    * implementation-specific) and rounded to 4 dp, far coarser than
+    * the ~1e-10 cross-engine sum divergence (the q16 stddev
+    * precedent). */
+  def q69ColumnCorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = Tables.lineitem(s, d).select(
+      $"l_extendedprice".as("p"), $"l_discount".as("dc"),
+      $"l_quantity".cast("double").as("q"))
+    val mom = m.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"p").as("sp"), sum($"dc").as("sd"), sum($"q").as("sq"),
+      sum($"p" * $"p").as("spp"), sum($"dc" * $"dc").as("sdd"),
+      sum($"q" * $"q").as("sqq"),
+      sum($"p" * $"dc").as("spd"), sum($"p" * $"q").as("spq"),
+      sum($"dc" * $"q").as("sdq"))
+    def pair(name: String, sx: String, sy: String, sxx: String, syy: String,
+             sxy: String) =
+      mom.select(lit(name).as("pair"), col("n").cast("long").as("n"),
+        round((col("n") * col(sxy) - col(sx) * col(sy)) /
+          sqrt((col("n") * col(sxx) - col(sx) * col(sx)) *
+            (col("n") * col(syy) - col(sy) * col(sy))), 4).as("r"))
+    pair("price_discount", "sp", "sd", "spp", "sdd", "spd")
+      .unionAll(pair("price_quantity", "sp", "sq", "spp", "sqq", "spq"))
+      .unionAll(pair("discount_quantity", "sd", "sq", "sdd", "sqq", "sdq"))
+      .orderBy("pair")
+  }
+
+  /** q70: data-quality audit — the deequ/dbt-test constraint suite as a
+    * gated query: one row per declared check with its violation count
+    * and pass verdict. Checks: NULL keys, non-positive quantity, price
+    * outside its believable band, discount outside [0, 0.1+], returned
+    * flag domain, and referential orphans (lineitems whose order key has
+    * no orders row — the FK check). The audit every ingestion runs
+    * BEFORE the analytics queries above trust the data.
+    *
+    * Scale shape: one conditional-aggregate pass over the fact table
+    * for the row-local checks + one left-anti join against the orders
+    * key set for the FK check — never more than two jobs regardless of
+    * how many row-local checks are declared. */
+  def q70QualityAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    def chk(name: String, bad: org.apache.spark.sql.Column) =
+      sum(when(bad, 1L).otherwise(0L)).as(name)
+    val rowChecks = li.agg(
+      chk("null_order_key", $"l_orderkey".isNull),
+      chk("null_part_key", $"l_partkey".isNull),
+      chk("nonpositive_quantity", $"l_quantity" <= 0),
+      chk("price_out_of_band",
+        $"l_extendedprice" < 1.0 || $"l_extendedprice" > 1000000.0),
+      chk("discount_out_of_range", $"l_discount" < 0.0 || $"l_discount" > 0.5),
+      chk("bad_returnflag", !$"l_returnflag".isin("A", "N", "R")))
+    val orphans = li.select($"l_orderkey")
+      .join(Tables.orders(s, d).select($"o_orderkey".as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    val wide = rowChecks.crossJoin(broadcast(orphans))
+    val checks = Seq("null_order_key", "null_part_key", "nonpositive_quantity",
+      "price_out_of_band", "discount_out_of_range", "bad_returnflag",
+      "orphan_lineitems")
+    wide.select(explode(array(checks.map(c =>
+        struct(lit(c).as("check"), col(c).as("violations"))): _*)).as("t"))
+      .select(col("t.check").as("check"), col("t.violations").as("violations"),
+        (col("t.violations") === 0).as("passed"))
+      .orderBy("check")
+  }
+
   def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select($"event_type",
@@ -893,9 +969,65 @@ object RelationalQueries {
     "q62_waiting_suppliers" -> q62WaitingSuppliers,
     "q63_assoc_rules" -> q63AssocRules,
     "q65_pareto_suppliers" -> q65ParetoSuppliers,
-    "q67_mom_growth" -> q67MomGrowth)
+    "q67_mom_growth" -> q67MomGrowth,
+    "q69_column_corr" -> q69ColumnCorr,
+    "q70_quality_audit" -> q70QualityAudit)
 
   val oracle: Map[String, String] = Map(
+    "q69_column_corr" ->
+      """WITH mom AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(l_extendedprice) AS sp, sum(l_discount) AS sd,
+        |    sum(CAST(l_quantity AS DOUBLE)) AS sq,
+        |    sum(l_extendedprice * l_extendedprice) AS spp,
+        |    sum(l_discount * l_discount) AS sdd,
+        |    sum(CAST(l_quantity AS DOUBLE) * l_quantity) AS sqq,
+        |    sum(l_extendedprice * l_discount) AS spd,
+        |    sum(l_extendedprice * l_quantity) AS spq,
+        |    sum(l_discount * l_quantity) AS sdq
+        |  FROM lineitem)
+        |SELECT pair, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r
+        |FROM (
+        |  SELECT 'price_discount' AS pair, n, sp AS sx, sd AS sy,
+        |    spp AS sxx, sdd AS syy, spd AS sxy FROM mom
+        |  UNION ALL
+        |  SELECT 'price_quantity', n, sp, sq, spp, sqq, spq FROM mom
+        |  UNION ALL
+        |  SELECT 'discount_quantity', n, sd, sq, sdd, sqq, sdq FROM mom)
+        |ORDER BY pair""".stripMargin,
+    "q70_quality_audit" ->
+      """WITH rowchk AS (SELECT
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS null_order_key,
+        |    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS null_part_key,
+        |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nonpositive_quantity,
+        |    CAST(sum(CASE WHEN l_extendedprice < 1.0
+        |      OR l_extendedprice > 1000000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS price_out_of_band,
+        |    CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS discount_out_of_range,
+        |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag
+        |  FROM lineitem),
+        |orph AS (SELECT CAST(count(*) AS BIGINT) AS orphan_lineitems
+        |  FROM lineitem l WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |cells AS (
+        |  SELECT 'null_order_key' AS check, null_order_key AS violations
+        |    FROM rowchk
+        |  UNION ALL SELECT 'null_part_key', null_part_key FROM rowchk
+        |  UNION ALL SELECT 'nonpositive_quantity', nonpositive_quantity
+        |    FROM rowchk
+        |  UNION ALL SELECT 'price_out_of_band', price_out_of_band FROM rowchk
+        |  UNION ALL SELECT 'discount_out_of_range', discount_out_of_range
+        |    FROM rowchk
+        |  UNION ALL SELECT 'bad_returnflag', bad_returnflag FROM rowchk
+        |  UNION ALL SELECT 'orphan_lineitems', orphan_lineitems FROM orph)
+        |SELECT "check", violations, violations = 0 AS passed
+        |FROM cells ORDER BY "check"""".stripMargin,
     "q67_mom_growth" ->
       """WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
         |      AS BIGINT) AS ym,

@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q65_pareto_suppliers", // supplier dim × broadcast revenue-total scalar
     "s18_cell_separation", // ≤12 top-cell medoids × their broadcast twin (P² bounded)
     "d27_cluster_sizes",   // size histogram × broadcast doc-total scalar (the g25 shape)
-    "s19_ann_cost")        // 5-query frame × broadcast vector-total scalar
+    "s19_ann_cost",        // 5-query frame × broadcast vector-total scalar
+    "q70_quality_audit")   // 1-row check frame × broadcast orphan-count scalar
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
