@@ -402,6 +402,32 @@ object DedupQueries {
       .orderBy("cluster_size")
   }
 
+  /** d28: quality-aware canonical selection — d6 keeps each duplicate
+    * cluster's MIN-ID doc; a real curation pipeline keeps its BEST doc
+    * (the cleanest capture of the duplicated content). Per cluster: the
+    * argmax of t3's quality score (rounded identically in both engines,
+    * doc-id tiebreak), every member labeled with the keeper and a keep
+    * verdict. The q33 argmax pattern composed over the shared d6
+    * assignment and the t3 scorer — selection-policy-as-data.
+    *
+    * Scale shape: O(docs) assignment ⋈ zero-shuffle score projection,
+    * then one max(struct) hash aggregate per cluster (no window over
+    * members) and a join back. */
+  def d28QualityCanon(s: SparkSession, d: String): DataFrame = {
+    val q = TextQueries.t3Quality(s, d)
+      .select(col("doc_id"), col("quality_score").as("q"))
+    val scored = dedupAssignMaterialized(s, d)
+      .select(col("doc_id"), col("canonical_id").as("cluster_id"))
+      .join(q, "doc_id")
+    val keeper = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("q"), (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.negid")).as("keeper_id"))
+    scored.join(keeper, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("q").as("quality_score"),
+        col("keeper_id"), (col("doc_id") === col("keeper_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** d26: split-leakage audit — does the train/val/test split keep
     * near-duplicate pairs on one side? t9's content-hash bucketing
     * guarantees byte-identical docs can't straddle splits, but NEAR
@@ -1160,6 +1186,7 @@ object DedupQueries {
     "d25_snapshot_diff" -> d25SnapshotDiff,
     "d26_split_leakage" -> d26SplitLeakage,
     "d27_cluster_sizes" -> d27ClusterSizes,
+    "d28_quality_canon" -> d28QualityCanon,
     "d7_decontaminate" -> d7Decontaminate,
     "d8_corpus_select" -> d8CorpusSelect,
     "d23_overlap_score" -> d23OverlapScore,
@@ -1583,6 +1610,25 @@ object DedupQueries {
          |  LEFT JOIN c$D6Iters c ON s.rep = c.id
          |ORDER BY d.doc_id""".stripMargin,
     "d6_dedup_clusters" -> dedupClustersSql(D6Iters),
+    "d28_quality_canon" ->
+      s"""WITH $lshPairsCte,
+         |dp AS (SELECT ida, idb FROM lshpairs WHERE j >= ${cfg.threshold}),
+         |de AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM dp
+         |       UNION ALL SELECT idb, ida FROM dp),
+         |c0 AS (SELECT doc_id AS id, CAST(doc_id AS BIGINT) AS v FROM documents),
+         |${minLabelCcSteps(D6Iters)},
+         |asg AS (SELECT id AS doc_id, v AS cluster_id FROM c$D6Iters),
+         |${TextQueries.qualityCte},
+         |sc AS (SELECT a.doc_id, a.cluster_id, qs.q
+         |  FROM asg a JOIN qs USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY q DESC, doc_id) AS rn FROM sc),
+         |k AS (SELECT cluster_id, doc_id AS keeper_id FROM r WHERE rn = 1)
+         |SELECT sc.doc_id, CAST(sc.cluster_id AS BIGINT) AS cluster_id,
+         |  sc.q AS quality_score, k.keeper_id,
+         |  sc.doc_id = k.keeper_id AS keep
+         |FROM sc JOIN k ON sc.cluster_id = k.cluster_id
+         |ORDER BY sc.doc_id""".stripMargin,
     "d27_cluster_sizes" ->
       s"""WITH $lshPairsCte,
          |dp AS (SELECT ida, idb FROM lshpairs WHERE j >= ${cfg.threshold}),

@@ -541,6 +541,38 @@ object RelationalQueries {
       .orderBy("check")
   }
 
+  private val IncrCutoff = "1998-01-01"
+
+  /** q71: incremental rollup maintenance — the materialized-view refresh
+    * pattern at 100 TB: a monthly revenue rollup is maintained by
+    * merging the EXISTING rollup with the rollup of only the NEW batch
+    * (orders on/after [[IncrCutoff]]), never rescanning the base. Sums/
+    * counts merge by re-aggregation (q61 proves the same for sketch
+    * registers); the gate's oracle computes the rollup from the FULL
+    * table directly, so this query passes only if merge ≡ recompute —
+    * the mergeability proof for plain aggregates.
+    *
+    * Scale shape: two partial rollups (each map-combinable, the delta
+    * side reading only the new partition in a date-partitioned layout)
+    * + one re-aggregation over the months dimension. */
+  def q71IncrementalRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def rollup(df: DataFrame): DataFrame =
+      df.select((year($"o_orderdate") * 100 + month($"o_orderdate"))
+          .cast("long").as("ym"),
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+        .groupBy($"ym")
+        .agg(sum($"cents").as("revenue_cents"), count(lit(1)).as("n_orders"))
+    val cut = to_timestamp(lit(IncrCutoff))
+    val base = rollup(Tables.orders(s, d).where($"o_orderdate" < cut))
+    val delta = rollup(Tables.orders(s, d).where($"o_orderdate" >= cut))
+    base.unionAll(delta)
+      .groupBy($"ym")
+      .agg(sum($"revenue_cents").as("revenue_cents"),
+        sum($"n_orders").as("n_orders"))
+      .orderBy("ym")
+  }
+
   def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select($"event_type",
@@ -971,9 +1003,19 @@ object RelationalQueries {
     "q65_pareto_suppliers" -> q65ParetoSuppliers,
     "q67_mom_growth" -> q67MomGrowth,
     "q69_column_corr" -> q69ColumnCorr,
-    "q70_quality_audit" -> q70QualityAudit)
+    "q70_quality_audit" -> q70QualityAudit,
+    "q71_incremental_rollup" -> q71IncrementalRollup)
 
   val oracle: Map[String, String] = Map(
+    // the oracle computes the rollup from the FULL table — the gate
+    // passes only if the engine's base+delta merge ≡ direct recompute
+    "q71_incremental_rollup" ->
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |    AS ym,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin,
     "q69_column_corr" ->
       """WITH mom AS (SELECT CAST(count(*) AS DOUBLE) AS n,
         |    sum(l_extendedprice) AS sp, sum(l_discount) AS sd,

@@ -639,6 +639,22 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** The t3 quality score as an oracle CTE fragment defining `qs`
+    * (doc_id, q) — reused verbatim by d28's quality-aware canonical
+    * selection so both gates rank by the SAME rounded score. */
+  private[operators] def qualityCte: String = {
+    val allSw = Stopwords.flatMap(_._2).distinct
+    s"""qm AS (SELECT doc_id,
+       |  CAST(len($sqlWords) AS DOUBLE) AS nw,
+       |  CAST(${sqlStopCount(allSw)} AS DOUBLE) AS nsw,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+       |  CAST(length(text) AS DOUBLE) AS nc
+       |  FROM documents),
+       |qs AS (SELECT doc_id,
+       |  round(least(nw/100.0, 1.0)*0.4 + least(nsw/nw*5.0, 1.0)*0.3
+       |        + (1.0 - least(np/nc*10.0, 1.0))*0.3, 6) AS q FROM qm)""".stripMargin
+  }
+
   private val sqlWords = "string_split(text, ' ')"
 
   private def sqlStopCount(sw: Seq[String]): String =
