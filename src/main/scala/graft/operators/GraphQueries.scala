@@ -793,6 +793,74 @@ object GraphQueries {
       .orderBy("iter")
   }
 
+  private val MisRounds = 4
+  /** Priority composite shift: hash ∈ [0, P) with P = 1e9+7, so
+    * hash·2³¹ + id is a strict total order in BIGINT for id < 2³¹. */
+  private val MisShift = 2147483648L
+
+  /** g27: maximal independent set via Luby's algorithm — the distributed
+    * symmetry-breaking family (parallel scheduling, conflict-free
+    * resource assignment, the classic PRAM algorithm) no other gated
+    * query exercises: each round, every still-active vertex draws a
+    * deterministic salted-hash priority; strict local maxima join the
+    * MIS and knock their neighbors out, repeat. [[MisRounds]] fixed
+    * rounds (Luby decides all but a vanishing fraction in O(log n)
+    * expected rounds); undecided leftovers are reported, not guessed —
+    * `decided` separates them. Priorities are the engine's portable
+    * char hash over `id || "mis" || round`, RNG-free, so the oracle
+    * unrolls the identical tournament.
+    *
+    * Scale shape: per round, two joins over the (shrinking) active
+    * subgraph — max-priority-neighbor aggregate + winner-neighborhood
+    * semi-join — with O(V) state materialized per round (the BSP
+    * discipline); priorities are row-local, ties impossible by
+    * construction (ids are distinct, the composite key is injective). */
+  def g27Mis(s: SparkSession, d: String): DataFrame = {
+    val edges = PropertyGraph.symmetrize(partPairsMaterialized(s, d))
+      .select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var state = vertexDegMaterialized(s, d)
+      .select(col("id"), lit("a").as("st"), lit(-1L).as("round_joined"))
+      .materialize()
+    for (r <- 1 to MisRounds) {
+      val pri = state.where(col("st") === "a")
+        .select(col("id"),
+          (graft.functions.Portable.charHash(
+            concat(col("id").cast("string"), lit("mis"), lit(r.toString)))
+            * lit(MisShift) + col("id")).as("key"))
+      val nbrMax = edges
+        .join(pri.select(col("id").as("src"), col("key").as("skey")), "src")
+        .join(pri.select(col("id").as("dst")), "dst")
+        .groupBy(col("dst").as("id")).agg(max(col("skey")).as("mk"))
+      val win = pri.join(nbrMax, Seq("id"), "left_outer")
+        .where(col("mk").isNull || col("key") > col("mk"))
+        .select(col("id"))
+      val out = edges.join(win.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+      state = state
+        .join(win.withColumn("w", lit(true)), Seq("id"), "left_outer")
+        .join(out.withColumn("o", lit(true)), Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("w"), lit("m"))
+            .when(col("o") && col("st") === "a", lit("o"))
+            .otherwise(col("st")).as("st"),
+          when(col("w"), lit(r.toLong)).otherwise(col("round_joined"))
+            .as("round_joined"))
+        .materialize()
+    }
+    edges.unpersist(blocking = false)
+    state.select(col("id"), (col("st") === "m").as("in_mis"),
+        (col("st") =!= "a").as("decided"), col("round_joined"))
+      .orderBy("id")
+  }
+
+  /** DuckDB twin of [[graft.functions.Portable.charHash]] (the d13/m-
+    * family inline form). */
+  private def sqlCharHash(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a*31 + b) % ${graft.functions.Portable.P})""".stripMargin
+
   private val RichClubPcts = Seq(50L, 75L, 90L, 95L, 99L)
 
   /** g24: rich-club coefficient (Zhou & Mondragón 2004) — do the
@@ -1281,6 +1349,7 @@ object GraphQueries {
     "g24_rich_club" -> g24RichClub,
     "g25_component_sizes" -> g25ComponentSizes,
     "g26_convergence_trace" -> g26ConvergenceTrace,
+    "g27_mis" -> g27Mis,
     "q54_transitive_closure" -> q54TransitiveClosure)
 
   val oracle: Map[String, String] = Map(
@@ -1371,6 +1440,36 @@ object GraphQueries {
          |  CASE WHEN n_k >= 2 THEN (2000000 * CAST(e_k AS BIGINT))
          |    // (CAST(n_k AS BIGINT) * (n_k - 1)) ELSE 0 END AS phi_ppm
          |FROM nk JOIN ek ON nk.pct = ek.pct ORDER BY nk.pct""".stripMargin,
+    "g27_mis" -> {
+      val rounds = (1 to MisRounds).map { r =>
+        s"""pr$r AS MATERIALIZED (SELECT id,
+           |    ${sqlCharHash(s"CAST(id AS VARCHAR) || 'mis$r'")}
+           |      * $MisShift + id AS key
+           |  FROM a${r - 1} WHERE st = 'a'),
+           |mx$r AS (SELECT e.dst AS id, max(p.key) AS mk
+           |  FROM edges e JOIN pr$r p ON e.src = p.id
+           |       JOIN pr$r pd ON e.dst = pd.id
+           |  GROUP BY e.dst),
+           |win$r AS MATERIALIZED (SELECT p.id FROM pr$r p
+           |  LEFT JOIN mx$r m ON p.id = m.id
+           |  WHERE m.mk IS NULL OR p.key > m.mk),
+           |out$r AS (SELECT DISTINCT e.dst AS id
+           |  FROM edges e JOIN win$r w ON e.src = w.id),
+           |a$r AS MATERIALIZED (SELECT a.id,
+           |    CASE WHEN w.id IS NOT NULL THEN 'm'
+           |         WHEN o.id IS NOT NULL AND a.st = 'a' THEN 'o'
+           |         ELSE a.st END AS st,
+           |    CASE WHEN w.id IS NOT NULL THEN $r ELSE a.rj END AS rj
+           |  FROM a${r - 1} a LEFT JOIN win$r w ON a.id = w.id
+           |                   LEFT JOIN out$r o ON a.id = o.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |a0 AS (SELECT id, 'a' AS st, CAST(-1 AS BIGINT) AS rj FROM verts),
+         |$rounds
+         |SELECT id, st = 'm' AS in_mis, st != 'a' AS decided,
+         |  CAST(rj AS BIGINT) AS round_joined
+         |FROM a$MisRounds ORDER BY id""".stripMargin
+    },
     "g26_convergence_trace" -> {
       val res = (1 to TraceIters).map { k =>
         s"""SELECT $k AS iter, round(max(abs(a.v - b.v)), 8) AS residual

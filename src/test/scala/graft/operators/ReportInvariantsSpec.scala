@@ -130,6 +130,32 @@ class ReportInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tot("added", "changed", "unchanged") === newN)
   }
 
+  test("g27 MIS: independent, dominating on decided vertices, silent on undecided") {
+    import org.apache.spark.sql.functions._
+    val mis = GraphQueries.g27Mis(spark, sf)
+    val edges = graft.graph.PropertyGraph.symmetrize(
+      GraphQueries.partPairsMaterialized(spark, sf)).select("src", "dst")
+    val inMis = mis.where(col("in_mis")).select(col("id"))
+    assert(inMis.count() > 0)
+    // independence: no edge joins two MIS vertices
+    val violations = edges
+      .join(inMis.select(col("id").as("src")), "src")
+      .join(inMis.select(col("id").as("dst")), "dst").count()
+    assert(violations === 0L, "two adjacent vertices are both in the MIS")
+    // domination: every decided non-MIS vertex has a MIS neighbor
+    val outNoMisNbr = mis.where(col("decided") && !col("in_mis"))
+      .select(col("id").as("dst"))
+      .join(edges.join(inMis.select(col("id").as("src")), "src")
+        .select(col("dst")).distinct(), Seq("dst"), "left_anti").count()
+    assert(outNoMisNbr === 0L, "a knocked-out vertex has no MIS neighbor")
+    // an undecided vertex can have no MIS neighbor (it would be out)
+    val undecidedWithMisNbr = mis.where(!col("decided"))
+      .select(col("id").as("dst"))
+      .join(edges.join(inMis.select(col("id").as("src")), "src")
+        .select(col("dst")).distinct(), Seq("dst"), "left_semi").count()
+    assert(undecidedWithMisNbr === 0L)
+  }
+
   test("g26 residual trace is the monotone tail of a contracting iteration") {
     val rows = GraphQueries.g26ConvergenceTrace(spark, sf).orderBy("iter").collect()
     assert(rows.length === 6)
