@@ -793,6 +793,44 @@ object GraphQueries {
       .orderBy("iter")
   }
 
+  private val GraphDiffCutoff = "1998-01-01"
+
+  /** g28: temporal graph diff — the co-purchase graph as a DYNAMIC
+    * object: ties that exist only before the cutoff ("lost"), only
+    * after ("new"), or in both periods ("persisted"). The graph-
+    * evolution report (churn of the relationship structure itself)
+    * that static g-family queries can't see; d25 is the node-level
+    * analog, this is the edge-level one.
+    *
+    * Scale shape: the bounded per-order pair fan-out (the partPairs
+    * derivation) computed per period after an order-date semi-join,
+    * then ONE full-outer sort-merge on the canonical pair key and a
+    * 3-cell rollup. */
+  def g28GraphDiff(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit(GraphDiffCutoff))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val od = Tables.orders(s, d)
+      .select(col("o_orderkey").as("ok"), (col("o_orderdate") < cut).as("old"))
+    def pairs(oldSide: Boolean): DataFrame = {
+      val ps = li.join(od.where(col("old") === oldSide).select("ok"), "ok")
+        .groupBy(col("ok")).agg(sort_array(collect_set(col("p"))).as("ps"))
+      ps.select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+            struct(x.as("src"), y.as("dst")))))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
+    }
+    pairs(oldSide = true).withColumn("in_old", lit(1L))
+      .join(pairs(oldSide = false).withColumn("in_new", lit(1L)),
+        Seq("src", "dst"), "full_outer")
+      .select(when(col("in_old").isNotNull && col("in_new").isNotNull,
+          "persisted")
+        .when(col("in_new").isNotNull, "new")
+        .otherwise("lost").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_ties"))
+      .orderBy("status")
+  }
+
   private val MisRounds = 4
   /** Priority composite shift: hash ∈ [0, P) with P = 1e9+7, so
     * hash·2³¹ + id is a strict total order in BIGINT for id < 2³¹. */
@@ -1355,6 +1393,7 @@ object GraphQueries {
     "g25_component_sizes" -> g25ComponentSizes,
     "g26_convergence_trace" -> g26ConvergenceTrace,
     "g27_mis" -> g27Mis,
+    "g28_graph_diff" -> g28GraphDiff,
     "q54_transitive_closure" -> q54TransitiveClosure)
 
   val oracle: Map[String, String] = Map(
@@ -1445,6 +1484,27 @@ object GraphQueries {
          |  CASE WHEN n_k >= 2 THEN (2000000 * CAST(e_k AS BIGINT))
          |    // (CAST(n_k AS BIGINT) * (n_k - 1)) ELSE 0 END AS phi_ppm
          |FROM nk JOIN ek ON nk.pct = ek.pct ORDER BY nk.pct""".stripMargin,
+    "g28_graph_diff" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |od AS (SELECT o_orderkey AS ok,
+         |    o_orderdate < TIMESTAMP '$GraphDiffCutoff' AS old FROM orders),
+         |pa AS (SELECT DISTINCT a.p AS src, b.p AS dst
+         |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+         |       JOIN od ON a.ok = od.ok
+         |  WHERE od.old),
+         |pb AS (SELECT DISTINCT a.p AS src, b.p AS dst
+         |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+         |       JOIN od ON a.ok = od.ok
+         |  WHERE NOT od.old),
+         |j AS (SELECT CASE
+         |    WHEN pa.src IS NOT NULL AND pb.src IS NOT NULL THEN 'persisted'
+         |    WHEN pb.src IS NOT NULL THEN 'new'
+         |    ELSE 'lost' END AS status
+         |  FROM pa FULL OUTER JOIN pb
+         |    ON pa.src = pb.src AND pa.dst = pb.dst)
+         |SELECT status, count(*) AS n_ties FROM j
+         |GROUP BY status ORDER BY status""".stripMargin,
     "g27_mis" -> {
       val rounds = (1 to MisRounds).map { r =>
         s"""pr$r AS MATERIALIZED (SELECT id,

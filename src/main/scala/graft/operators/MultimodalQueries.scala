@@ -128,7 +128,39 @@ object MultimodalQueries {
 
   private val SilenceMeanSq = 9700L
 
+  /** m8: cross-modal alignment audit — q70's referential check applied
+    * ACROSS modalities: every multimodal pipeline assumes each document
+    * has its embedding and vice versa, and silently broken alignment
+    * (a failed embedding job, a partial re-crawl) poisons every
+    * downstream join. Per source: doc count, docs with a vector,
+    * docs missing one; plus one `__orphan_vectors__` row for vectors
+    * with no document. Ids align doc_id ↔ vec_id in this corpus (the
+    * s-family relies on it — this gate makes the assumption checkable).
+    *
+    * Scale shape: one left-semi-style membership join on the id (both
+    * sides reduced to key columns first) + one anti-join for orphans;
+    * rollup over the source dimension. */
+  def m8ModalityAlignment(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val matched = docs
+      .join(vecs.select(col("vec_id").as("doc_id")).withColumn("hasv", lit(1L)),
+        Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hasv"), lit(0L))).as("n_with_vec"))
+      .select(col("source"), col("n_docs"), col("n_with_vec"),
+        (col("n_docs") - col("n_with_vec")).as("n_missing_vec"))
+    val orphans = vecs
+      .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("__orphan_vectors__").as("source"), lit(0L).as("n_docs"),
+        lit(0L).as("n_with_vec"), col("n").as("n_missing_vec"))
+    matched.unionAll(orphans).orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m8_modality_alignment" -> m8ModalityAlignment,
     "m1_media_features" -> m1MediaFeatures,
     "m2_frame_sample" -> m2FrameSample,
     "m3_audio_energy" -> m3AudioEnergy,
@@ -143,6 +175,21 @@ object MultimodalQueries {
        |  (a, b) -> (a*31 + b) % ${Media.FakeCodec.P})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "m8_modality_alignment" ->
+      """WITH m AS (SELECT d.source, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_with_vec
+        |  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |  GROUP BY d.source),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings e
+        |  WHERE NOT EXISTS (SELECT 1 FROM documents d
+        |    WHERE d.doc_id = e.vec_id))
+        |SELECT source, n_docs, n_with_vec,
+        |  n_docs - n_with_vec AS n_missing_vec FROM m
+        |UNION ALL
+        |SELECT '__orphan_vectors__', CAST(0 AS BIGINT), CAST(0 AS BIGINT), n
+        |FROM o
+        |ORDER BY source""".stripMargin,
     "m6_phash_dedup" ->
       s"""WITH d0 AS (SELECT doc_id AS id, text,
          |    octet_length(encode(text)) AS n FROM documents),
