@@ -573,6 +573,43 @@ object RelationalQueries {
       .orderBy("ym")
   }
 
+  /** q72: hierarchical share report — percent-of-parent at two levels of
+    * the geography dimension (nation revenue as a share of its region,
+    * region revenue as a share of the total): the drill-down report
+    * every BI rollup renders, exercising the full dimension chain
+    * region ⋈ nation ⋈ customer ⋈ orders. Exact integer cents; shares
+    * in ppm over the q65 pre-scaled-denominator discipline (overflow-
+    * safe at any revenue volume).
+    *
+    * Scale shape: the fact table aggregates FIRST to the nation grain
+    * (broadcast customer→nation dim), then all share arithmetic runs
+    * over the 25-row nation and 5-row region frames — two tiny window
+    * passes, nothing fact-sized past the first aggregate. */
+  def q72HierarchyShares(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = broadcast(Tables.customer(s, d)
+      .select($"c_custkey".as("o_custkey"), $"c_nationkey".as("nk")))
+    val natRev = Tables.orders(s, d)
+      .select($"o_custkey", floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      .join(cust, "o_custkey")
+      .groupBy($"nk").agg(sum($"cents").as("nation_cents"))
+    val dims = broadcast(Tables.nation(s, d)
+      .select($"n_nationkey".as("nk"), $"n_name", $"n_regionkey".as("rk"))
+      .join(Tables.region(s, d).select($"r_regionkey".as("rk"), $"r_name"), "rk"))
+    val wRegion = Window.partitionBy($"rk")
+    val wAll = Window.partitionBy()
+    natRev.join(dims, "nk")
+      .withColumn("region_cents", sum($"nation_cents").over(wRegion))
+      .withColumn("total_cents", sum($"nation_cents").over(wAll))
+      .select($"r_name".as("region"), $"n_name".as("nation"),
+        $"nation_cents", $"region_cents",
+        expr("nation_cents DIV greatest(region_cents DIV 1000000, 1)")
+          .as("share_of_region_ppm"),
+        expr("region_cents DIV greatest(total_cents DIV 1000000, 1)")
+          .as("region_share_ppm"))
+      .orderBy("region", "nation")
+  }
+
   def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select($"event_type",
@@ -1004,7 +1041,8 @@ object RelationalQueries {
     "q67_mom_growth" -> q67MomGrowth,
     "q69_column_corr" -> q69ColumnCorr,
     "q70_quality_audit" -> q70QualityAudit,
-    "q71_incremental_rollup" -> q71IncrementalRollup)
+    "q71_incremental_rollup" -> q71IncrementalRollup,
+    "q72_hierarchy_shares" -> q72HierarchyShares)
 
   val oracle: Map[String, String] = Map(
     // the oracle computes the rollup from the FULL table — the gate
@@ -1016,6 +1054,24 @@ object RelationalQueries {
         |    AS BIGINT) AS revenue_cents,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin,
+    "q72_hierarchy_shares" ->
+      """WITH nr AS (SELECT c_nationkey AS nk,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS nation_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey),
+        |j AS (SELECT r_name AS region, n_name AS nation, nation_cents,
+        |    CAST(sum(nation_cents) OVER (PARTITION BY n_regionkey)
+        |      AS BIGINT) AS region_cents,
+        |    CAST(sum(nation_cents) OVER () AS BIGINT) AS total_cents
+        |  FROM nr JOIN nation ON nk = n_nationkey
+        |          JOIN region ON n_regionkey = r_regionkey)
+        |SELECT region, nation, nation_cents, region_cents,
+        |  nation_cents // greatest(region_cents // 1000000, 1)
+        |    AS share_of_region_ppm,
+        |  region_cents // greatest(total_cents // 1000000, 1)
+        |    AS region_share_ppm
+        |FROM j ORDER BY region, nation""".stripMargin,
     "q69_column_corr" ->
       """WITH mom AS (SELECT CAST(count(*) AS DOUBLE) AS n,
         |    sum(l_extendedprice) AS sp, sum(l_discount) AS sd,
