@@ -77,10 +77,10 @@ object GScale {
     // supplier: dim table copied verbatim — suppkeys are NOT offset in
     // the replicated lineitem, so a constant supplier dim against 10×
     // facts is both correct and the realistic scale shape.
-    locally {
-      val out = s"$big/supplier.parquet"
+    for (dim <- Seq("supplier", "customer", "nation", "region")) {
+      val out = s"$big/$dim.parquet"
       if (!new java.io.File(s"$out/_SUCCESS").exists())
-        spark.read.parquet(s"$base/supplier.parquet")
+        spark.read.parquet(s"$base/$dim.parquet")
           .write.mode("overwrite").parquet(out)
     }
 
@@ -114,7 +114,7 @@ object GScale {
       "d26_split_leakage", "d24_dedup_yield", "d27_cluster_sizes",
       "s19_ann_cost", "q69_column_corr", "q70_quality_audit",
       "q71_incremental_rollup", "d28_quality_canon", "g27_mis",
-      "m8_modality_alignment", "g28_graph_diff")
+      "m8_modality_alignment", "g28_graph_diff", "q72_hierarchy_shares")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {
