@@ -119,6 +119,63 @@ object ConnectedComponentsProgram extends VertexProgram {
 /** Non-iterative whole-graph operators. */
 object GraphOps {
 
+  /** Priority composite shift for [[lubyMis]]: hash ∈ [0, P) with
+    * P = 1e9+7, so hash·2³¹ + id is a strict total order in BIGINT for
+    * id < 2³¹. */
+  val MisShift = 2147483648L
+
+  /** Luby's maximal-independent-set tournament over a SYMMETRIZED edge
+    * list (both directions present): each round, still-active vertices
+    * draw the deterministic salted-hash priority
+    * `charHash(id || "mis" || round)·shift + id`; strict local maxima
+    * join the MIS and knock their active neighbors out. `rounds` fixed
+    * rounds; leftovers stay undecided (`decided=false`). Returns
+    * (id, in_mis, decided, round_joined). RNG-free, so an oracle or a
+    * local reference can replay the identical tournament.
+    *
+    * Per round: one max-priority-neighbor join over the shrinking
+    * active subgraph + one winner-neighborhood knockout, with the tiny
+    * winner frame materialized (it is consumed twice; unmaterialized,
+    * its max-neighbor join re-runs per consumer — measured 2.4× at
+    * sf0.1). */
+  def lubyMis(vertices: DataFrame, symEdges: DataFrame, rounds: Int): DataFrame = {
+    val edges = symEdges.select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var state = vertices
+      .select(col("id"), lit("a").as("st"), lit(-1L).as("round_joined"))
+      .materialize()
+    for (r <- 1 to rounds) {
+      val pri = state.where(col("st") === "a")
+        .select(col("id"),
+          (graft.functions.Portable.charHash(
+            concat(col("id").cast("string"), lit("mis"), lit(r.toString)))
+            * lit(MisShift) + col("id")).as("key"))
+      val nbrMax = edges
+        .join(pri.select(col("id").as("src"), col("key").as("skey")), "src")
+        .join(pri.select(col("id").as("dst")), "dst")
+        .groupBy(col("dst").as("id")).agg(max(col("skey")).as("mk"))
+      val win = pri.join(nbrMax, Seq("id"), "left_outer")
+        .where(col("mk").isNull || col("key") > col("mk"))
+        .select(col("id"))
+        .materialize()
+      val out = edges.join(win.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+      state = state
+        .join(win.withColumn("w", lit(true)), Seq("id"), "left_outer")
+        .join(out.withColumn("o", lit(true)), Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("w"), lit("m"))
+            .when(col("o") && col("st") === "a", lit("o"))
+            .otherwise(col("st")).as("st"),
+          when(col("w"), lit(r.toLong)).otherwise(col("round_joined"))
+            .as("round_joined"))
+        .materialize()
+    }
+    edges.unpersist(blocking = false)
+    state.select(col("id"), (col("st") === "m").as("in_mis"),
+      (col("st") =!= "a").as("decided"), col("round_joined"))
+  }
+
   /** k-core decomposition by iterative peeling over a symmetrized edge
     * list: `rounds` fixed rounds of "drop every vertex whose degree in
     * the surviving subgraph is < k". Returns (id, in_core, peel_round)

@@ -832,9 +832,7 @@ object GraphQueries {
   }
 
   private val MisRounds = 4
-  /** Priority composite shift: hash ∈ [0, P) with P = 1e9+7, so
-    * hash·2³¹ + id is a strict total order in BIGINT for id < 2³¹. */
-  private val MisShift = 2147483648L
+  private def MisShift = GraphOps.MisShift
 
   /** g27: maximal independent set via Luby's algorithm — the distributed
     * symmetry-breaking family (parallel scheduling, conflict-free
@@ -853,49 +851,11 @@ object GraphQueries {
     * semi-join — with O(V) state materialized per round (the BSP
     * discipline); priorities are row-local, ties impossible by
     * construction (ids are distinct, the composite key is injective). */
-  def g27Mis(s: SparkSession, d: String): DataFrame = {
-    val edges = PropertyGraph.symmetrize(partPairsMaterialized(s, d))
-      .select("src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var state = vertexDegMaterialized(s, d)
-      .select(col("id"), lit("a").as("st"), lit(-1L).as("round_joined"))
-      .materialize()
-    for (r <- 1 to MisRounds) {
-      val pri = state.where(col("st") === "a")
-        .select(col("id"),
-          (graft.functions.Portable.charHash(
-            concat(col("id").cast("string"), lit("mis"), lit(r.toString)))
-            * lit(MisShift) + col("id")).as("key"))
-      val nbrMax = edges
-        .join(pri.select(col("id").as("src"), col("key").as("skey")), "src")
-        .join(pri.select(col("id").as("dst")), "dst")
-        .groupBy(col("dst").as("id")).agg(max(col("skey")).as("mk"))
-      // winners are referenced twice below (own-state flip + neighbor
-      // knockout) and carry the round's expensive max-neighbor join —
-      // materialize the tiny frame so that join runs once per round
-      // (2.9 → ~1.5 s/round at sf0.1; 7.1× → near-linear at the probe).
-      val win = pri.join(nbrMax, Seq("id"), "left_outer")
-        .where(col("mk").isNull || col("key") > col("mk"))
-        .select(col("id"))
-        .materialize()
-      val out = edges.join(win.select(col("id").as("src")), "src")
-        .select(col("dst").as("id")).distinct()
-      state = state
-        .join(win.withColumn("w", lit(true)), Seq("id"), "left_outer")
-        .join(out.withColumn("o", lit(true)), Seq("id"), "left_outer")
-        .select(col("id"),
-          when(col("w"), lit("m"))
-            .when(col("o") && col("st") === "a", lit("o"))
-            .otherwise(col("st")).as("st"),
-          when(col("w"), lit(r.toLong)).otherwise(col("round_joined"))
-            .as("round_joined"))
-        .materialize()
-    }
-    edges.unpersist(blocking = false)
-    state.select(col("id"), (col("st") === "m").as("in_mis"),
-        (col("st") =!= "a").as("decided"), col("round_joined"))
-      .orderBy("id")
-  }
+  def g27Mis(s: SparkSession, d: String): DataFrame =
+    GraphOps.lubyMis(
+      vertexDegMaterialized(s, d).select(col("id")),
+      PropertyGraph.symmetrize(partPairsMaterialized(s, d)),
+      MisRounds).orderBy("id")
 
   /** DuckDB twin of [[graft.functions.Portable.charHash]] (the d13/m-
     * family inline form). */

@@ -116,4 +116,41 @@ class GraphPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got === want, s"k=$k pairs=$canon")
     }
   }
+
+  test("lubyMis matches a local replay of the tournament, isolated vertices included") {
+    def charHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % graft.functions.Portable.P)
+    forAll(genEdges) { pairs =>
+      import spark.implicits._
+      val vs = (1L to 12L).toSet // includes isolated vertices (instant winners)
+      val canon = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = canon.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        .withDefaultValue(Set.empty[Long])
+      val rounds = 3
+      // local reference: identical salted-hash tournament
+      var st = vs.map(_ -> 'a').toMap
+      var rj = Map.empty[Long, Long]
+      for (r <- 1 to rounds) {
+        val active = st.filter(_._2 == 'a').keySet
+        val key = active.map(v =>
+          v -> (charHash(s"${v}mis$r") * GraphOps.MisShift + v)).toMap
+        val winners = active.filter(v =>
+          adj(v).intersect(active).forall(u => key(v) > key(u)))
+        st = st ++ winners.map(_ -> 'm')
+        rj = rj ++ winners.map(_ -> r.toLong)
+        val knocked = winners.flatMap(adj).filter(u => st(u) == 'a')
+        st = st ++ knocked.map(_ -> 'o')
+      }
+      val want = vs.map(v =>
+        v -> ((st(v) == 'm', st(v) != 'a', rj.getOrElse(v, -1L)))).toMap
+      val got = GraphOps.lubyMis(
+          vs.toSeq.toDF("id"),
+          PropertyGraph.symmetrize(canon.toDF("src", "dst")), rounds)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getLong(3))))
+        .toMap
+      assert(got === want, s"pairs=$canon")
+    }
+  }
 }
