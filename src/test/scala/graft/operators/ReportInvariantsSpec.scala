@@ -156,6 +156,58 @@ class ReportInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(undecidedWithMisNbr === 0L)
   }
 
+  test("m8 alignment conserves both tables") {
+    import org.apache.spark.sql.functions._
+    val a = MultimodalQueries.m8ModalityAlignment(spark, sf)
+    val docs = graft.core.Tables.documents(spark, sf).count()
+    val vecs = graft.core.Tables.embeddings(spark, sf).count()
+    val src = a.where(col("source") =!= "__orphan_vectors__")
+    assert(src.agg(sum("n_docs")).first().getLong(0) === docs)
+    // every vector is either matched to a doc or an orphan
+    val matched = src.agg(sum("n_with_vec")).first().getLong(0)
+    val orphan = a.where(col("source") === "__orphan_vectors__")
+      .agg(sum("n_missing_vec")).first().getLong(0)
+    assert(matched + orphan === vecs)
+    src.collect().foreach { r =>
+      assert(r.getAs[Long]("n_with_vec") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q72 shares reconcile: nation cents sum to region cents, regions to total") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.q72HierarchyShares(spark, sf)
+    val byRegion = rows.groupBy("region")
+      .agg(sum("nation_cents").as("s"), first("region_cents").as("rc"))
+      .collect()
+    byRegion.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+    val total = rows.agg(sum("nation_cents")).first().getLong(0)
+    val ordersTotal = graft.core.Tables.orders(spark, sf)
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")))
+      .first().getLong(0)
+    assert(total === ordersTotal,
+      "every order's cents must land in exactly one nation row")
+  }
+
+  test("g28 diff statuses partition the union of both periods' tie sets") {
+    import org.apache.spark.sql.functions._
+    val diff = GraphQueries.g28GraphDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // persisted + new = the post-cutoff pair count; persisted + lost = pre
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val od = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("ok"),
+        (col("o_orderdate") < to_timestamp(lit("1998-01-01"))).as("old"))
+    def pairCount(oldSide: Boolean): Long = {
+      val x = li.join(od.where(col("old") === oldSide).select("ok"), "ok")
+      x.as("a").join(x.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p"), col("b.p")).distinct().count()
+    }
+    assert(diff.getOrElse("persisted", 0L) + diff.getOrElse("lost", 0L) === pairCount(true))
+    assert(diff.getOrElse("persisted", 0L) + diff.getOrElse("new", 0L) === pairCount(false))
+  }
+
   test("g26 residual trace is the monotone tail of a contracting iteration") {
     val rows = GraphQueries.g26ConvergenceTrace(spark, sf).orderBy("iter").collect()
     assert(rows.length === 6)
