@@ -610,6 +610,36 @@ object RelationalQueries {
       .orderBy("region", "nation")
   }
 
+  /** q73: biggest-movers report — the suppliers whose revenue changed
+    * most between the two halves of the order history (the q67 period
+    * split applied per entity, ranked by absolute delta): the
+    * what-changed-since-last-period screen every revenue dashboard
+    * leads with. Exact integer cents; signed delta + absolute rank; a
+    * supplier absent from one period shows the full swing.
+    *
+    * Scale shape: one conditional-aggregate pass over the fact table
+    * (both periods in one scan — no self-join, no second pass), top-20
+    * by |delta| via TakeOrderedAndProject. */
+  def q73RevenueMovers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cut = to_timestamp(lit(IncrCutoff))
+    val li = Tables.lineitem(s, d)
+      .select($"l_suppkey", $"l_orderkey".as("ok"),
+        floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100 + 0.5)
+          .cast("long").as("cents"))
+      .join(Tables.orders(s, d)
+        .select($"o_orderkey".as("ok"), ($"o_orderdate" < cut).as("old")), "ok")
+    li.groupBy($"l_suppkey")
+      .agg(sum(when($"old", $"cents").otherwise(0L)).as("before_cents"),
+        sum(when(!$"old", $"cents").otherwise(0L)).as("after_cents"))
+      .select($"l_suppkey", $"before_cents", $"after_cents",
+        ($"after_cents" - $"before_cents").as("delta_cents"))
+      .withColumn("abs_delta", abs($"delta_cents"))
+      .orderBy($"abs_delta".desc, $"l_suppkey")
+      .limit(20)
+      .select($"l_suppkey", $"before_cents", $"after_cents", $"delta_cents")
+  }
+
   def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select($"event_type",
@@ -1042,7 +1072,8 @@ object RelationalQueries {
     "q69_column_corr" -> q69ColumnCorr,
     "q70_quality_audit" -> q70QualityAudit,
     "q71_incremental_rollup" -> q71IncrementalRollup,
-    "q72_hierarchy_shares" -> q72HierarchyShares)
+    "q72_hierarchy_shares" -> q72HierarchyShares,
+    "q73_revenue_movers" -> q73RevenueMovers)
 
   val oracle: Map[String, String] = Map(
     // the oracle computes the rollup from the FULL table — the gate
@@ -1054,6 +1085,23 @@ object RelationalQueries {
         |    AS BIGINT) AS revenue_cents,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin,
+    "q73_revenue_movers" ->
+      """WITH j AS (SELECT l_suppkey,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |      AS BIGINT) AS cents,
+        |    o_orderdate < TIMESTAMP '1998-01-01' AS old
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a AS (SELECT l_suppkey,
+        |    CAST(sum(CASE WHEN old THEN cents ELSE 0 END) AS BIGINT)
+        |      AS before_cents,
+        |    CAST(sum(CASE WHEN NOT old THEN cents ELSE 0 END) AS BIGINT)
+        |      AS after_cents
+        |  FROM j GROUP BY l_suppkey)
+        |SELECT l_suppkey, before_cents, after_cents,
+        |  after_cents - before_cents AS delta_cents
+        |FROM a
+        |ORDER BY abs(after_cents - before_cents) DESC, l_suppkey
+        |LIMIT 20""".stripMargin,
     "q72_hierarchy_shares" ->
       """WITH nr AS (SELECT c_nationkey AS nk,
         |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
