@@ -111,7 +111,7 @@ object GScale {
       "t20_langid_margin", "q65_pareto_suppliers", "g25_component_sizes",
       "q66_event_transitions", "d25_snapshot_diff", "s17_coreset_sample",
       "q67_mom_growth", "s18_cell_separation", "q68_hopping_stats",
-      "d26_split_leakage", "d24_dedup_yield", "d27_cluster_sizes",
+      "d26_split_leakage", "d27_cluster_sizes",
       "s19_ann_cost", "q69_column_corr", "q70_quality_audit",
       "q71_incremental_rollup", "d28_quality_canon", "g27_mis",
       "m8_modality_alignment", "g28_graph_diff", "q72_hierarchy_shares",
