@@ -640,6 +640,42 @@ object RelationalQueries {
       .select($"l_suppkey", $"before_cents", $"after_cents", $"delta_cents")
   }
 
+  /** q74: deletion-impact cascade — the right-to-be-forgotten report: a
+    * deterministic deletion list (customers with key ≡ 0 mod 97) traced
+    * through the schema's reference chain — their orders, those orders'
+    * lineitems, their events — with per-table affected counts and ppm.
+    * The impact analysis a data-subject-request pipeline runs BEFORE
+    * deleting anything (and the same joins then drive the delete);
+    * q70 audits constraints, m8 audits alignment, this audits reach.
+    *
+    * Scale shape: each table pays ONE semi-join pass keyed along the
+    * cascade (deletion list broadcast; the order-key hop is a shuffle
+    * semi-join since affected orders grow with the fact table); four
+    * 1-row count frames assembled by broadcast cross join. */
+  def q74DeletionCascade(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val del = broadcast(Tables.customer(s, d)
+      .where(pmod($"c_custkey", lit(97)) === 0).select($"c_custkey"))
+    val orders = Tables.orders(s, d)
+    val affOrders = orders
+      .join(del.select($"c_custkey".as("o_custkey")), Seq("o_custkey"), "left_semi")
+    def row(name: String, total: DataFrame, affected: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_total"))
+        .crossJoin(broadcast(affected.agg(count(lit(1)).as("n_affected"))))
+        .select(lit(name).as("table"), $"n_total", $"n_affected",
+          expr("(1000000 * n_affected) DIV n_total").as("affected_ppm"))
+    row("customer", Tables.customer(s, d), del)
+      .unionAll(row("orders", orders, affOrders))
+      .unionAll(row("lineitem", Tables.lineitem(s, d),
+        Tables.lineitem(s, d).join(
+          affOrders.select($"o_orderkey".as("l_orderkey")),
+          Seq("l_orderkey"), "left_semi")))
+      .unionAll(row("events", Tables.events(s, d),
+        Tables.events(s, d).join(del.select($"c_custkey".as("user_id")),
+          Seq("user_id"), "left_semi")))
+      .orderBy("table")
+  }
+
   def q55MadOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select($"event_type",
@@ -1073,7 +1109,8 @@ object RelationalQueries {
     "q70_quality_audit" -> q70QualityAudit,
     "q71_incremental_rollup" -> q71IncrementalRollup,
     "q72_hierarchy_shares" -> q72HierarchyShares,
-    "q73_revenue_movers" -> q73RevenueMovers)
+    "q73_revenue_movers" -> q73RevenueMovers,
+    "q74_deletion_cascade" -> q74DeletionCascade)
 
   val oracle: Map[String, String] = Map(
     // the oracle computes the rollup from the FULL table — the gate
@@ -1085,6 +1122,35 @@ object RelationalQueries {
         |    AS BIGINT) AS revenue_cents,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin,
+    "q74_deletion_cascade" ->
+      """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |ao AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM del))
+        |SELECT 'customer' AS "table",
+        |  (SELECT count(*) FROM customer) AS n_total,
+        |  (SELECT count(*) FROM del) AS n_affected,
+        |  (1000000 * (SELECT count(*) FROM del))
+        |    // (SELECT count(*) FROM customer) AS affected_ppm
+        |UNION ALL
+        |SELECT 'orders', (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM ao),
+        |  (1000000 * (SELECT count(*) FROM ao))
+        |    // (SELECT count(*) FROM orders)
+        |UNION ALL
+        |SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM ao)),
+        |  (1000000 * (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM ao)))
+        |    // (SELECT count(*) FROM lineitem)
+        |UNION ALL
+        |SELECT 'events', (SELECT count(*) FROM events),
+        |  (SELECT count(*) FROM events
+        |     WHERE user_id IN (SELECT c_custkey FROM del)),
+        |  (1000000 * (SELECT count(*) FROM events
+        |     WHERE user_id IN (SELECT c_custkey FROM del)))
+        |    // (SELECT count(*) FROM events)
+        |ORDER BY "table"""".stripMargin,
     "q73_revenue_movers" ->
       """WITH j AS (SELECT l_suppkey,
         |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
