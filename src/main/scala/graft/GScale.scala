@@ -115,7 +115,7 @@ object GScale {
       "s19_ann_cost", "q69_column_corr", "q70_quality_audit",
       "q71_incremental_rollup", "d28_quality_canon", "g27_mis",
       "m8_modality_alignment", "g28_graph_diff", "q72_hierarchy_shares",
-      "q73_revenue_movers")
+      "q73_revenue_movers", "q74_deletion_cascade")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all.filter(s.split(",").toSet)).getOrElse(all)
     def run(dir: String, name: String): Double = {
