@@ -66,6 +66,44 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "means a full per-query sort of every candidate crept back in")
   }
 
+  /** Depth-first flatten that descends through AdaptiveSparkPlanExec
+    * (a leaf node hiding its input plan from collect()). */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      flatten(a.executedPlan)
+    case other => other.children.flatMap(flatten)
+  })
+
+  test("g24_rich_club never windows over per-vertex rows") {
+    // The returned frame derives its cutoffs from precomputed literals —
+    // it must carry no Window at all.
+    val finalPlan = graft.SparkEntry.queries("g24_rich_club")(spark, sf)
+      .queryExecution.executedPlan
+    assert(!flatten(finalPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "g24's output plan must not rank anything")
+    // The cutoff-derivation frame may window, but only over the degree
+    // HISTOGRAM (an aggregate of the vertex table): a Window whose
+    // subtree has no aggregate below it is the single-task all-V sort
+    // the r7 verdict flagged.
+    val cutPlan = graft.operators.GraphQueries.g24CutoffFrame(spark, sf)
+      .queryExecution.executedPlan
+    val wins = flatten(cutPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty,
+      "cutoffs should come from a cumulative-count Window over the histogram")
+    wins.foreach { w =>
+      val aggBelow = flatten(w.child).collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        "every Window in the g24 cutoff frame must consume an aggregated " +
+          "(distinct-degree histogram) input, never the raw per-vertex table")
+    }
+  }
+
   test("q36_hist_quantiles plan has no exact-percentile SortAggregate") {
     val plan = graft.SparkEntry.queries("q36_hist_quantiles")(spark, sf)
       .queryExecution.executedPlan.toString
