@@ -35,7 +35,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
+    def timeOne(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -47,11 +51,22 @@ object Bench {
       // poison later measurements in the shared local-mode JVM.
       spark.catalog.clearCache()
       System.gc()
+      dt
+    }
+    // Stability protocol (VERDICT r7 item 6): the documented
+    // highest-variance queries (g19's tiny-data write jobs magnify
+    // scheduler/JIT latency under co-tenant load, 9.5-31.9 s observed on
+    // identical code) run TWICE with the min reported — encoding the
+    // "chase regressions only on a quiet host" rule in the artifact
+    // itself instead of the round narrative.
+    val minOfTwo = Set("g19_partition_roundtrip")
+    val results = selected.map { case (name, fn) =>
+      val t1 = timeOne(name, fn)
+      val dt = if (minOfTwo(name)) math.min(t1, timeOne(name, fn)) else t1
       name -> dt
     }
     val total = results.map(_._2).sum
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val load = loadAvg
     // The driver ships only the last ~2000 chars of stdout, which a
     // 112-entry map with full query names overflows (round-6 artifact
     // lost 45 per-query numbers). Two-part contract: the ONE printed
@@ -69,7 +84,8 @@ object Bench {
         .mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val meta = f""""unit":"sec","sf":"$sfDir","load":$load%.2f,"n":${results.size}"""
+    val meta = f""""unit":"sec","sf":"$sfDir","load":$load%.2f,""" +
+      f""""load_start":$loadStart%.2f,"g19_min_of_two":true,"n":${results.size}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(f"""{"metric":"total","value":$total%.3f,$meta,"queries":$fullQs}""")

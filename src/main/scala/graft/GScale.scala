@@ -66,7 +66,12 @@ object GScale {
     // the same day span, so per-day frames grow 10× while the day
     // dimension stays fixed (the realistic growth shape for q64's
     // reach accounting). ts round-trips as raw nanos (Tables.events
-    // normalizes either encoding).
+    // normalizes either encoding). NOTE: because customer is copied
+    // verbatim, only copy-0 events can match a customer key — the q74
+    // deletion-cascade probe's events leg therefore measures a 10×-
+    // DILUTED affected fraction (its absolute work still grows ~10×,
+    // which is what the timing probe gates; the fraction itself is not
+    // a realism claim at sf1).
     replicate("events", (df, k) => df
       .withColumn("event_id", col("event_id") + lit(k * 100000000L))
       .withColumn("user_id", col("user_id") + lit(k * 10000000L)))

@@ -101,13 +101,25 @@ object Gmr {
   }
 
   /** The reference's partition-and-scatter pre-processing as a CLI verb:
-    * `runMain graft.Gmr partition <graphfile> [P] [outBase]` loads any of
-    * the three formats and writes `outBase.subgraph.0..P-1` in the
+    * `runMain graft.Gmr partition <graphfile> [P] [outBase] [mode]` loads
+    * any of the three formats and writes `outBase.subgraph.0..P-1` in the
     * fmt=1111 layout (GraphLoaders.writeMetisSubgraphs) — files the
-    * reference's ranks (and our own subgraph loader) read directly. */
+    * reference's ranks (and our own subgraph loader) read directly.
+    * mode `random` (default) = `id mod parts` (the reference's random
+    * partitioner); mode `zoltan`/`locality` = LPA communities balanced
+    * into parts (GraphLoaders.localityAssignment — the reference's
+    * cut-minimizing Zoltan path, `gmr.cpp:107-167`). */
   def partitionFiles(spark: SparkSession, graphfile: String, parts: Int,
-                     outBase: String): Unit =
-    GraphLoaders.writeMetisSubgraphs(load(spark, graphfile), parts, outBase)
+                     outBase: String, mode: String = "random"): Unit = {
+    val g = load(spark, graphfile)
+    val assignment = mode.toLowerCase match {
+      case "zoltan" | "locality" =>
+        Some(GraphLoaders.localityAssignment(
+          GraphOps.labelPropagation(g, 5).select(col("id"), col("label")), parts))
+      case _ => None
+    }
+    GraphLoaders.writeMetisSubgraphs(g, parts, outBase, assignment)
+  }
 
   /** The training-corpus curation pipeline as a CLI verb: runs the gated
     * d8 end-to-end selection (quality gate ∧ exact-dup canonical ∧
@@ -160,11 +172,12 @@ object Gmr {
       val outBase = if (args.length > 3) args(3)
         else s"${sys.props("user.dir")}/target/partitioned/" +
           new java.io.File(graphfile).getName
+      val mode = if (args.length > 4) args(4) else "random"
       new java.io.File(outBase).getParentFile.mkdirs()
       val spark = graft.core.GraftSession.get(
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      partitionFiles(spark, graphfile, parts, outBase)
-      println(s"[gmr] wrote $parts subgraph files at $outBase.subgraph.*")
+      partitionFiles(spark, graphfile, parts, outBase, mode)
+      println(s"[gmr] wrote $parts subgraph files at $outBase.subgraph.* (mode=$mode)")
       spark.stop()
       return
     }

@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Materialize.MaterializeOps
+
+/** Builder-side diagnostic toolkit: `runMain graft.Probe <verb>` over
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1). NOT part of the driver
+  * contract — these decompose specific queries' wall time (or A/B a
+  * design choice) when a bench number needs a root cause. Each verb was
+  * born as a standalone main during an investigation (r5-r7); they are
+  * folded here so the diagnostic surface is one documented entry point.
+  *
+  * Verbs:
+  *  - `d2`       d2 cold vs warm (cache-fill + AQE floor vs steady compute)
+  *  - `g19`      g19 roundtrip phase decomposition (write/stats/read/triangle)
+  *  - `ppr`      PageRank vs PersonalizedPageRank superstep cost
+  *  - `scc`      g9 SCC decomposition (derive/forward CC/full run)
+  *  - `g1`       g1 PageRank decomposition (derive/degrees/supersteps)
+  *  - `locality` hash vs locality partitioner cut + imbalance (O8)
+  */
+object Probe {
+
+  private def t[A](tag: String, label: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[probe:$tag] $label%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val verb = args.headOption.getOrElse("help")
+    if (verb == "help") {
+      println("usage: runMain graft.Probe <d2|g19|ppr|scc|g1|locality>")
+      return
+    }
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.core.GraftSession.get(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // unrecorded warmup: classload + codegen floor (SURVEY §6)
+    spark.read.parquet(s"$d/lineitem.parquet").limit(1000).count()
+    verb match {
+      case "d2"       => d2(spark, d)
+      case "g19"      => g19(spark, d)
+      case "ppr"      => ppr(spark, d)
+      case "scc"      => scc(spark, d)
+      case "g1"       => g1(spark, d)
+      case "locality" => locality(spark, d)
+      case other      => println(s"[probe] unknown verb '$other'")
+    }
+    spark.stop()
+  }
+
+  /** d2 cold + warm: the warm delta isolates the cache-fill + AQE stage
+    * floor from steady compute. */
+  private def d2(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    t("d2", "d2 cold") {
+      graft.operators.DedupQueries.d2NgramJaccard(spark, d)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("d2", "d2 warm") {
+      graft.operators.DedupQueries.d2NgramJaccard(spark, d)
+        .write.format("noop").mode("overwrite").save()
+    }
+  }
+
+  /** Decompose g19's roundtrip (write → stats → read-back → triangle) to
+    * find where the time goes. */
+  private def g19(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import graft.operators.GraphQueries
+    import graft.graph.PropertyGraph
+    val parts = 3
+    val pairs = t("g19", "pairs read") {
+      val p = GraphQueries.partPairsMaterialized(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    }
+    val g = PropertyGraph(
+      GraphQueries.vertexDegMaterialized(spark, d).select(col("id")),
+      PropertyGraph.symmetrize(pairs))
+    val base = s"${sys.props("user.dir")}/target/graft_derived/probe_subgraph_rt"
+    new java.io.File(base).getParentFile.mkdirs()
+    // decompose the writer's internal phases (mirrors writeMetisSubgraphs)
+    t("g19", "  w: allIntegral scan") {
+      g.edges.where(coalesce(col("weight"), lit(1.0)) =!=
+        floor(coalesce(col("weight"), lit(1.0)))).isEmpty
+    }
+    t("g19", "  w: lines build+count") {
+      val nbrs = g.edges
+        .select(col("src"), col("dst"), coalesce(col("weight"), lit(1.0)).as("w"))
+        .groupBy(col("src"))
+        .agg(sort_array(collect_list(struct(col("dst"),
+          pmod(col("dst"), lit(parts)).as("dpart"), col("w")))).as("ns"))
+      g.vertices.select(col("id"))
+        .join(nbrs, col("id") === col("src"), "left_outer")
+        .select(col("id"), pmod(col("id"), lit(parts)).as("part")).count()
+    }
+    t("g19", "writeMetisSubgraphs") {
+      graft.io.GraphLoaders.writeMetisSubgraphs(g, parts, base)
+    }
+    t("g19", "partitionStats") {
+      graft.io.GraphLoaders.partitionStats(spark, base, parts).collect()
+    }
+    val back = t("g19", "read-back build") {
+      (0 until parts)
+        .map(p => graft.io.GraphLoaders.metisSubgraph(spark, s"$base.subgraph.$p").edges)
+        .reduce(_ union _)
+    }
+    val canon = back
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("g19", "canon distinct") { canon.count() }
+    t("g19", "triangle intersect grouped") {
+      val tri = graft.graph.GraphOps.edgesWithAdjacency(canon)
+        .groupBy(pmod(col("src"), lit(3L)).as("part"))
+        .agg(coalesce(sum(call_function("graft_sorted_intersect_count",
+            col("asrc"), col("adst"))), lit(0L))
+          .cast("long").as("n_triangles"))
+      tri.collect().sortBy(_.getLong(0)).foreach(r =>
+        println(s"[probe:g19]   part ${r.getLong(0)} tri ${r.getLong(1)}"))
+    }
+  }
+
+  /** PageRank vs PersonalizedPageRank superstep cost on the same derived
+    * graph. */
+  private def ppr(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val g = t("ppr", "partGraph") { graft.operators.GraphQueries.partGraph(spark, d) }
+    val degs = g.degrees
+    val n = t("ppr", "degrees count") { degs.count() }
+    val std = t("ppr", "PageRank 5 supersteps") {
+      graft.graph.GmrRunner.loopTimed(
+        graft.graph.PropertyGraph(degs, g.edges), new graft.graph.PageRank(n), 5)
+    }
+    std.supersteps.zipWithIndex.foreach { case (s, i) =>
+      println(f"[probe:ppr]   pr superstep ${i + 1}: $s%6.2f s") }
+    val nSeeds = t("ppr", "seed count") { degs.where(col("id") % 100 === 0).count() }
+    val pprRun = t("ppr", "PPR 5 supersteps") {
+      graft.graph.GmrRunner.loopTimed(
+        graft.graph.PropertyGraph(degs, g.edges),
+        new graft.graph.PersonalizedPageRank(nSeeds, col("id") % 100 === 0), 5)
+    }
+    pprRun.supersteps.zipWithIndex.foreach { case (s, i) =>
+      println(f"[probe:ppr]   ppr superstep ${i + 1}: $s%6.2f s") }
+  }
+
+  /** Decompose g9_scc wall time into derivation / forward-coloring
+    * supersteps / full run. */
+  private def scc(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    // Same parity orientation as GraphQueries.directedPairs.
+    val even = (col("src") + col("dst")) % 2 === 0
+    val de = t("scc", "derive directed edges") {
+      val e = graft.operators.GraphQueries.partPairsMaterialized(spark, d).select(
+        when(even, col("src")).otherwise(col("dst")).as("src"),
+        when(even, col("dst")).otherwise(col("src")).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe:scc] edges: ${e.count()}")
+      e
+    }
+    val verts = t("scc", "vertex set") {
+      val v = de.select(col("src").as("id")).union(de.select(col("dst").as("id")))
+        .distinct().materialize()
+      println(s"[probe:scc] vertices: ${v.count()}")
+      v
+    }
+    val fwd = t("scc", "forward CC to convergence") {
+      graft.graph.GmrRunner.run(
+        graft.graph.PropertyGraph(verts, de.withColumn("weight", lit(1.0))),
+        graft.graph.ConnectedComponentsProgram)
+    }
+    println(s"[probe:scc] forward iterations: ${fwd.iterations}")
+    fwd.supersteps.zipWithIndex.foreach { case (s, i) =>
+      println(f"[probe:scc]   fwd superstep ${i + 1}: $s%6.2f s")
+    }
+    val full = t("scc", "full strongComponents") {
+      val r = graft.graph.Scc.strongComponents(de)
+      println(s"[probe:scc] scc rows: ${r.count()}")
+      r
+    }
+    val nScc = full.select(countDistinct(col("scc"))).first().getLong(0)
+    println(s"[probe:scc] distinct SCCs: $nScc")
+  }
+
+  /** Decompose g1_pagerank wall time into graph derivation / degree
+    * count / per-superstep cost. `SPARK_GRAFT_AQE=false` A/Bs the loop
+    * without adaptive re-planning. */
+  private def g1(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val g = t("g1", "partGraph (lazy)") { graft.operators.GraphQueries.partGraph(spark, d) }
+    val nPairs = t("g1", "pairs materialize (count)") { g.edges.count() }
+    println(s"[probe:g1] directed edges: $nPairs")
+    val degs = g.degrees
+    val n = t("g1", "degree count action") { degs.count() }
+    println(s"[probe:g1] vertices: $n")
+    val pr = new graft.graph.PageRank(n)
+    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", v))
+    val run = t("g1", "5 supersteps (runFixed)") {
+      graft.graph.GmrRunner.loopTimed(
+        graft.graph.PropertyGraph(degs, g.edges), pr, 5)
+    }
+    run.supersteps.zipWithIndex.foreach { case (s, i) =>
+      println(f"[probe:g1]   superstep ${i + 1}: $s%6.2f s")
+    }
+    t("g1", "final orderBy+noop") {
+      run.vertices.select(col("id"), round(col("value"), 8).as("rank")).orderBy("id")
+        .write.format("noop").mode("overwrite").save()
+    }
+  }
+
+  /** A/B the subgraph writer's two owner assignments on the
+    * co-occurrence graph: `id mod parts` (the reference's random
+    * partitioner, O7) vs LPA-community locality (the Zoltan analog, O8).
+    * Prints both partitionStats frames and the imbalance/cut summary. */
+  private def locality(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import graft.operators.GraphQueries
+    import graft.io.GraphLoaders
+    val parts = 3
+    val g = graft.graph.PropertyGraph(
+      GraphQueries.vertexDegMaterialized(spark, d).select(col("id")),
+      graft.graph.PropertyGraph.symmetrize(GraphQueries.partPairsMaterialized(spark, d)))
+    val base = s"${sys.props("user.dir")}/target/graft_derived/probe_locality"
+    new java.io.File(base).getParentFile.mkdirs()
+    t("locality", "write hash parts") {
+      GraphLoaders.writeMetisSubgraphs(g, parts, s"$base.hash")
+    }
+    val assign = t("locality", "LPA + balance assignment") {
+      GraphLoaders.localityAssignment(
+        GraphQueries.lpaLabelsMaterialized(spark, d), parts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    t("locality", "write locality parts") {
+      GraphLoaders.writeMetisSubgraphs(g, parts, s"$base.loc", Some(assign))
+    }
+    for ((mode, b) <- Seq("hash" -> s"$base.hash", "locality" -> s"$base.loc")) {
+      val stats = GraphLoaders.partitionStats(spark, b, parts)
+      stats.orderBy("part").collect().foreach(r =>
+        println(s"[probe:locality] $mode part=${r.getLong(0)} nvtxs=${r.getLong(1)} " +
+          s"nedges=${r.getLong(2)} cut=${r.getLong(3)} cut_pct=${r.get(4)}"))
+      val (vI, eI, cuts) = GraphLoaders.partitionImbalance(stats)
+      println(f"[probe:locality] $mode%-9s vImbal=$vI%.4f eImbal=$eI%.4f cuts=$cuts")
+    }
+  }
+}

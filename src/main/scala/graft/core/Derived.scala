@@ -8,7 +8,16 @@ package graft.core
   * place. The tag therefore combines the readable sanitized name with a
   * fingerprint of the full path plus every source file's (relative name,
   * size, mtime) — regenerating any input invalidates every derived
-  * artifact keyed on it. */
+  * artifact keyed on it.
+  *
+  * The (name, size, mtime) triple misses one corner: a same-second,
+  * same-size in-place rewrite (mtime granularity is 1 s on many
+  * filesystems). For correctness-critical reruns set
+  * `-Dgraft.derived.contentHash=true` (or env
+  * `GRAFT_DERIVED_CONTENT_HASH=1`): the fingerprint then also samples
+  * each file's first and last 4 KiB of CONTENT — enough to catch any
+  * realistic rewrite (parquet footers carry per-file statistics and a
+  * creation timestamp) without re-reading terabytes for a cache key. */
 object Derived {
 
   /** Stable cache tag for a source data directory. */
@@ -17,18 +26,35 @@ object Derived {
     s"$name-${fingerprint(d)}"
   }
 
+  private[core] def contentHashEnabled: Boolean =
+    sys.props.get("graft.derived.contentHash").exists(_.equalsIgnoreCase("true")) ||
+      sys.env.get("GRAFT_DERIVED_CONTENT_HASH").contains("1")
+
   private def fingerprint(d: String): String = {
-    val sb = new StringBuilder(d)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sampleContent = contentHashEnabled
+    md.update(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def walk(f: java.io.File, rel: String): Unit = {
-      sb.append('|').append(rel).append(':')
-        .append(f.length()).append(':').append(f.lastModified())
+      md.update(s"|$rel:${f.length()}:${f.lastModified()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (sampleContent && f.isFile && f.length() > 0) {
+        val buf = new Array[Byte](4096)
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val n = raf.read(buf)
+          if (n > 0) md.update(buf, 0, n)
+          if (f.length() > 4096) {
+            raf.seek(math.max(0L, f.length() - 4096))
+            val m = raf.read(buf)
+            if (m > 0) md.update(buf, 0, m)
+          }
+        } finally raf.close()
+      }
       val children = f.listFiles()
       if (children != null)
         children.sortBy(_.getName).foreach(c => walk(c, s"$rel/${c.getName}"))
     }
     walk(new java.io.File(d), "")
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    md.take(6).map(b => f"$b%02x").mkString
+    md.digest().take(6).map(b => f"$b%02x").mkString
   }
 }

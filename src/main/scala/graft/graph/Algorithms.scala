@@ -298,6 +298,52 @@ object GraphOps {
       .cast("long").as("n_triangles"))
   }
 
+  /** Kernel selector (VERDICT r7 item 3): does the canonical adjacency
+    * table fit the session's broadcast budget? The intersect kernel
+    * broadcasts |E| longs of adjacency (~24 bytes per edge entry as
+    * broadcast-relation rows, object headers included); beyond
+    * `autoBroadcastJoinThreshold` that broadcast is the failure mode the
+    * wedge-join formulations exist for. One count action on the (usually
+    * already persisted) edge frame — negligible next to the count
+    * itself. */
+  def adjacencyFitsBroadcast(canonicalEdges: DataFrame): Boolean = {
+    val threshold =
+      canonicalEdges.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 && canonicalEdges.count() * 24L <= threshold
+  }
+
+  /** Global triangle count with data-driven kernel choice: the
+    * broadcast-adjacency intersect kernel while the adjacency fits the
+    * broadcast budget ([[adjacencyFitsBroadcast]]), else the
+    * degree-oriented wedge join whose per-wedge work is O(√E)-bounded
+    * and never broadcasts. Same count either way (proved in
+    * GraphAlgoSpec under both forced regimes). */
+  def triangleCountAuto(canonicalEdges: DataFrame): DataFrame =
+    if (adjacencyFitsBroadcast(canonicalEdges))
+      triangleCountViaIntersect(canonicalEdges)
+    else orientedTriangleCountDF(canonicalEdges)
+
+  /** Per-group triangle counts with the same data-driven kernel choice —
+    * both kernels attribute triangle x<y<z to `group(x)` (the minimum
+    * vertex), so the grouped sums are identical: the intersect kernel
+    * counts it at edge (x,y) keyed by src=x; the fallback enumerates
+    * (a,b,c) with a<b<c and groups by a. The fallback is the id-oriented
+    * wedge join (Σdeg² shuffle) rather than the degree-oriented one,
+    * which re-keys triangles to the lowest-DEGREE corner and cannot
+    * preserve the min-vertex attribution. */
+  def triangleCountByGroup(canonicalEdges: DataFrame,
+                           group: Column => Column): DataFrame =
+    if (adjacencyFitsBroadcast(canonicalEdges))
+      edgesWithAdjacency(canonicalEdges)
+        .groupBy(group(col("src")).as("part"))
+        .agg(coalesce(sum(call_function("graft_sorted_intersect_count",
+            col("asrc"), col("adst"))), lit(0L))
+          .cast("long").as("n_triangles"))
+    else
+      triangles(canonicalEdges)
+        .groupBy(group(col("a")).as("part"))
+        .agg(count(lit(1)).cast("long").as("n_triangles"))
+
   /** The intersect formulation's edge frame with both endpoints'
     * broadcast adjacency arrays attached — shared by the global count
     * above and keyed variants (each triangle x<y<z contributes exactly

@@ -119,7 +119,7 @@ object GmrRunner {
     loop(graph, program, iterations, convergenceCheck = false, checkpointInterval).vertices
 
   /** [[runFixed]] keeping the per-superstep timings (builder-side
-    * instrumentation; GBench). */
+    * instrumentation; `graft.Probe g1`). */
   def loopTimed(graph: PropertyGraph, program: VertexProgram, iterations: Int): RunResult =
     loop(graph, program, iterations, convergenceCheck = false, checkpointInterval = 1)
 

@@ -150,8 +150,11 @@ object GraphLoaders {
     * reads — the output side of the reference's partition-and-scatter
     * pre-processing (`graph.h` writes `<file>.subgraph.<p>` per rank with
     * the `sprintf("%04zu", fmt)` header, fmt = 1111: vid, vwgt, and per
-    * edge `nbr nbrloc ewgt`). Owner = `id mod parts` (the hash-partition
-    * convention, SURVEY §2.1 O7); neighbors are listed in ascending id
+    * edge `nbr nbrloc ewgt`). Owner = `id mod parts` by default (the
+    * hash-partition convention, SURVEY §2.1 O7) or an explicit
+    * `(id, part)` assignment frame — the [[localityAssignment]] path,
+    * the engine's analog of the reference's Zoltan locality partitioner
+    * (`gmr.cpp:107-167`, O8). Neighbors are listed in ascending id
     * order so the output is deterministic.
     *
     * The line construction is fully distributed (per-vertex adjacency
@@ -174,21 +177,35 @@ object GraphLoaders {
     * small enough that every `id mod parts` class has vertices and edges.
     * Round-trip proven in GraphLoadersSpec: write → [[metisSubgraph]]
     * per part → union == original graph. */
-  def writeMetisSubgraphs(g: PropertyGraph, parts: Int, basePath: String): Unit = {
+  def writeMetisSubgraphs(g: PropertyGraph, parts: Int, basePath: String,
+                          assignment: Option[DataFrame] = None): Unit = {
     val spark = g.edges.sparkSession
     val allIntegral = g.edges.where(
       coalesce(col("weight"), lit(1.0)) =!=
         floor(coalesce(col("weight"), lit(1.0)))).isEmpty
     def wTok(c: org.apache.spark.sql.Column) =
       if (allIntegral) c.cast("long").cast("string") else c.cast("string")
-    val nbrs = g.edges
-      .select(col("src"), col("dst"), coalesce(col("weight"), lit(1.0)).as("w"))
+    // Owner of vertex v: the assignment frame's part when provided (the
+    // locality path, SURVEY §2.1 O8), else `id mod parts` (the reference's
+    // random/hash convention, O7 — also the fallback for ids the
+    // assignment misses, e.g. gap-filled isolated vertices).
+    def owned(in: DataFrame, idCol: String, out: String): DataFrame =
+      assignment match {
+        case Some(a) =>
+          in.join(a.select(col("id").as(idCol), col("part").cast("long").as(out)),
+              Seq(idCol), "left_outer")
+            .withColumn(out, coalesce(col(out), pmod(col(idCol), lit(parts.toLong))))
+        case None =>
+          in.withColumn(out, pmod(col(idCol), lit(parts.toLong)))
+      }
+    val nbrs = owned(g.edges
+        .select(col("src"), col("dst"), coalesce(col("weight"), lit(1.0)).as("w")),
+        "dst", "dpart")
       .groupBy(col("src"))
-      .agg(sort_array(collect_list(struct(col("dst"),
-        pmod(col("dst"), lit(parts)).as("dpart"), col("w")))).as("ns"))
-    val lines = g.vertices.select(col("id"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("dpart"), col("w")))).as("ns"))
+    val lines = owned(g.vertices.select(col("id")), "id", "part")
       .join(nbrs, col("id") === col("src"), "left_outer")
-      .select(col("id"), pmod(col("id"), lit(parts)).as("part"),
+      .select(col("id"), col("part"),
         concat_ws(" ",
           col("id").cast("string"), lit("1"), // vid, vwgt (ncon=1)
           concat_ws(" ", flatten(transform(
@@ -247,6 +264,56 @@ object GraphLoaders {
       }
       fs.delete(tmp, true)
     } finally lines.unpersist(blocking = false)
+  }
+
+  /** Locality-aware part assignment — the engine's analog of the
+    * reference's Zoltan/METIS "minimize inter-node traffic" partitioner
+    * (`/root/reference/gmr.cpp:107-167`, `partition.h:271-364`;
+    * `README.md:49-51`). Input is any community labeling `(id, label)`
+    * (LPA labels are the natural feed — g8's materialization); output is
+    * `(id, part)` with whole communities kept on one part so
+    * community-internal edges are never cut.
+    *
+    * Balancing is capacity-constrained (Zoltan's balance objective): a
+    * community larger than one part's capacity ⌈N/parts⌉ is split into
+    * ⌈sz/cap⌉ hash sub-buckets first — otherwise one giant LPA community
+    * (the common fixpoint on dense graphs) starves every other part.
+    * The TOP `parts × heavyFactor` placement units by member count (a
+    * bounded collect — parts is a user constant) are then placed
+    * greedily largest-first onto the least-loaded part (the LPT
+    * bin-packing heuristic; greedy fills every part once before
+    * doubling up, so no part is left empty while ≥ parts units exist);
+    * the long tail of small communities hashes by (label, bucket),
+    * spreading uniformly without materializing the label dimension on
+    * the driver. Each vertex picks up its unit's part through one
+    * broadcast join with the hash fallback — the only shuffles are the
+    * label-size aggregate and the size join. */
+  def localityAssignment(labels: DataFrame, parts: Int,
+                         heavyFactor: Int = 8): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val total = labels.count()
+    val cap = math.max(1L, (total + parts - 1) / parts.toLong)
+    val sized = labels
+      .join(labels.groupBy(col("label")).agg(count(lit(1)).as("sz")), "label")
+      .select(col("id"), col("label"),
+        pmod(xxhash64(col("id")),
+          greatest(expr(s"(sz + ${cap - 1}) DIV $cap"), lit(1L))).as("bucket"))
+    val units = sized.groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("sz"))
+    val heavy = units.orderBy(col("sz").desc, col("label"), col("bucket"))
+      .limit(parts * heavyFactor).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val loads = Array.fill(parts)(0L)
+    val heavyAssign = heavy.map { case (lbl, b, sz) =>
+      val p = loads.indices.minBy(i => (loads(i), i))
+      loads(p) += sz
+      (lbl, b, p.toLong)
+    }
+    val heavyDf = heavyAssign.toSeq.toDF("label", "bucket", "hpart")
+    sized.join(broadcast(heavyDf), Seq("label", "bucket"), "left_outer")
+      .select(col("id"),
+        coalesce(col("hpart"),
+          pmod(xxhash64(col("label"), col("bucket")), lit(parts.toLong))).as("part"))
   }
 
   /** Partition-quality metrics over a set of fmt=1111 subgraph files —

@@ -326,7 +326,14 @@ object DedupQueries {
   private[operators] def dedupAssignMaterialized(s: SparkSession, d: String): DataFrame =
     synchronized {
       val tag = graft.core.Derived.tag(d)
-      val path = s"${sys.props("user.dir")}/target/graft_derived/lsh_v$LshDerivedVersion/$tag/assign"
+      // The path carries EVERY derivation input: the LSH version, the CC
+      // iteration count, and the component program's identity — changing
+      // any of them must miss this cache, not silently read a stale
+      // assignment that the oracle (which always recomputes) would
+      // contradict (ADVICE r7).
+      val path = s"${sys.props("user.dir")}/target/graft_derived/" +
+        s"lsh_v$LshDerivedVersion/$tag/assign_cc${D6Iters}_" +
+        ConnectedComponentsProgram.getClass.getSimpleName.stripSuffix("$")
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         val pairs = lshPairsMaterialized(s, d)
           .select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -1008,7 +1008,7 @@ object GraphQueries {
       .select(col("id"), col("value").cast("long").as("component")).orderBy("id")
 
   def g5TriangleCount(s: SparkSession, d: String): DataFrame =
-    GraphOps.triangleCountViaIntersect(
+    GraphOps.triangleCountAuto(
       partPairsMaterialized(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** g19: the fmt=1111 subgraph writer/reader under the oracle gate —
@@ -1041,16 +1041,14 @@ object GraphQueries {
         greatest(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Broadcast-adjacency intersect (the g5 kernel), grouped by the apex
-    // vertex's owner: each triangle x<y<z is counted once at edge (x,y),
-    // so grouping the per-edge intersect sums by pmod(src) attributes it
-    // to min-vertex's part — the 3-way wedge self-join this replaces
-    // materialized the Σdeg² wedge set (~9 s at sf0.1 vs ~1.5 s).
-    val tri = GraphOps.edgesWithAdjacency(canon)
-      .groupBy(pmod(col("src"), lit(3L)).as("part"))
-      .agg(coalesce(sum(call_function("graft_sorted_intersect_count",
-          col("asrc"), col("adst"))), lit(0L))
-        .cast("long").as("n_triangles"))
+    // Kernel-selected triangle count grouped by the apex vertex's owner:
+    // each triangle x<y<z is counted once at its min vertex x, so
+    // grouping by pmod(x) attributes it to min-vertex's part. The
+    // selector picks the broadcast-adjacency intersect while the
+    // adjacency fits the broadcast budget (the 3-way wedge self-join it
+    // replaced materialized the Σdeg² wedge set — ~9 s at sf0.1 vs
+    // ~1.5 s) and falls back to the shuffle wedge join beyond it.
+    val tri = GraphOps.triangleCountByGroup(canon, x => pmod(x, lit(3L)))
     stats.join(tri, Seq("part"), "left_outer")
       .select(col("part"), col("nvtxs"), col("nedges"), col("cut_edges"),
         col("cut_pct"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))

@@ -31,6 +31,15 @@ object TemporalQueries {
   /** Range-join gap: 30 minutes, in microseconds. */
   private val GapUs = 1800L * 1000000L
 
+  /** Exact epoch-day: FLOOR division of `unix_micros(ts)` by 86400e6.
+    * Spark's `DIV` truncates toward zero while DuckDB's `//` floors, so
+    * for any pre-1970 timestamp a bare DIV is one day high (the q67
+    * negative-division divergence class, ADVICE r7). `pmod` is
+    * non-negative, so `(x − pmod(x, b)) DIV b` is floor division in
+    * exact integer arithmetic — no double rounding at µs magnitudes. */
+  private def epochDay: org.apache.spark.sql.Column =
+    expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000")
+
   /** q24: as-of join clicks → latest view at-or-before, per user. */
   def q24AsofJoin(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
@@ -286,12 +295,11 @@ object TemporalQueries {
     * the distinct (user, day) activity set — already keyed by user from
     * the first shuffle) and a final count per (cohort, offset) — no
     * window over raw events, no self-join. Day arithmetic in exact
-    * epoch-day integers (µs DIV 86400e6 — the events span days, so
+    * epoch-day integers ([[epochDay]] — the events span days, so
     * day granularity gives a real matrix where weeks would collapse). */
   def q59CohortRetention(s: SparkSession, d: String): DataFrame = {
     val act = Tables.events(s, d)
-      .select(col("user_id"),
-        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .select(col("user_id"), epochDay.as("day"))
       .distinct()
     val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     val sizes = first.groupBy(col("cohort_day"))
@@ -316,12 +324,11 @@ object TemporalQueries {
     * then a min-aggregate per user for first-seen and two day-keyed
     * counts; the running sum is a window over the DAY dimension (rows =
     * days observed, bounded at any event volume), never over raw
-    * events. Epoch-day integers end-to-end (µs DIV 86400e6). */
+    * events. Epoch-day integers end-to-end ([[epochDay]]). */
   def q64CumulativeUsers(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val act = Tables.events(s, d)
-      .select(col("user_id"),
-        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .select(col("user_id"), epochDay.as("day"))
       .distinct()
     val daily = act.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
     val firsts = act.groupBy(col("user_id")).agg(min(col("day")).as("day"))

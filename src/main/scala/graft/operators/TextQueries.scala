@@ -630,12 +630,21 @@ object TextQueries {
       sum(col("cnt")).as("n_tokens"),
       count(lit(1)).as("n_types"),
       sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    // LEFT join + zero-guarded denominators (greatest(x, 1), the q65
+    // pre-scaled-denominator convention): a source whose documents all
+    // tokenize to zero words still gets its report row (n_docs with
+    // zero counters) instead of vanishing — or erroring under ANSI
+    // divide-by-zero (ADVICE r7).
     docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .join(stats, "source")
+      .join(stats, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
         col("n_hapax"),
-        expr("(1000000 * n_types) DIV n_tokens").as("ttr_ppm"),
-        expr("(1000000 * n_hapax) DIV n_types").as("hapax_ppm"))
+        expr("(1000000 * n_types) DIV greatest(n_tokens, 1)").as("ttr_ppm"),
+        expr("(1000000 * n_hapax) DIV greatest(n_types, 1)").as("hapax_ppm"))
       .orderBy("source")
   }
 
@@ -682,11 +691,15 @@ object TextQueries {
          |  FROM wc GROUP BY source),
          |nd AS (SELECT source, count(*) AS n_docs FROM documents
          |  GROUP BY source)
-         |SELECT nd.source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
-         |  CAST(n_types AS BIGINT) AS n_types, n_hapax,
-         |  (1000000 * CAST(n_types AS BIGINT)) // n_tokens AS ttr_ppm,
-         |  (1000000 * n_hapax) // CAST(n_types AS BIGINT) AS hapax_ppm
-         |FROM nd JOIN st ON nd.source = st.source
+         |SELECT nd.source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(n_types, 0) AS BIGINT) AS n_types,
+         |  CAST(coalesce(n_hapax, 0) AS BIGINT) AS n_hapax,
+         |  (1000000 * CAST(coalesce(n_types, 0) AS BIGINT))
+         |    // greatest(coalesce(n_tokens, 1), 1) AS ttr_ppm,
+         |  (1000000 * CAST(coalesce(n_hapax, 0) AS BIGINT))
+         |    // greatest(CAST(coalesce(n_types, 1) AS BIGINT), 1) AS hapax_ppm
+         |FROM nd LEFT JOIN st ON nd.source = st.source
          |ORDER BY nd.source""".stripMargin,
     "t17_zipf" ->
       s"""WITH w AS (SELECT unnest($sqlWords) AS word FROM documents),

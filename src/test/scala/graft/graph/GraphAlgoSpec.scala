@@ -82,6 +82,37 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraphOps.triangleCountViaIntersect(tf).first().getLong(0) === 0L)
   }
 
+  test("triangle kernel selector: both forced regimes agree, kernels actually differ") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val e = edgeDf(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L,
+      3L -> 5L, 1L -> 5L)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    def grouped(): Map[Long, Long] =
+      GraphOps.triangleCountByGroup(e, x => pmod(x, lit(2L))).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      // regime 1: adjacency fits → broadcast-adjacency intersect kernel
+      spark.conf.set(key, "10485760")
+      assert(GraphOps.adjacencyFitsBroadcast(e))
+      val broadcastTotal = GraphOps.triangleCountAuto(e).first().getLong(0)
+      val broadcastGroups = grouped()
+      assert(GraphOps.triangleCountAuto(e).queryExecution.executedPlan.toString
+        .contains("graft_sorted_intersect_count"))
+      // regime 2: adjacency exceeds the budget → shuffle wedge join
+      spark.conf.set(key, "1")
+      assert(!GraphOps.adjacencyFitsBroadcast(e))
+      val wedgeTotal = GraphOps.triangleCountAuto(e).first().getLong(0)
+      val wedgeGroups = grouped()
+      assert(!GraphOps.triangleCountAuto(e).queryExecution.executedPlan.toString
+        .contains("graft_sorted_intersect_count"))
+      assert(broadcastTotal === wedgeTotal)
+      assert(broadcastTotal === GraphOps.triangleCount(e))
+      assert(broadcastGroups === wedgeGroups)
+      assert(broadcastGroups.values.sum === broadcastTotal)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("per-vertex triangle counts credit all corners") {
     val per = GraphOps.triangleCounts(edgeDf(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L))
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
