@@ -368,13 +368,109 @@ object SimilarityQueries {
     assign(cent)
   }
 
+  /** Two-level (hierarchical) integer-Lloyd's cell build for the
+    * derived-k family (s15/s16/s17/s18) — the r8 fix for the one
+    * documented super-linear plan left in the surface: flat
+    * nearest-of-k assignment is O(N·k·d) compute, and with k = N/[[
+    * SemCellTarget]] that is O(N²) — the sf1 probe measured it at 6.9×
+    * for 10× data and the sf10 (100×) arithmetic says ~an hour. The
+    * hierarchy is the IVF/coarse-quantizer design every production ANN
+    * system uses: k1 = ⌈√k⌉ coarse cells via [[KmIters]] Lloyd rounds
+    * (argmin over k1 centroids), then within each coarse cell an
+    * independent fine Lloyd over fpc = ⌈k/k1⌉ centroids (argmin over
+    * the OWN cell's fpc centroids only — an equi-join on the coarse id,
+    * not a cross join). Assignment compute drops to O(N·√k·d); the
+    * final cell id is `cc·fpc + fidx` (injective: fidx < fpc).
+    *
+    * SemDeDup's contract is cells-of-bounded-occupancy with semantic
+    * locality + EXACT radius verification within cells (Abbas et al.
+    * 2023 §3 builds its cells with faiss — approximate clustering is
+    * the reference behavior, not a concession); the hierarchy changes
+    * which cells the verify runs in, never the verify itself. Every
+    * step is the same exact-BIGINT arithmetic as [[kmeansAssignArray]]
+    * (quantized components, integer-div means, (d2, id) struct-min
+    * ties), and the oracle unrolls the identical two-level chain —
+    * bit-identical cells across engines and partitionings.
+    *
+    * Determinism details the oracle mirrors: coarse init = vectors with
+    * vec_id < k1; fine init within a coarse cell = its fpc lowest
+    * vec_ids (rank by vec_id — a window PARTITIONED by coarse cell,
+    * never global); empty (coarse or fine) clusters keep their previous
+    * centroid; fine ties break by lowest fidx. */
+  private[operators] def hierarchicalCellAssign(
+      s: SparkSession, d: String, k: Long): DataFrame = {
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toLong
+    val fpc = (k + k1 - 1) / k1
+    val qa = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d2 = aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    // ---- coarse level: k1 centroids, broadcast argmin (declared scalar
+    // cross join — k1 = O(√k) rows) ----
+    def assignCoarse(cent: DataFrame): DataFrame =
+      qa.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cluster"), d2.as("d2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"))
+    var ccent = qa.where(col("vec_id") < k1)
+      .select(col("vec_id").as("cluster"), col("qv").as("cv"))
+    for (_ <- 1 to KmIters) {
+      val sums = qa.join(assignCoarse(ccent), "vec_id")
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "qd")))
+        .groupBy("cluster", "dim")
+        .agg(expr("sum(qd) DIV count(1)").as("ncd"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("ncd")))),
+          x => x.getField("ncd")).as("ncv"))
+      ccent = ccent.join(sums, Seq("cluster"), "left_outer")
+        .select(col("cluster"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .materialize()
+    }
+    val ca = qa.join(assignCoarse(ccent).withColumnRenamed("cluster", "cc"), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ---- fine level: fpc centroids per coarse cell, equi-join argmin ----
+    val wf = Window.partitionBy(col("cc")).orderBy(col("vec_id"))
+    var fcent = ca.select(col("cc"), col("vec_id"), col("qv"),
+        (row_number().over(wf) - 1).as("fidx"))
+      .where(col("fidx") < fpc)
+      .select(col("cc"), col("fidx"), col("qv").as("cv"))
+      .materialize()
+    def assignFine(cent: DataFrame): DataFrame =
+      ca.join(cent, "cc")
+        .select(col("vec_id"), col("cc"), col("fidx"), d2.as("d2"))
+        .groupBy("vec_id", "cc")
+        .agg(min(struct(col("d2"), col("fidx"))).as("m"))
+        .select(col("vec_id"), col("cc"), col("m.fidx").as("fidx"),
+          col("m.d2").as("d2"))
+    for (_ <- 1 to KmIters) {
+      val sums = assignFine(fcent).join(ca.select("vec_id", "qv"), "vec_id")
+        .select(col("cc"), col("fidx"), posexplode(col("qv")).as(Seq("dim", "qd")))
+        .groupBy("cc", "fidx", "dim")
+        .agg(expr("sum(qd) DIV count(1)").as("ncd"))
+        .groupBy("cc", "fidx")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("ncd")))),
+          x => x.getField("ncd")).as("ncv"))
+      fcent = fcent.join(sums, Seq("cc", "fidx"), "left_outer")
+        .select(col("cc"), col("fidx"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .materialize()
+    }
+    assignFine(fcent)
+      .select(col("vec_id"), (col("cc") * fpc + col("fidx")).as("cluster"),
+        col("d2"))
+  }
+
   /** Derive-once cell assignment shared by s15/s16 (the dedup-family
     * materialization discipline): the derived-k Lloyd's output
     * (vec_id, cluster, d2) is written to parquet keyed by the source
     * fingerprint; whichever of s15/s16 runs first pays the build, the
     * other reads ~free. Deterministic content (exact integer pipeline)
     * makes the cache partitioning-safe. */
-  private val CellsDerivedVersion = 1
+  // v2: two-level hierarchical build (r8) — the flat v1 nearest-of-k
+  // assignment was O(N·k·d) with k ∝ N.
+  private val CellsDerivedVersion = 2
   private[operators] def cellAssignMaterialized(s: SparkSession, d: String): DataFrame =
     synchronized {
       val path = s"${sys.props("user.dir")}/target/graft_derived/" +
@@ -382,7 +478,7 @@ object SimilarityQueries {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         val n = Tables.embeddings(s, d).count()
         val k = math.max(KmK.toLong, n / SemCellTarget)
-        kmeansAssignArray(s, d, k).write.mode("overwrite").parquet(path)
+        hierarchicalCellAssign(s, d, k).write.mode("overwrite").parquet(path)
       }
       s.read.parquet(path)
     }
@@ -998,32 +1094,94 @@ object SimilarityQueries {
     * s15 oracles so both sides of SemDeDup see the identical cells.
     * `kSql` is the cluster count as a SQL expression: s4 pins the
     * constant [[KmK]]; s15 derives k from N exactly as the engine does. */
-  private def kmeansOracleCtes(kSql: String = KmK.toString): String = {
-    def assignCte(name: String, c: String) =
-      s"""$name AS (SELECT vec_id, cluster, d2 FROM (
-         |  SELECT q.vec_id, c.cluster,
-         |    sum((q.qd - c.cd) * (q.qd - c.cd)) AS d2,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY sum((q.qd - c.cd) * (q.qd - c.cd)), c.cluster) AS rn
-         |  FROM q JOIN $c c ON q.dim = c.dim
-         |  GROUP BY q.vec_id, c.cluster) WHERE rn = 1)""".stripMargin
-    def updateCte(name: String, a: String, prev: String) =
-      s"""$name AS (SELECT p.cluster, p.dim, coalesce(n.ncd, p.cd) AS cd
-         |  FROM $prev p LEFT JOIN (
-         |    SELECT a.cluster, q.dim, CAST(sum(q.qd) AS BIGINT) // count(*) AS ncd
-         |    FROM q JOIN $a a ON q.vec_id = a.vec_id
-         |    GROUP BY a.cluster, q.dim) n
-         |  ON p.cluster = n.cluster AND p.dim = n.dim)""".stripMargin
-    val rounds = (1 to KmIters).map { i =>
-      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i", s"c${i - 1}")
-    }.mkString(",\n")
+  /** Quantized per-dim view of the embeddings table (the oracle twin of
+    * the engine's `round((x+1)*QScale)` long arrays). */
+  private val kmQCte: String =
     s"""q AS (SELECT vec_id, u.pos - 1 AS dim,
        |    CAST(round((CAST(u.x AS DOUBLE) + 1.0) * $QScale) AS BIGINT) AS qd
        |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS x,
-       |    generate_subscripts(embedding, 1) AS pos) u),
+       |    generate_subscripts(embedding, 1) AS pos) u)""".stripMargin
+
+  private def kmAssignCte(name: String, c: String): String =
+    s"""$name AS (SELECT vec_id, cluster, d2 FROM (
+       |  SELECT q.vec_id, c.cluster,
+       |    sum((q.qd - c.cd) * (q.qd - c.cd)) AS d2,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY sum((q.qd - c.cd) * (q.qd - c.cd)), c.cluster) AS rn
+       |  FROM q JOIN $c c ON q.dim = c.dim
+       |  GROUP BY q.vec_id, c.cluster) WHERE rn = 1)""".stripMargin
+
+  private def kmUpdateCte(name: String, a: String, prev: String): String =
+    s"""$name AS (SELECT p.cluster, p.dim, coalesce(n.ncd, p.cd) AS cd
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT a.cluster, q.dim, CAST(sum(q.qd) AS BIGINT) // count(*) AS ncd
+       |    FROM q JOIN $a a ON q.vec_id = a.vec_id
+       |    GROUP BY a.cluster, q.dim) n
+       |  ON p.cluster = n.cluster AND p.dim = n.dim)""".stripMargin
+
+  private def kmeansOracleCtes(kSql: String = KmK.toString): String = {
+    val rounds = (1 to KmIters).map { i =>
+      kmAssignCte(s"a$i", s"c${i - 1}") + ",\n" + kmUpdateCte(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""$kmQCte,
        |c0 AS (SELECT vec_id AS cluster, dim, qd AS cd FROM q WHERE vec_id < ($kSql)),
        |$rounds,
-       |${assignCte("aout", s"c$KmIters")}""".stripMargin
+       |${kmAssignCte("aout", s"c$KmIters")}""".stripMargin
+  }
+
+  /** Unrolled TWO-LEVEL Lloyd's CTE chain — the oracle twin of
+    * [[hierarchicalCellAssign]], `q` → coarse rounds `hc0..hcK` →
+    * coarse assignment `hca` → per-coarse-cell fine rounds `fc0..fcK`
+    * → `aout(vec_id, cluster, d2)` with `cluster = cc·fpc + fidx`.
+    * Shared by the s15/s16/s17/s18 oracles so all four see the
+    * identical hierarchical cells the engine materializes. */
+  private def hierKmeansOracleCtes(kSql: String): String = {
+    val coarseRounds = (1 to KmIters).map { i =>
+      kmAssignCte(s"ha$i", s"hc${i - 1}") + ",\n" +
+        kmUpdateCte(s"hc$i", s"ha$i", s"hc${i - 1}")
+    }.mkString(",\n")
+    def fineAssignCte(name: String, c: String) =
+      s"""$name AS (SELECT vec_id, cc, fidx, d2 FROM (
+         |  SELECT q.vec_id, v.cc, c.fidx,
+         |    sum((q.qd - c.cd) * (q.qd - c.cd)) AS d2,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY sum((q.qd - c.cd) * (q.qd - c.cd)), c.fidx) AS rn
+         |  FROM q JOIN hca v ON q.vec_id = v.vec_id
+         |       JOIN $c c ON c.cc = v.cc AND q.dim = c.dim
+         |  GROUP BY q.vec_id, v.cc, c.fidx) WHERE rn = 1)""".stripMargin
+    def fineUpdateCte(name: String, a: String, prev: String) =
+      s"""$name AS (SELECT p.cc, p.fidx, p.dim, coalesce(n.ncd, p.cd) AS cd
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.cc, a.fidx, q.dim,
+         |      CAST(sum(q.qd) AS BIGINT) // count(*) AS ncd
+         |    FROM q JOIN $a a ON q.vec_id = a.vec_id
+         |    GROUP BY a.cc, a.fidx, q.dim) n
+         |  ON p.cc = n.cc AND p.fidx = n.fidx AND p.dim = n.dim)""".stripMargin
+    val fineRounds = (1 to KmIters).map { i =>
+      fineAssignCte(s"fa$i", s"fc${i - 1}") + ",\n" +
+        fineUpdateCte(s"fc$i", s"fa$i", s"fc${i - 1}")
+    }.mkString(",\n")
+    s"""$kmQCte,
+       |hp AS (SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k1,
+       |    (k + CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) - 1)
+       |      // CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS fpc
+       |  FROM (SELECT CAST(($kSql) AS BIGINT) AS k)),
+       |hc0 AS (SELECT vec_id AS cluster, dim, qd AS cd FROM q
+       |  WHERE vec_id < (SELECT k1 FROM hp)),
+       |$coarseRounds,
+       |${kmAssignCte("hout", s"hc$KmIters")},
+       |hca AS MATERIALIZED (SELECT vec_id, cluster AS cc FROM hout),
+       |fiv AS (SELECT vec_id, cc,
+       |    row_number() OVER (PARTITION BY cc ORDER BY vec_id) - 1 AS fidx
+       |  FROM hca),
+       |fc0 AS MATERIALIZED (SELECT f.cc, f.fidx, q.dim, q.qd AS cd
+       |  FROM fiv f JOIN q ON f.vec_id = q.vec_id
+       |  WHERE f.fidx < (SELECT fpc FROM hp)),
+       |$fineRounds,
+       |${fineAssignCte("fout", s"fc$KmIters")},
+       |aout AS MATERIALIZED (SELECT vec_id,
+       |    cc * (SELECT fpc FROM hp) + fidx AS cluster, d2
+       |  FROM fout)""".stripMargin
   }
 
   /** SQL form of [[planeComponent]] for a plane-index expression `j`
@@ -1298,7 +1456,7 @@ object SimilarityQueries {
          |FROM qq LEFT JOIN cc ON qq.query_id = cc.query_id, tot
          |ORDER BY qq.query_id""".stripMargin,
     "s18_cell_separation" ->
-      s"""WITH ${kmeansOracleCtes(
+      s"""WITH ${hierKmeansOracleCtes(
              s"SELECT greatest($KmK, count(DISTINCT vec_id) // $SemCellTarget) FROM q")},
          |r AS (SELECT cluster, vec_id, d2, row_number() OVER (
          |    PARTITION BY cluster ORDER BY d2, vec_id) AS rn FROM aout),
@@ -1323,7 +1481,7 @@ object SimilarityQueries {
          |  sep_d2 < radius_d2 * 4 AS overlap_risk
          |FROM nr WHERE rn2 = 1 ORDER BY cluster""".stripMargin,
     "s17_coreset_sample" ->
-      s"""WITH ${kmeansOracleCtes(
+      s"""WITH ${hierKmeansOracleCtes(
              s"SELECT greatest($KmK, count(DISTINCT vec_id) // $SemCellTarget) FROM q")},
          |dr AS (SELECT cluster, vec_id,
          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1337,7 +1495,7 @@ object SimilarityQueries {
          |SELECT cluster, CAST(rank AS BIGINT) AS rank, vec_id, draw
          |FROM r WHERE rank <= $CoresetK ORDER BY cluster, rank""".stripMargin,
     "s16_cell_medoids" ->
-      s"""WITH ${kmeansOracleCtes(
+      s"""WITH ${hierKmeansOracleCtes(
              s"SELECT greatest($KmK, count(DISTINCT vec_id) // $SemCellTarget) FROM q")},
          |r AS (SELECT cluster, vec_id, d2,
          |    row_number() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS rn
@@ -1349,7 +1507,7 @@ object SimilarityQueries {
          |FROM p JOIN r ON p.cluster = r.cluster AND r.rn = 1
          |ORDER BY p.cluster""".stripMargin,
     "s15_semdedup" ->
-      s"""WITH ${kmeansOracleCtes(
+      s"""WITH ${hierKmeansOracleCtes(
              s"SELECT greatest($KmK, count(DISTINCT vec_id) // $SemCellTarget) FROM q")},
          |qa AS (SELECT vec_id, list(qd ORDER BY dim) AS qv FROM q GROUP BY vec_id),
          |m AS MATERIALIZED (SELECT qa.vec_id, aout.cluster, qa.qv

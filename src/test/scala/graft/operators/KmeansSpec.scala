@@ -32,6 +32,31 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("1") === run("7"))
   }
 
+  test("hierarchical cells (r8): total assignment, bounded ids, partition-invariant, two-level structure") {
+    // k = 9 → k1 = 3 coarse, fpc = 3 fine per coarse; cluster = cc*3+fidx
+    val k = 9L
+    def run(parts: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SimilarityQueries.hierarchicalCellAssign(spark, d, k).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    val a = run("1"); val b = run("7")
+    assert(a.toMap === b.toMap, "hierarchical assignment must be partition-invariant")
+    val n = graft.core.Tables.embeddings(spark, d).count()
+    assert(a.length === n)
+    assert(a.map(_._1).distinct.length === n)
+    // decode: fidx < fpc for every assigned cell; more than one coarse
+    // cell and more than one fine cell actually used (the hierarchy is
+    // engaged, not degenerate)
+    val fpc = 3L
+    val cells = a.map(_._2._1).distinct
+    assert(cells.forall(c => (c % fpc) < fpc && (c % fpc) >= 0))
+    assert(cells.map(_ / fpc).distinct.length > 1, "expected >1 coarse cell")
+    assert(cells.length > cells.map(_ / fpc).distinct.length,
+      "expected fine splitting within at least one coarse cell")
+  }
+
   test("PQ ADC (s6): full top-k per query, monotone, partition-invariant") {
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
@@ -113,8 +138,10 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     val n = graft.core.Tables.embeddings(spark, d).count()
     assert(rows.length === n)
-    // cells match the gated s4 assignment verbatim
-    val cells = SimilarityQueries.s4Kmeans(spark, d).collect()
+    // cells match the shared hierarchical cell build verbatim (r8: the
+    // derived-k family builds cells two-level; s4's flat k=4 Lloyd stays
+    // its own gated surface)
+    val cells = SimilarityQueries.cellAssignMaterialized(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { case (v, c, _, _) => assert(cells(v) === c, s"cell of $v") }
     // kept <=> dup_of == own id; every witness is a lower id in the SAME cell
@@ -130,7 +157,7 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cell medoids (s16): per-cell argmin, occupancy sums to N, radius bounds") {
     val rows = SimilarityQueries.s16CellMedoids(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    val asg = SimilarityQueries.s4Kmeans(spark, d).collect()
+    val asg = SimilarityQueries.cellAssignMaterialized(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.map(_._4).sum === asg.length) // occupancy accounts for every vector
     val byCell = asg.groupBy(_._2)
