@@ -298,18 +298,33 @@ object GraphOps {
       .cast("long").as("n_triangles"))
   }
 
+  /** Broadcast budget for the intersect kernel's adjacency table —
+    * deliberately its OWN knob, not `autoBroadcastJoinThreshold`: the
+    * 10 MB join default guards against broadcasting a join side per
+    * probe row, while this is ONE broadcast per query that replaces
+    * shuffling the Σdeg² wedge set (the r7 measurement: 1.5 s intersect
+    * vs ~9 s wedge at a 10 MB adjacency). 256 MB default — routine
+    * executor-memory territory on any real cluster; the wedge fallback
+    * covers everything beyond. */
+  private val AdjacencyBroadcastBytesKey = "spark.graft.adjacencyBroadcastBytes"
+  private val AdjacencyBroadcastBytesDefault = 256L << 20
+
   /** Kernel selector (VERDICT r7 item 3): does the canonical adjacency
-    * table fit the session's broadcast budget? The intersect kernel
-    * broadcasts |E| longs of adjacency (~24 bytes per edge entry as
-    * broadcast-relation rows, object headers included); beyond
-    * `autoBroadcastJoinThreshold` that broadcast is the failure mode the
-    * wedge-join formulations exist for. One count action on the (usually
-    * already persisted) edge frame — negligible next to the count
-    * itself. */
+    * table fit the broadcast budget? Estimated honestly from one
+    * aggregate pass over the (usually already persisted) edge frame:
+    * 8 bytes per edge entry (the packed long arrays) + ~48 per distinct
+    * source row (row + array headers), with `approx_count_distinct`
+    * for the row term — a budget decision, not arithmetic that needs
+    * exactness. */
   def adjacencyFitsBroadcast(canonicalEdges: DataFrame): Boolean = {
-    val threshold =
-      canonicalEdges.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    threshold > 0 && canonicalEdges.count() * 24L <= threshold
+    val budget = canonicalEdges.sparkSession.conf
+      .getOption(AdjacencyBroadcastBytesKey).map(_.toLong)
+      .getOrElse(AdjacencyBroadcastBytesDefault)
+    if (budget <= 0) return false
+    val r = canonicalEdges
+      .agg(count(lit(1)).as("e"), approx_count_distinct(col("src")).as("v"))
+      .first()
+    8L * r.getLong(0) + 48L * r.getLong(1) <= budget
   }
 
   /** Global triangle count with data-driven kernel choice: the

@@ -86,8 +86,7 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val e = edgeDf(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L,
       3L -> 5L, 1L -> 5L)
-    val key = "spark.sql.autoBroadcastJoinThreshold"
-    val saved = spark.conf.get(key)
+    val key = "spark.graft.adjacencyBroadcastBytes"
     def grouped(): Map[Long, Long] =
       GraphOps.triangleCountByGroup(e, x => pmod(x, lit(2L))).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -110,7 +109,7 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(broadcastTotal === GraphOps.triangleCount(e))
       assert(broadcastGroups === wedgeGroups)
       assert(broadcastGroups.values.sum === broadcastTotal)
-    } finally spark.conf.set(key, saved)
+    } finally spark.conf.unset(key)
   }
 
   test("per-vertex triangle counts credit all corners") {
