@@ -109,6 +109,30 @@ class GmrMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === orig.first().getLong(0))
   }
 
+  test("partition verb: locality mode writes readable parts that re-unite losslessly") {
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val base = java.nio.file.Files.createTempDirectory("gmr-loc").toString + "/4elt"
+    // 4elt: 15,606 vertices — big enough that LPA finds real communities
+    Gmr.partitionFiles(spark, s"$ref/4elt.graph", 3, base, mode = "locality")
+    val src = Gmr.load(spark, s"$ref/4elt.graph")
+    val reunited = (0 until 3)
+      .map(p => graft.io.GraphLoaders.metisSubgraph(spark, s"$base.subgraph.$p").edges)
+      .reduce(_ union _)
+    val canon = (df: org.apache.spark.sql.DataFrame) => df
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    assert(canon(reunited).count() === canon(src.edges).count())
+    // locality placement beats id-mod-parts on the mesh's edge cut
+    val (_, _, locCut) = graft.io.GraphLoaders.partitionImbalance(
+      graft.io.GraphLoaders.partitionStats(spark, base, 3))
+    val hashBase = java.nio.file.Files.createTempDirectory("gmr-hash").toString + "/4elt"
+    Gmr.partitionFiles(spark, s"$ref/4elt.graph", 3, hashBase)
+    val (_, _, hashCut) = graft.io.GraphLoaders.partitionImbalance(
+      graft.io.GraphLoaders.partitionStats(spark, hashBase, 3))
+    assert(locCut < hashCut, s"locality $locCut vs hash $hashCut on 4elt")
+  }
+
   test("corpus verb: writes one verdict row per document, matching d8 directly") {
     val out = java.nio.file.Files.createTempDirectory("gmr-corpus").toString + "/sel"
     val n = Gmr.curateCorpus(spark, "/root/testdata/sf0.001", out)

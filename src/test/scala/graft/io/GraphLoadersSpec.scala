@@ -179,6 +179,12 @@ class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraphLoaders.partitionStats(spark, s"$tmp/hash", parts))
     val assign = GraphLoaders.localityAssignment(
       graft.operators.GraphQueries.lpaLabelsMaterialized(spark, sf), parts)
+    // total function: every labeled id assigned exactly once, to a real part
+    val arows = assign.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(arows.length === arows.map(_._1).distinct.length)
+    assert(arows.forall { case (_, p) => p >= 0 && p < parts })
+    assert(arows.map(_._2).distinct.length === parts,
+      "capacity-split LPT must populate every part")
     GraphLoaders.writeMetisSubgraphs(g, parts, s"$tmp/loc", Some(assign))
     val (_, _, locCut) = GraphLoaders.partitionImbalance(
       GraphLoaders.partitionStats(spark, s"$tmp/loc", parts))
