@@ -491,10 +491,11 @@ object SimilarityQueries {
     * the reference's KMeans capability (`/root/reference/algorithms.h:
     * 212-250`): cluster, then compare ONLY within cells.
     *
-    * Pipeline: [[kmeansAssignArray]] cells (derive-once materialized,
-    * shared with s16 — [[cellAssignMaterialized]]) with k DERIVED from
-    * a one-row `count()` — k = max(4, N/[[SemCellTarget]]), the s9
-    * discipline: the scale knob moves with N, so cell occupancy stays
+    * Pipeline: [[hierarchicalCellAssign]] cells (derive-once
+    * materialized, shared with s16/s17/s18 —
+    * [[cellAssignMaterialized]]) with k DERIVED from a one-row
+    * `count()` — k = max(4, N/[[SemCellTarget]]), the s9 discipline:
+    * the scale knob moves with N, so cell occupancy stays
     * O([[SemCellTarget]]) and the within-cell pair volume stays O(N) at
     * any corpus size (a fixed k measured 47× time at 10× data — cells
     * held 10× the vectors, ~100× the pairs). Then: per-cell self-join on
@@ -506,13 +507,14 @@ object SimilarityQueries {
     * column is total and null-free).
     *
     * Scale shape: the candidate join is an equi-join on the cell id
-    * (one shuffle, never a global cross product); centroids are k rows
-    * — broadcast (the declared centroid cross join, the s3 anchor
-    * pattern); the embedding column is scanned once and carried as a
-    * quantized array, never re-read. The assignment leg is O(N·k·d)
-    * compute with no shuffle growth; at extreme k the production
-    * refinement is IVF-style coarse-probing of centroids (s7's
-    * composition), which changes no semantics here. Everything is exact
+    * (one shuffle, never a global cross product); coarse centroids are
+    * ⌈√k⌉ rows — broadcast (the declared cross join, the s3 anchor
+    * pattern) — and fine centroids equi-join on the coarse id; the
+    * embedding column is scanned once and carried as a quantized
+    * array, never re-read. The assignment leg is O(N·√k·d) via the
+    * two-level build (the r7-documented IVF coarse-probe refinement,
+    * landed r8 — sf10 measures 3.6×/decade where flat arithmetic said
+    * ~quadratic). Everything is exact
     * BIGINT arithmetic, so the dup/kept frontier is bit-identical
     * across any partitioning and in the DuckDB oracle (whose CTE chain
     * derives the same k via a scalar subquery). */
