@@ -108,14 +108,19 @@ object Gmr {
     * mode `random` (default) = `id mod parts` (the reference's random
     * partitioner); mode `zoltan`/`locality` = LPA communities balanced
     * into parts (GraphLoaders.localityAssignment — the reference's
-    * cut-minimizing Zoltan path, `gmr.cpp:107-167`). */
+    * cut-minimizing Zoltan path, `gmr.cpp:107-167`). `lpaIters` trades
+    * partitioning time for cut quality — more iterations merge mesh
+    * fragments into larger communities (each iteration is two O(E)
+    * shuffles, the g8 cost model). */
   def partitionFiles(spark: SparkSession, graphfile: String, parts: Int,
-                     outBase: String, mode: String = "random"): Unit = {
+                     outBase: String, mode: String = "random",
+                     lpaIters: Int = 5): Unit = {
     val g = load(spark, graphfile)
     val assignment = mode.toLowerCase match {
       case "zoltan" | "locality" =>
         Some(GraphLoaders.localityAssignment(
-          GraphOps.labelPropagation(g, 5).select(col("id"), col("label")), parts))
+          GraphOps.labelPropagation(g, lpaIters).select(col("id"), col("label")),
+          parts))
       case _ => None
     }
     GraphLoaders.writeMetisSubgraphs(g, parts, outBase, assignment)
@@ -173,10 +178,11 @@ object Gmr {
         else s"${sys.props("user.dir")}/target/partitioned/" +
           new java.io.File(graphfile).getName
       val mode = if (args.length > 4) args(4) else "random"
+      val lpaIters = if (args.length > 5) args(5).toInt else 5
       new java.io.File(outBase).getParentFile.mkdirs()
       val spark = graft.core.GraftSession.get(
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      partitionFiles(spark, graphfile, parts, outBase, mode)
+      partitionFiles(spark, graphfile, parts, outBase, mode, lpaIters)
       println(s"[gmr] wrote $parts subgraph files at $outBase.subgraph.* (mode=$mode)")
       spark.stop()
       return
