@@ -154,8 +154,10 @@ object GraphLoaders {
     * hash-partition convention, SURVEY §2.1 O7) or an explicit
     * `(id, part)` assignment frame — the [[localityAssignment]] path,
     * the engine's analog of the reference's Zoltan locality partitioner
-    * (`gmr.cpp:107-167`, O8). Neighbors are listed in ascending id
-    * order so the output is deterministic.
+    * (`gmr.cpp:107-167`, O8). The assignment frame must carry AT MOST
+    * one row per id (a duplicate id duplicates that vertex's line);
+    * ids it misses fall back to `id mod parts`. Neighbors are listed
+    * in ascending id order so the output is deterministic.
     *
     * The line construction is fully distributed (per-vertex adjacency
     * grouping — one shuffle); only the final per-part file emission is a

@@ -393,10 +393,13 @@ object SimilarityQueries {
     * bit-identical cells across engines and partitionings.
     *
     * Determinism details the oracle mirrors: coarse init = vectors with
-    * vec_id < k1; fine init within a coarse cell = its fpc lowest
-    * vec_ids (rank by vec_id — a window PARTITIONED by coarse cell,
-    * never global); empty (coarse or fine) clusters keep their previous
-    * centroid; fine ties break by lowest fidx. */
+    * vec_id < k1 (the s4 dense-id convention — an id space that does
+    * not start near 0 degenerates to an empty centroid set; normalize
+    * ids upstream, as the testdata does); fine init within a coarse
+    * cell = its fpc lowest vec_ids (rank by vec_id — a window
+    * PARTITIONED by coarse cell, never global); empty (coarse or fine)
+    * clusters keep their previous centroid; fine ties break by lowest
+    * fidx. */
   private[operators] def hierarchicalCellAssign(
       s: SparkSession, d: String, k: Long): DataFrame = {
     val k1 = math.ceil(math.sqrt(k.toDouble)).toLong
