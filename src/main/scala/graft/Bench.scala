@@ -39,30 +39,44 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg
     def timeOne(name: String,
-                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop caches/checkpoint blocks between queries (not billed to the
       // query) so block-manager pressure from iterative queries doesn't
       // poison later measurements in the shared local-mode JVM.
       spark.catalog.clearCache()
       System.gc()
-      dt
+      (dt, ok)
     }
     // Stability protocol (VERDICT r7 item 6): the documented
     // highest-variance queries (g19's tiny-data write jobs magnify
     // scheduler/JIT latency under co-tenant load, 9.5-31.9 s observed on
     // identical code) run TWICE with the min reported — encoding the
     // "chase regressions only on a quiet host" rule in the artifact
-    // itself instead of the round narrative.
+    // itself instead of the round narrative. A failed run's (short)
+    // elapsed time never wins the min over a successful one.
     val minOfTwo = Set("g19_partition_roundtrip")
+    val minOfTwoRan = selected.exists(s => minOfTwo(s._1))
     val results = selected.map { case (name, fn) =>
-      val t1 = timeOne(name, fn)
-      val dt = if (minOfTwo(name)) math.min(t1, timeOne(name, fn)) else t1
+      val (t1, ok1) = timeOne(name, fn)
+      val dt =
+        if (minOfTwo(name)) {
+          val (t2, ok2) = timeOne(name, fn)
+          (ok1, ok2) match {
+            case (true, true)  => math.min(t1, t2)
+            case (true, false) => t1
+            case (false, true) => t2
+            case _             => math.max(t1, t2)
+          }
+        } else t1
       name -> dt
     }
     val total = results.map(_._2).sum
@@ -85,7 +99,7 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val meta = f""""unit":"sec","sf":"$sfDir","load":$load%.2f,""" +
-      f""""load_start":$loadStart%.2f,"g19_min_of_two":true,"n":${results.size}"""
+      f""""load_start":$loadStart%.2f,"g19_min_of_two":$minOfTwoRan,"n":${results.size}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(f"""{"metric":"total","value":$total%.3f,$meta,"queries":$fullQs}""")

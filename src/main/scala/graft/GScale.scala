@@ -64,12 +64,17 @@ object GScale {
       .withColumn("text",
         if (k == 0) col("text")
         else regexp_replace(col("text"), "(\\S+\\s+\\S+)\\s+", s"$$1 decatag$k ")))
+    // Sign-flip with probability exactly 1/2 per dimension: two copies
+    // then differ in sign on E[1/2] of dims, so cross-copy expected
+    // cosine is 0 (a 1/3 flip rate leaves E[cos] ≈ 1/3·within-copy —
+    // residual correlation that inflates cross-copy LSH collisions and
+    // pollutes the scaling probe; caught in the r8 self-review).
     replicate("embeddings", (df, k) => df
       .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
       .withColumn("embedding",
         if (k == 0) col("embedding")
         else transform(col("embedding"), (x, i) =>
-          when(pmod(xxhash64(i * lit(64) + lit(k)), lit(3)) === 0, -x).otherwise(x))))
+          when(pmod(xxhash64(i * lit(64) + lit(k)), lit(2)) === 0, -x).otherwise(x))))
     replicate("lineitem", (df, k) => df
       .withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
       .withColumn("l_partkey", col("l_partkey") + lit(k * 100000000L)))

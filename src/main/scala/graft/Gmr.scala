@@ -121,7 +121,10 @@ object Gmr {
         Some(GraphLoaders.localityAssignment(
           GraphOps.labelPropagation(g, lpaIters).select(col("id"), col("label")),
           parts))
-      case _ => None
+      case "random" | "hash" => None
+      case other => throw new IllegalArgumentException(
+        s"unknown partition mode '$other' — use random (default) or zoltan/locality " +
+          "(a typo here would silently measure random against itself)")
     }
     GraphLoaders.writeMetisSubgraphs(g, parts, outBase, assignment)
   }

@@ -347,17 +347,31 @@ object GraphOps {
     * which re-keys triangles to the lowest-DEGREE corner and cannot
     * preserve the min-vertex attribution. */
   def triangleCountByGroup(canonicalEdges: DataFrame,
-                           group: Column => Column): DataFrame =
-    if (adjacencyFitsBroadcast(canonicalEdges))
-      edgesWithAdjacency(canonicalEdges)
-        .groupBy(group(col("src")).as("part"))
-        .agg(coalesce(sum(call_function("graft_sorted_intersect_count",
-            col("asrc"), col("adst"))), lit(0L))
-          .cast("long").as("n_triangles"))
-    else
-      triangles(canonicalEdges)
-        .groupBy(group(col("a")).as("part"))
-        .agg(count(lit(1)).cast("long").as("n_triangles"))
+                           group: Column => Column): DataFrame = {
+    // Uniform output contract for BOTH kernels: one row per group value
+    // present among the edges' min-vertices, zero-triangle groups
+    // included. Neither kernel supplies that on its own — the wedge
+    // join emits nothing for a triangle-less group, and the intersect
+    // kernel's adjacency join drops edges whose dst has no
+    // out-neighbors — so each sums into a left-join against the
+    // group dimension; without it the selector would change the row
+    // set whenever the data crossed the broadcast budget.
+    val groups = canonicalEdges.select(group(col("src")).as("part")).distinct()
+    val sums =
+      if (adjacencyFitsBroadcast(canonicalEdges))
+        edgesWithAdjacency(canonicalEdges)
+          .groupBy(group(col("src")).as("part"))
+          .agg(coalesce(sum(call_function("graft_sorted_intersect_count",
+              col("asrc"), col("adst"))), lit(0L))
+            .cast("long").as("n_triangles"))
+      else
+        triangles(canonicalEdges)
+          .groupBy(group(col("a")).as("part"))
+          .agg(count(lit(1)).cast("long").as("n_triangles"))
+    groups.join(sums, Seq("part"), "left_outer")
+      .select(col("part"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 
   /** The intersect formulation's edge frame with both endpoints'
     * broadcast adjacency arrays attached — shared by the global count

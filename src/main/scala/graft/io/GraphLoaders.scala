@@ -225,6 +225,13 @@ object GraphLoaders {
         .agg(count(lit(1)).as("nv"), sum(col("ne")).as("ne")).collect()
         .map(r => r.getLong(0) -> (r.getLong(1),
           Option(r.get(2)).map(_.toString.toLong).getOrElse(0L))).toMap
+      // An out-of-range owner would emit a part=p directory the header
+      // loop below never reads — vertices silently vanishing from the
+      // roundtrip. Reject it before anything is written.
+      val outOfRange = counts.keys.filter(p => p < 0 || p >= parts)
+      require(outOfRange.isEmpty,
+        s"assignment maps vertices to part(s) ${outOfRange.toSeq.sorted.mkString(",")} " +
+          s"outside [0, $parts) — was the assignment computed for a different part count?")
       (0 until parts).foreach { p =>
         val (nv, ne) = counts.getOrElse(p.toLong, (0L, 0L))
         require(nv > 0 && ne > 0,

@@ -410,29 +410,14 @@ object SimilarityQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d2 = aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
-    // ---- coarse level: k1 centroids, broadcast argmin (declared scalar
-    // cross join — k1 = O(√k) rows) ----
-    def assignCoarse(cent: DataFrame): DataFrame =
-      qa.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cluster"), d2.as("d2"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("cluster"))).as("m"))
-        .select(col("vec_id"), col("m.cluster").as("cluster"))
-    var ccent = qa.where(col("vec_id") < k1)
-      .select(col("vec_id").as("cluster"), col("qv").as("cv"))
-    for (_ <- 1 to KmIters) {
-      val sums = qa.join(assignCoarse(ccent), "vec_id")
-        .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "qd")))
-        .groupBy("cluster", "dim")
-        .agg(expr("sum(qd) DIV count(1)").as("ncd"))
-        .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("ncd")))),
-          x => x.getField("ncd")).as("ncv"))
-      ccent = ccent.join(sums, Seq("cluster"), "left_outer")
-        .select(col("cluster"), coalesce(col("ncv"), col("cv")).as("cv"))
-        .materialize()
-    }
-    val ca = qa.join(assignCoarse(ccent).withColumnRenamed("cluster", "cc"), "vec_id")
+    // ---- coarse level: EXACTLY the flat array-kernel Lloyd at k1
+    // (broadcast argmin over O(√k) centroid rows — one shared
+    // implementation, so any fix to the quantization/tie/update
+    // arithmetic cannot diverge between the flat and hierarchical
+    // builds) ----
+    val ca = qa.join(
+        kmeansAssignArray(s, d, k1).select(col("vec_id"), col("cluster").as("cc")),
+        "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ---- fine level: fpc centroids per coarse cell, equi-join argmin ----
     val wf = Window.partitionBy(col("cc")).orderBy(col("vec_id"))

@@ -109,6 +109,20 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(broadcastTotal === GraphOps.triangleCount(e))
       assert(broadcastGroups === wedgeGroups)
       assert(broadcastGroups.values.sum === broadcastTotal)
+      // Contract regression: a group with edges but ZERO triangles must
+      // appear (n_triangles = 0) in BOTH kernels — the wedge fallback
+      // originally dropped such rows, so the selector changed the
+      // output row set whenever the data crossed the broadcast budget.
+      val e0 = edgeDf(1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 5L)
+      def g0(): Map[Long, Long] =
+        GraphOps.triangleCountByGroup(e0, x => pmod(x, lit(2L))).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set(key, "10485760")
+      val bG = g0()
+      spark.conf.set(key, "1")
+      val wG = g0()
+      assert(bG === Map(0L -> 0L, 1L -> 1L))
+      assert(wG === bG)
     } finally spark.conf.unset(key)
   }
 
