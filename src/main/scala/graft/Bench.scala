@@ -62,7 +62,13 @@ object Bench {
     // identical code) run TWICE with the min reported — encoding the
     // "chase regressions only on a quiet host" rule in the artifact
     // itself instead of the round narrative. A failed run's (short)
-    // elapsed time never wins the min over a successful one.
+    // elapsed time never wins the min over a successful one. Caveat for
+    // SPARK_GRAFT_BENCH_ONLY subset runs on a clean workspace: run 1
+    // pays any derive-once parquet build and run 2 reads it, so the min
+    // is the warm number there — same semantics as the full bench,
+    // where earlier g-queries build the shared derivations before g19,
+    // but NOT a cold-build measurement (the subset-billing trap,
+    // SURVEY §6).
     val minOfTwo = Set("g19_partition_roundtrip")
     val minOfTwoRan = selected.exists(s => minOfTwo(s._1))
     val results = selected.map { case (name, fn) =>

@@ -24,6 +24,22 @@ object GScale {
 
   private val Copies = 10
 
+  /** Unrecorded JVM warmup that touches a scan, a hash projection, and
+    * a small shuffle WITHOUT running any probe: the earlier convention
+    * of warming with the head probe itself also wrote that probe's
+    * derive-once parquet artifacts, so its recorded small-SF leg read a
+    * warm cache while the large-SF leg paid the full cold build — the
+    * printed ratio then conflated cache state with scaling (caught in
+    * the r8 self-review; the first d3 sf10 reading of 225× was exactly
+    * this). Derive-once builds are now billed to whichever RECORDED run
+    * hits them first, identically on both sides. */
+  private def neutralWarmup(spark: SparkSession, dir: String): Unit = {
+    spark.read.parquet(s"$dir/lineitem.parquet").limit(1000).count()
+    spark.read.parquet(s"$dir/documents.parquet").limit(200)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy("h").count().count()
+  }
+
   /** Two-decade validation (`runMain graft.GScale sf10`, VERDICT r7
     * item 4): replicate the synthetic sf1 another 10× → sf10 = 100× the
     * driver's sf0.1, and probe just the derived-constant knobs
@@ -78,8 +94,6 @@ object GScale {
     replicate("lineitem", (df, k) => df
       .withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
       .withColumn("l_partkey", col("l_partkey") + lit(k * 100000000L)))
-    // s15 first: the unrecorded warmup uses the head probe, and d3 must
-    // not warm its own sf1 pair materialization before its recorded run.
     val all10 = Seq("s15_semdedup", "d3_minhash_lsh", "s9_knn_graph",
       "g1_pagerank")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -91,7 +105,7 @@ object GScale {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    probes.headOption.foreach(run(sf1, _)) // unrecorded warmup
+    neutralWarmup(spark, sf1)
     println(f"[gscale10] ${"query"}%-24s ${"sf1"}%8s ${"sf10"}%8s  ratio")
     probes.foreach { name =>
       val tSmall = run(sf1, name)
@@ -213,11 +227,7 @@ object GScale {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // Unrecorded warmup: the first query of a fresh JVM pays classload +
-    // codegen that nothing else does (the subset-billing trap, SURVEY
-    // §6) — without this the first probe's sf0.1 time is inflated and
-    // its ratio reads absurdly sub-linear.
-    probes.headOption.foreach(run(base, _))
+    neutralWarmup(spark, base)
     println(f"[gscale] ${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s  ratio")
     probes.foreach { name =>
       val tSmall = run(base, name)

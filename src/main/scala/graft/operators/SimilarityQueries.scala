@@ -445,9 +445,16 @@ object SimilarityQueries {
         .select(col("cc"), col("fidx"), coalesce(col("ncv"), col("cv")).as("cv"))
         .materialize()
     }
-    assignFine(fcent)
+    // Materialize the final assignment, then release the build-only
+    // cached frames — without this, qa and ca stay pinned in the block
+    // manager for the rest of the session after the one-shot build.
+    val out = assignFine(fcent)
       .select(col("vec_id"), (col("cc") * fpc + col("fidx")).as("cluster"),
         col("d2"))
+      .materialize()
+    qa.unpersist(blocking = false)
+    ca.unpersist(blocking = false)
+    out
   }
 
   /** Derive-once cell assignment shared by s15/s16 (the dedup-family

@@ -46,12 +46,15 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = graft.core.Tables.embeddings(spark, d).count()
     assert(a.length === n)
     assert(a.map(_._1).distinct.length === n)
-    // decode: fidx < fpc for every assigned cell; more than one coarse
-    // cell and more than one fine cell actually used (the hierarchy is
-    // engaged, not degenerate)
+    // decode: cluster = cc*fpc + fidx with cc < k1 and fidx < fpc, so
+    // every id must fall in [0, k1*fpc) = [0, 9) — an out-of-range fidx
+    // (broken fine-init window) would make the packing non-injective
+    // and land ids at 9+; more than one coarse cell and more than one
+    // fine cell actually used (the hierarchy is engaged, not degenerate)
     val fpc = 3L
     val cells = a.map(_._2._1).distinct
-    assert(cells.forall(c => (c % fpc) < fpc && (c % fpc) >= 0))
+    assert(cells.forall(c => c >= 0 && c < 3L * fpc),
+      s"cluster ids outside [0, 9): ${cells.filterNot(c => c >= 0 && c < 9).toSeq}")
     assert(cells.map(_ / fpc).distinct.length > 1, "expected >1 coarse cell")
     assert(cells.length > cells.map(_ / fpc).distinct.length,
       "expected fine splitting within at least one coarse cell")
