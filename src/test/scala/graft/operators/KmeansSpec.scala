@@ -60,6 +60,60 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected fine splitting within at least one coarse cell")
   }
 
+  test("hierarchical cells match an independent local Scala replay (k = 9)") {
+    // The DuckDB oracle replicates the same unrolled derivation, so a
+    // shared misconception could pass the parity gate; this replay is a
+    // third, in-JVM implementation of the spec'd algorithm (quantize →
+    // coarse Lloyd at k1=ceil(sqrt(k)) → per-coarse fine Lloyd at
+    // fpc=ceil(k/k1) → cc*fpc+fidx) over collected arrays.
+    val k = 9L
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toLong   // 3
+    val fpc = (k + k1 - 1) / k1                        // 3
+    val iters = 2                                      // KmIters
+    val vecs: Array[(Long, Array[Long])] =
+      graft.core.Tables.embeddings(spark, d).collect().map { r =>
+        val id = r.getLong(0)
+        val emb = r.getSeq[Float](1)
+        id -> emb.map(x => Math.round((x.toDouble + 1.0) * 1000000.0)).toArray
+      }.sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def lloyd(points: Seq[(Long, Array[Long])], init: Seq[(Long, Array[Long])])
+        : Map[Long, Long] = { // id -> centroid key after `iters` rounds
+      var cent = init.toMap
+      def assign(): Map[Long, Long] = points.map { case (id, v) =>
+        id -> cent.toSeq.map { case (c, cv) => (d2(v, cv), c) }.min._2
+      }.toMap
+      for (_ <- 1 to iters) {
+        val asg = assign()
+        val byC = points.groupBy { case (id, _) => asg(id) }
+        cent = cent.map { case (c, cv) =>
+          c -> byC.get(c).map { members =>
+            cv.indices.map(i =>
+              members.map(_._2(i)).sum / members.length).toArray
+          }.getOrElse(cv)
+        }
+      }
+      assign()
+    }
+    // coarse: init = vec_id < k1
+    val coarse = lloyd(vecs.toSeq,
+      vecs.filter(_._1 < k1).map { case (id, v) => id -> v }.toSeq)
+    // fine: per coarse group, init = fpc lowest vec_ids, keys 0..fpc-1
+    val expect: Map[Long, Long] =
+      vecs.groupBy { case (id, _) => coarse(id) }.toSeq.flatMap {
+        case (cc, members) =>
+          val sorted = members.sortBy(_._1)
+          val init = sorted.take(fpc.toInt).zipWithIndex
+            .map { case ((_, v), fi) => fi.toLong -> v }
+          val fine = lloyd(members.toSeq, init.toSeq)
+          members.toSeq.map { case (id, _) => id -> (cc * fpc + fine(id)) }
+      }.toMap
+    val got = SimilarityQueries.hierarchicalCellAssign(spark, d, k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
   test("PQ ADC (s6): full top-k per query, monotone, partition-invariant") {
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
