@@ -104,6 +104,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("every unpartitioned Window in a gated plan consumes a bounded input") {
+    // The r7/r8 audit class, made structural: a Window with an empty
+    // partitionSpec moves ALL rows through one task, so it is legal
+    // only over a frame already reduced to a bounded dimension — i.e.
+    // with an aggregate or a limit/top-k somewhere below it (q64's day
+    // frame, q65's supplier dim, q67's months, t17's top-k cut). A new
+    // query that ranks a raw fact table globally fails here before it
+    // ever reaches the bench.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec,
+      GlobalLimitExec, LocalLimitExec, CollectLimitExec}
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        flatten(plan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.filterNot { w =>
+          flatten(w.child).exists {
+            case _: BaseAggregateExec          => true
+            case _: TakeOrderedAndProjectExec  => true
+            case _: GlobalLimitExec            => true
+            case _: LocalLimitExec             => true
+            case _: CollectLimitExec           => true
+            case _                             => false
+          }
+        }.map(_ => name)
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over an unbounded input:\n${offenders.distinct.mkString("\n")}")
+  }
+
   test("q36_hist_quantiles plan has no exact-percentile SortAggregate") {
     val plan = graft.SparkEntry.queries("q36_hist_quantiles")(spark, sf)
       .queryExecution.executedPlan.toString
