@@ -33,6 +33,23 @@ object GScale {
     * the r8 self-review; the first d3 sf10 reading of 225× was exactly
     * this). Derive-once builds are now billed to whichever RECORDED run
     * hits them first, identically on both sides. */
+  /** Delete every derive-once cache entry (`target/graft_derived/
+    * <family>/<tag>/…`) whose tag keys on one of `dirs` — the sf10
+    * probe's both-sides-cold guarantee. Bounded work: the derived root
+    * holds one small parquet tree per (family, source-dir). */
+  private def wipeDerived(dirs: Seq[String]): Unit = {
+    val root = new java.io.File(s"${sys.props("user.dir")}/target/graft_derived")
+    val tags = dirs.map(graft.core.Derived.tag).toSet
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Option(root.listFiles()).foreach(_.foreach { family =>
+      Option(family.listFiles())
+        .foreach(_.filter(t => tags.contains(t.getName)).foreach(rm))
+    })
+  }
+
   private def neutralWarmup(spark: SparkSession, dir: String): Unit = {
     spark.read.parquet(s"$dir/lineitem.parquet").limit(1000).count()
     spark.read.parquet(s"$dir/documents.parquet").limit(200)
@@ -50,7 +67,16 @@ object GScale {
     * deterministic sign-flip pattern (cosine structure within a copy is
     * invariant under a fixed axis-reflection applied to every vector;
     * cross-copy expected cosine ~0) because the sf1 cyclic-shift trick
-    * runs out of distinct shifts past 64 copies. */
+    * runs out of distinct shifts past 64 copies.
+    *
+    * Billing symmetry: the required prior default-GScale sweep already
+    * wrote the sf1-side derive-once artifacts (cells, LSH signature and
+    * kNN caches keyed by the sf1 tag), so without intervention the
+    * recorded sf1 leg would read warm parquet while the sf10 leg paid
+    * its full cold build — a ratio that conflates cache state with
+    * scaling (ADVICE r8). [[wipeDerived]] therefore deletes every
+    * derive-once entry keyed on EITHER dir before the recorded runs:
+    * both legs pay the same cold build inside their own recorded run. */
   def sf10Main(): Unit = {
     val spark = graft.core.GraftSession.get(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -105,6 +131,7 @@ object GScale {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    wipeDerived(Seq(sf1, big))
     neutralWarmup(spark, sf1)
     println(f"[gscale10] ${"query"}%-24s ${"sf1"}%8s ${"sf10"}%8s  ratio")
     probes.foreach { name =>

@@ -38,15 +38,21 @@ object Derived {
       md.update(s"|$rel:${f.length()}:${f.lastModified()}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (sampleContent && f.isFile && f.length() > 0) {
-        val buf = new Array[Byte](4096)
+        // readFully, not a single read(): read() may legally return
+        // fewer bytes than requested even when more are available, and a
+        // short read would change the fingerprint nondeterministically
+        // across runs (spurious cache-key misses → rebuilds). Sample
+        // sizes are clamped to the file length so EOF cannot hit.
         val raf = new java.io.RandomAccessFile(f, "r")
         try {
-          val n = raf.read(buf)
-          if (n > 0) md.update(buf, 0, n)
+          val head = new Array[Byte](math.min(4096L, f.length()).toInt)
+          raf.readFully(head)
+          md.update(head)
           if (f.length() > 4096) {
-            raf.seek(math.max(0L, f.length() - 4096))
-            val m = raf.read(buf)
-            if (m > 0) md.update(buf, 0, m)
+            val tail = new Array[Byte](4096)
+            raf.seek(f.length() - 4096)
+            raf.readFully(tail)
+            md.update(tail)
           }
         } finally raf.close()
       }

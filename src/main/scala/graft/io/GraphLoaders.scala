@@ -292,11 +292,24 @@ object GraphLoaders {
     * greedily largest-first onto the least-loaded part (the LPT
     * bin-packing heuristic; greedy fills every part once before
     * doubling up, so no part is left empty while ≥ parts units exist);
-    * the long tail of small communities hashes by (label, bucket),
-    * spreading uniformly without materializing the label dimension on
+    * the long tail of small communities hashes by (label, bucket) into
+    * a part chosen through a residual-capacity-weighted slot table (see
+    * below), spreading without materializing the label dimension on
     * the driver. Each vertex picks up its unit's part through one
     * broadcast join with the hash fallback — the only shuffles are the
-    * label-size aggregate and the size join. */
+    * label-size aggregate and the size join.
+    *
+    * Tail balance (ADVICE r8): a uniform `pmod(hash, parts)` tail would
+    * hand every part a full 1/parts tail share even when the LPT heavy
+    * placement already loaded it near capacity, so total imbalance
+    * could exceed the cap the capacity-splitting aims for. The tail is
+    * therefore hashed into a fixed 1024-slot literal table where part i
+    * owns slots proportional to its RESIDUAL capacity max(0, cap −
+    * load_i) after the heavy placement — an O(1) `element_at` per row,
+    * no extra shuffle, and a (label, bucket) unit still maps to ONE
+    * slot so whole tail communities stay unsplit. The residual
+    * quantization bounds the added tail skew at 1/1024 of the tail
+    * mass per part. */
   def localityAssignment(labels: DataFrame, parts: Int,
                          heavyFactor: Int = 8): DataFrame = {
     val spark = labels.sparkSession
@@ -319,10 +332,29 @@ object GraphLoaders {
       (lbl, b, p.toLong)
     }
     val heavyDf = heavyAssign.toSeq.toDF("label", "bucket", "hpart")
+    // Residual-capacity slot table for the tail: slot s belongs to the
+    // part whose cumulative-residual interval contains s·R/1024. Parts
+    // at or over capacity get no slots; if nothing is under capacity
+    // (heavy units filled every part exactly) fall back to round-robin.
+    val NSlots = 1024
+    val resid = loads.map(l => math.max(0L, cap - l))
+    val totalResid = resid.sum
+    val slots: Array[Long] =
+      if (totalResid <= 0L) Array.tabulate(NSlots)(i => (i % parts).toLong)
+      else {
+        val cum = resid.scanLeft(0L)(_ + _)
+        Array.tabulate(NSlots) { s =>
+          val x = s.toLong * totalResid / NSlots
+          math.min(cum.lastIndexWhere(_ <= x), parts - 1).toLong
+        }
+      }
+    val slotArr = array(slots.map(lit): _*)
     sized.join(broadcast(heavyDf), Seq("label", "bucket"), "left_outer")
       .select(col("id"),
         coalesce(col("hpart"),
-          pmod(xxhash64(col("label"), col("bucket")), lit(parts.toLong))).as("part"))
+          element_at(slotArr,
+            (pmod(xxhash64(col("label"), col("bucket")), lit(NSlots.toLong)) + 1)
+              .cast("int"))).as("part"))
   }
 
   /** Partition-quality metrics over a set of fmt=1111 subgraph files —
