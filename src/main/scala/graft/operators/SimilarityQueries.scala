@@ -339,10 +339,27 @@ object SimilarityQueries {
     * linear). KmeansArrayParitySpec pins cell-for-cell equality with
     * the per-dim formulation at both k = 4 and a derived k > 4. */
   private[operators] def kmeansAssignArray(s: SparkSession, d: String, k: Long): DataFrame = {
-    val qa = Tables.embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"),
-          x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")).as("qv"))
+    val qa = quantizedArrays(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the assignment, then release the build-only cache —
+    // without this the quantized corpus stays pinned in the block
+    // manager for the rest of the session (ADVICE r8).
+    val out = kmeansAssignArrayOn(qa, k).materialize()
+    qa.unpersist(blocking = false)
+    out
+  }
+
+  /** The `(vec_id, qv)` quantized-array corpus frame shared by every
+    * array-kernel Lloyd build (same micro-unit quantization as the
+    * per-dim [[kmeansAssign]]). */
+  private def quantizedArrays(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")).as("qv"))
+
+  /** Core flat Lloyd over an already-persisted quantized frame — callers
+    * own `qa`'s persist/unpersist lifecycle. */
+  private def kmeansAssignArrayOn(qa: DataFrame, k: Long): DataFrame = {
     val d2 = aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
     def assign(cent: DataFrame): DataFrame =
@@ -368,92 +385,125 @@ object SimilarityQueries {
     assign(cent)
   }
 
-  /** Two-level (hierarchical) integer-Lloyd's cell build for the
-    * derived-k family (s15/s16/s17/s18) — the r8 fix for the one
-    * documented super-linear plan left in the surface: flat
-    * nearest-of-k assignment is O(N·k·d) compute, and with k = N/[[
-    * SemCellTarget]] that is O(N²) — the sf1 probe measured it at 6.9×
-    * for 10× data and the sf10 (100×) arithmetic says ~an hour. The
-    * hierarchy is the IVF/coarse-quantizer design every production ANN
-    * system uses: k1 = ⌈√k⌉ coarse cells via [[KmIters]] Lloyd rounds
-    * (argmin over k1 centroids), then within each coarse cell an
-    * independent fine Lloyd over fpc = ⌈k/k1⌉ centroids (argmin over
-    * the OWN cell's fpc centroids only — an equi-join on the coarse id,
-    * not a cross join). Assignment compute drops to O(N·√k·d); the
-    * final cell id is `cc·fpc + fidx` (injective: fidx < fpc).
+  /** Branching factor of the three-level cell tree: the smallest r with
+    * r³ ≥ k. Derived by exact integer search (never a bare floating
+    * cbrt/pow, whose rounding at perfect cubes could diverge between
+    * engines); the DuckDB oracle runs the identical min-integer search
+    * over a range scan. */
+  private[operators] def cubeBranch(k: Long): Long = {
+    var r = math.max(1L, math.round(math.cbrt(k.toDouble)) - 2)
+    while (r * r * r < k) r += 1
+    r
+  }
+
+  /** One per-parent-cell Lloyd refinement level — the building block of
+    * the hierarchical cell build. `ca` is a persisted `(vec_id, pkey,
+    * qv)` frame (every vector with its parent cell id); runs
+    * [[KmIters]] integer-Lloyd rounds over `subK` sub-centroids per
+    * parent and returns `(vec_id, pkey, sidx, d2)`. Sub-centroid init
+    * within a parent = its subK lowest vec_ids (rank by vec_id — a
+    * window PARTITIONED by parent, never global); empty sub-cells keep
+    * their previous centroid; ties break by lowest sidx (the (d2, sidx)
+    * struct-min, exactly the per-dim window's ORDER BY). The assignment
+    * argmin is an equi-join on the parent key — per-vector work is
+    * O(subK·d), never O(total-centroids·d). */
+  private def refineWithin(ca: DataFrame, subK: Long): DataFrame = {
+    val d2 = aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val wf = Window.partitionBy(col("pkey")).orderBy(col("vec_id"))
+    var cent = ca.select(col("pkey"), col("vec_id"), col("qv"),
+        (row_number().over(wf) - 1).as("sidx"))
+      .where(col("sidx") < subK)
+      .select(col("pkey"), col("sidx"), col("qv").as("cv"))
+      .materialize()
+    def assign(c: DataFrame): DataFrame =
+      ca.join(c, "pkey")
+        .select(col("vec_id"), col("pkey"), col("sidx"), d2.as("d2"))
+        .groupBy("vec_id", "pkey")
+        .agg(min(struct(col("d2"), col("sidx"))).as("m"))
+        .select(col("vec_id"), col("pkey"), col("m.sidx").as("sidx"),
+          col("m.d2").as("d2"))
+    for (_ <- 1 to KmIters) {
+      val sums = assign(cent).join(ca.select("vec_id", "qv"), "vec_id")
+        .select(col("pkey"), col("sidx"), posexplode(col("qv")).as(Seq("dim", "qd")))
+        .groupBy("pkey", "sidx", "dim")
+        .agg(expr("sum(qd) DIV count(1)").as("ncd"))
+        .groupBy("pkey", "sidx")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("ncd")))),
+          x => x.getField("ncd")).as("ncv"))
+      cent = cent.join(sums, Seq("pkey", "sidx"), "left_outer")
+        .select(col("pkey"), col("sidx"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .materialize()
+    }
+    assign(cent)
+  }
+
+  /** Three-level (hierarchical) integer-Lloyd's cell build for the
+    * derived-k family (s15/s16/s17/s18) — the depth-generalization of
+    * the r8 two-level build (VERDICT r8 item 1): flat nearest-of-k
+    * assignment is O(N·k·d) compute, and with k = N/[[SemCellTarget]]
+    * that is O(N²); the two-level tree cut it to O(N·√k·d), still
+    * N^1.5 per decade (measured ~3.4–3.6× wall at sf10). Three levels
+    * at branching r = ⌈k^⅓⌉ ([[cubeBranch]]) bring assignment to
+    * O(N·k^⅓·d) — N^4/3 per decade: level 1 is EXACTLY the flat
+    * array-kernel Lloyd at r (one shared implementation,
+    * [[kmeansAssignArrayOn]], so any fix to the quantization/tie/update
+    * arithmetic cannot diverge between the flat and hierarchical
+    * builds); levels 2 and 3 are [[refineWithin]] over r and
+    * f = ⌈k/r²⌉ sub-centroids respectively — the same code pattern at
+    * each depth, per the r8 builder note (§7.4(4)). The final cell id
+    * packs injectively: `(cc·r + mid)·f + fidx` with mid < r, fidx < f,
+    * so every id falls in [0, r·r·f).
     *
     * SemDeDup's contract is cells-of-bounded-occupancy with semantic
     * locality + EXACT radius verification within cells (Abbas et al.
     * 2023 §3 builds its cells with faiss — approximate clustering is
-    * the reference behavior, not a concession); the hierarchy changes
+    * the reference behavior, not a concession); tree depth changes
     * which cells the verify runs in, never the verify itself. Every
     * step is the same exact-BIGINT arithmetic as [[kmeansAssignArray]]
     * (quantized components, integer-div means, (d2, id) struct-min
-    * ties), and the oracle unrolls the identical two-level chain —
-    * bit-identical cells across engines and partitionings.
+    * ties), and the oracle unrolls the identical three-level chain —
+    * bit-identical cells across engines and partitionings. The
+    * derive-once cache is versioned with the tree shape
+    * ([[CellsDerivedVersion]] = 3): a depth change invalidates the
+    * materialized cells and the oracle CTE chain together.
     *
-    * Determinism details the oracle mirrors: coarse init = vectors with
-    * vec_id < k1 (the s4 dense-id convention — an id space that does
-    * not start near 0 degenerates to an empty centroid set; normalize
-    * ids upstream, as the testdata does); fine init within a coarse
-    * cell = its fpc lowest vec_ids (rank by vec_id — a window
-    * PARTITIONED by coarse cell, never global); empty (coarse or fine)
-    * clusters keep their previous centroid; fine ties break by lowest
-    * fidx. */
+    * Determinism details the oracle mirrors: level-1 init = vectors
+    * with vec_id < r (the s4 dense-id convention — an id space that
+    * does not start near 0 degenerates to an empty centroid set;
+    * normalize ids upstream, as the testdata does); levels 2/3 init
+    * per [[refineWithin]]. */
   private[operators] def hierarchicalCellAssign(
       s: SparkSession, d: String, k: Long): DataFrame = {
-    val k1 = math.ceil(math.sqrt(k.toDouble)).toLong
-    val fpc = (k + k1 - 1) / k1
-    val qa = Tables.embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"),
-          x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")).as("qv"))
+    val r = cubeBranch(k)
+    val f = (k + r * r - 1) / (r * r)
+    val qa = quantizedArrays(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val d2 = aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-    // ---- coarse level: EXACTLY the flat array-kernel Lloyd at k1
-    // (broadcast argmin over O(√k) centroid rows — one shared
-    // implementation, so any fix to the quantization/tie/update
-    // arithmetic cannot diverge between the flat and hierarchical
-    // builds) ----
-    val ca = qa.join(
-        kmeansAssignArray(s, d, k1).select(col("vec_id"), col("cluster").as("cc")),
+    // ---- level 1: flat array-kernel Lloyd at r (broadcast argmin over
+    // O(k^⅓) centroid rows, shared with the flat build) ----
+    val ca1 = qa.join(
+        kmeansAssignArrayOn(qa, r).select(col("vec_id"), col("cluster").as("pkey")),
         "vec_id")
+      .select(col("vec_id"), col("pkey"), col("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ---- fine level: fpc centroids per coarse cell, equi-join argmin ----
-    val wf = Window.partitionBy(col("cc")).orderBy(col("vec_id"))
-    var fcent = ca.select(col("cc"), col("vec_id"), col("qv"),
-        (row_number().over(wf) - 1).as("fidx"))
-      .where(col("fidx") < fpc)
-      .select(col("cc"), col("fidx"), col("qv").as("cv"))
-      .materialize()
-    def assignFine(cent: DataFrame): DataFrame =
-      ca.join(cent, "cc")
-        .select(col("vec_id"), col("cc"), col("fidx"), d2.as("d2"))
-        .groupBy("vec_id", "cc")
-        .agg(min(struct(col("d2"), col("fidx"))).as("m"))
-        .select(col("vec_id"), col("cc"), col("m.fidx").as("fidx"),
-          col("m.d2").as("d2"))
-    for (_ <- 1 to KmIters) {
-      val sums = assignFine(fcent).join(ca.select("vec_id", "qv"), "vec_id")
-        .select(col("cc"), col("fidx"), posexplode(col("qv")).as(Seq("dim", "qd")))
-        .groupBy("cc", "fidx", "dim")
-        .agg(expr("sum(qd) DIV count(1)").as("ncd"))
-        .groupBy("cc", "fidx")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("ncd")))),
-          x => x.getField("ncd")).as("ncv"))
-      fcent = fcent.join(sums, Seq("cc", "fidx"), "left_outer")
-        .select(col("cc"), col("fidx"), coalesce(col("ncv"), col("cv")).as("cv"))
-        .materialize()
-    }
+    // ---- level 2: r sub-centroids per level-1 cell ----
+    val mid = refineWithin(ca1, r)
+    val ca2 = qa.join(
+        mid.select(col("vec_id"), (col("pkey") * r + col("sidx")).as("pkey")),
+        "vec_id")
+      .select(col("vec_id"), col("pkey"), col("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ---- level 3: f sub-centroids per level-2 cell ----
     // Materialize the final assignment, then release the build-only
-    // cached frames — without this, qa and ca stay pinned in the block
+    // cached frames — without this, qa/ca1/ca2 stay pinned in the block
     // manager for the rest of the session after the one-shot build.
-    val out = assignFine(fcent)
-      .select(col("vec_id"), (col("cc") * fpc + col("fidx")).as("cluster"),
+    val out = refineWithin(ca2, f)
+      .select(col("vec_id"), (col("pkey") * f + col("sidx")).as("cluster"),
         col("d2"))
       .materialize()
     qa.unpersist(blocking = false)
-    ca.unpersist(blocking = false)
+    ca1.unpersist(blocking = false)
+    ca2.unpersist(blocking = false)
     out
   }
 
@@ -465,7 +515,10 @@ object SimilarityQueries {
     * makes the cache partitioning-safe. */
   // v2: two-level hierarchical build (r8) — the flat v1 nearest-of-k
   // assignment was O(N·k·d) with k ∝ N.
-  private val CellsDerivedVersion = 2
+  // v3: three-level build (r9) — O(N·k^⅓·d) assignment; versioned
+  // together with the oracle's unrolled CTE chain (the tree shape is
+  // pinned on both sides, so depth changes must move this number).
+  private val CellsDerivedVersion = 3
   private[operators] def cellAssignMaterialized(s: SparkSession, d: String): DataFrame =
     synchronized {
       val path = s"${sys.props("user.dir")}/target/graft_derived/" +
@@ -502,14 +555,14 @@ object SimilarityQueries {
     * column is total and null-free).
     *
     * Scale shape: the candidate join is an equi-join on the cell id
-    * (one shuffle, never a global cross product); coarse centroids are
-    * ⌈√k⌉ rows — broadcast (the declared cross join, the s3 anchor
-    * pattern) — and fine centroids equi-join on the coarse id; the
-    * embedding column is scanned once and carried as a quantized
-    * array, never re-read. The assignment leg is O(N·√k·d) via the
-    * two-level build (the r7-documented IVF coarse-probe refinement,
-    * landed r8 — sf10 measures 3.6×/decade where flat arithmetic said
-    * ~quadratic). Everything is exact
+    * (one shuffle, never a global cross product); level-1 centroids are
+    * ⌈k^⅓⌉ rows — broadcast (the declared cross join, the s3 anchor
+    * pattern) — and level-2/3 centroids equi-join on their parent cell
+    * id; the embedding column is scanned once and carried as a
+    * quantized array, never re-read. The assignment leg is O(N·k^⅓·d)
+    * via the three-level build (the IVF coarse-probe refinement: landed
+    * two-level in r8 at O(N·√k·d), depth-generalized r9 — N^4/3 per
+    * decade where flat arithmetic said ~quadratic). Everything is exact
     * BIGINT arithmetic, so the dup/kept frontier is bit-identical
     * across any partitioning and in the DuckDB oracle (whose CTE chain
     * derives the same k via a scalar subquery). */
@@ -1126,58 +1179,76 @@ object SimilarityQueries {
        |${kmAssignCte("aout", s"c$KmIters")}""".stripMargin
   }
 
-  /** Unrolled TWO-LEVEL Lloyd's CTE chain — the oracle twin of
-    * [[hierarchicalCellAssign]], `q` → coarse rounds `hc0..hcK` →
-    * coarse assignment `hca` → per-coarse-cell fine rounds `fc0..fcK`
-    * → `aout(vec_id, cluster, d2)` with `cluster = cc·fpc + fidx`.
-    * Shared by the s15/s16/s17/s18 oracles so all four see the
-    * identical hierarchical cells the engine materializes. */
+  /** One unrolled per-parent refinement level as CTEs — the oracle twin
+    * of [[refineWithin]]. `parent` names a CTE with `(vec_id, pkey)`;
+    * emits `${p}iv` (init ranks), `${p}c0..${p}c[[KmIters]]` centroid
+    * rounds, and `${p}out(vec_id, pkey, sidx, d2)`. `subKSql` is a
+    * scalar subquery for the per-parent sub-centroid count. */
+  private def refineOracleCtes(p: String, parent: String, subKSql: String): String = {
+    def assignCte(name: String, c: String) =
+      s"""$name AS (SELECT vec_id, pkey, sidx, d2 FROM (
+         |  SELECT q.vec_id, v.pkey, c.sidx,
+         |    sum((q.qd - c.cd) * (q.qd - c.cd)) AS d2,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY sum((q.qd - c.cd) * (q.qd - c.cd)), c.sidx) AS rn
+         |  FROM q JOIN $parent v ON q.vec_id = v.vec_id
+         |       JOIN $c c ON c.pkey = v.pkey AND q.dim = c.dim
+         |  GROUP BY q.vec_id, v.pkey, c.sidx) WHERE rn = 1)""".stripMargin
+    def updateCte(name: String, a: String, prev: String) =
+      s"""$name AS (SELECT p.pkey, p.sidx, p.dim, coalesce(n.ncd, p.cd) AS cd
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.pkey, a.sidx, q.dim,
+         |      CAST(sum(q.qd) AS BIGINT) // count(*) AS ncd
+         |    FROM q JOIN $a a ON q.vec_id = a.vec_id
+         |    GROUP BY a.pkey, a.sidx, q.dim) n
+         |  ON p.pkey = n.pkey AND p.sidx = n.sidx AND p.dim = n.dim)""".stripMargin
+    val rounds = (1 to KmIters).map { i =>
+      assignCte(s"${p}a$i", s"${p}c${i - 1}") + ",\n" +
+        updateCte(s"${p}c$i", s"${p}a$i", s"${p}c${i - 1}")
+    }.mkString(",\n")
+    s"""${p}iv AS (SELECT vec_id, pkey,
+       |    row_number() OVER (PARTITION BY pkey ORDER BY vec_id) - 1 AS sidx
+       |  FROM $parent),
+       |${p}c0 AS MATERIALIZED (SELECT i.pkey, i.sidx, q.dim, q.qd AS cd
+       |  FROM ${p}iv i JOIN q ON i.vec_id = q.vec_id
+       |  WHERE i.sidx < ($subKSql)),
+       |$rounds,
+       |${assignCte(s"${p}out", s"${p}c$KmIters")}""".stripMargin
+  }
+
+  /** Unrolled THREE-LEVEL Lloyd's CTE chain — the oracle twin of
+    * [[hierarchicalCellAssign]] (versioned with it:
+    * [[CellsDerivedVersion]] = 3): `q` → level-1 rounds `hc0..hcK` at
+    * branching r (`hp` derives r by the same min-integer-cube search as
+    * [[cubeBranch]] — an exact range scan, never a floating cbrt) →
+    * `l1(vec_id, pkey)` → per-cell refine `mout` (r sub-centroids) →
+    * `l2(vec_id, pkey = cc·r + mid)` → per-cell refine `fout`
+    * (f = ⌈k/r²⌉ sub-centroids) → `aout(vec_id, cluster, d2)` with
+    * `cluster = pkey·f + fidx`. Shared by the s15/s16/s17/s18 oracles
+    * so all four see the identical hierarchical cells the engine
+    * materializes. */
   private def hierKmeansOracleCtes(kSql: String): String = {
     val coarseRounds = (1 to KmIters).map { i =>
       kmAssignCte(s"ha$i", s"hc${i - 1}") + ",\n" +
         kmUpdateCte(s"hc$i", s"ha$i", s"hc${i - 1}")
     }.mkString(",\n")
-    def fineAssignCte(name: String, c: String) =
-      s"""$name AS (SELECT vec_id, cc, fidx, d2 FROM (
-         |  SELECT q.vec_id, v.cc, c.fidx,
-         |    sum((q.qd - c.cd) * (q.qd - c.cd)) AS d2,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY sum((q.qd - c.cd) * (q.qd - c.cd)), c.fidx) AS rn
-         |  FROM q JOIN hca v ON q.vec_id = v.vec_id
-         |       JOIN $c c ON c.cc = v.cc AND q.dim = c.dim
-         |  GROUP BY q.vec_id, v.cc, c.fidx) WHERE rn = 1)""".stripMargin
-    def fineUpdateCte(name: String, a: String, prev: String) =
-      s"""$name AS (SELECT p.cc, p.fidx, p.dim, coalesce(n.ncd, p.cd) AS cd
-         |  FROM $prev p LEFT JOIN (
-         |    SELECT a.cc, a.fidx, q.dim,
-         |      CAST(sum(q.qd) AS BIGINT) // count(*) AS ncd
-         |    FROM q JOIN $a a ON q.vec_id = a.vec_id
-         |    GROUP BY a.cc, a.fidx, q.dim) n
-         |  ON p.cc = n.cc AND p.fidx = n.fidx AND p.dim = n.dim)""".stripMargin
-    val fineRounds = (1 to KmIters).map { i =>
-      fineAssignCte(s"fa$i", s"fc${i - 1}") + ",\n" +
-        fineUpdateCte(s"fc$i", s"fa$i", s"fc${i - 1}")
-    }.mkString(",\n")
     s"""$kmQCte,
-       |hp AS (SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k1,
-       |    (k + CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) - 1)
-       |      // CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS fpc
-       |  FROM (SELECT CAST(($kSql) AS BIGINT) AS k)),
+       |hp AS (SELECT k, r, (k + r*r - 1) // (r*r) AS f FROM (
+       |  SELECT k, (SELECT min(i)
+       |      FROM (SELECT unnest(range(1, 4096)) AS i) t
+       |      WHERE i*i*i >= k) AS r
+       |  FROM (SELECT CAST(($kSql) AS BIGINT) AS k))),
        |hc0 AS (SELECT vec_id AS cluster, dim, qd AS cd FROM q
-       |  WHERE vec_id < (SELECT k1 FROM hp)),
+       |  WHERE vec_id < (SELECT r FROM hp)),
        |$coarseRounds,
        |${kmAssignCte("hout", s"hc$KmIters")},
-       |hca AS MATERIALIZED (SELECT vec_id, cluster AS cc FROM hout),
-       |fiv AS (SELECT vec_id, cc,
-       |    row_number() OVER (PARTITION BY cc ORDER BY vec_id) - 1 AS fidx
-       |  FROM hca),
-       |fc0 AS MATERIALIZED (SELECT f.cc, f.fidx, q.dim, q.qd AS cd
-       |  FROM fiv f JOIN q ON f.vec_id = q.vec_id
-       |  WHERE f.fidx < (SELECT fpc FROM hp)),
-       |$fineRounds,
-       |${fineAssignCte("fout", s"fc$KmIters")},
+       |l1 AS MATERIALIZED (SELECT vec_id, cluster AS pkey FROM hout),
+       |${refineOracleCtes("m", "l1", "SELECT r FROM hp")},
+       |l2 AS MATERIALIZED (SELECT vec_id,
+       |    pkey * (SELECT r FROM hp) + sidx AS pkey FROM mout),
+       |${refineOracleCtes("f", "l2", "SELECT f FROM hp")},
        |aout AS MATERIALIZED (SELECT vec_id,
-       |    cc * (SELECT fpc FROM hp) + fidx AS cluster, d2
+       |    pkey * (SELECT f FROM hp) + sidx AS cluster, d2
        |  FROM fout)""".stripMargin
   }
 

@@ -32,9 +32,10 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("1") === run("7"))
   }
 
-  test("hierarchical cells (r8): total assignment, bounded ids, partition-invariant, two-level structure") {
-    // k = 9 → k1 = 3 coarse, fpc = 3 fine per coarse; cluster = cc*3+fidx
-    val k = 9L
+  test("hierarchical cells (r9): total assignment, bounded ids, partition-invariant, three-level structure") {
+    // k = 16 → r = 3 (27 >= 16), f = ceil(16/9) = 2;
+    // cluster = (cc*3 + mid)*2 + fidx ∈ [0, 18)
+    val k = 16L
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       try SimilarityQueries.hierarchicalCellAssign(spark, d, k).collect()
@@ -46,29 +47,37 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = graft.core.Tables.embeddings(spark, d).count()
     assert(a.length === n)
     assert(a.map(_._1).distinct.length === n)
-    // decode: cluster = cc*fpc + fidx with cc < k1 and fidx < fpc, so
-    // every id must fall in [0, k1*fpc) = [0, 9) — an out-of-range fidx
-    // (broken fine-init window) would make the packing non-injective
-    // and land ids at 9+; more than one coarse cell and more than one
-    // fine cell actually used (the hierarchy is engaged, not degenerate)
-    val fpc = 3L
+    // decode: cluster = (cc*r + mid)*f + fidx with cc, mid < r and
+    // fidx < f, so every id must fall in [0, r*r*f) = [0, 18) — an
+    // out-of-range sidx (broken per-parent init window) would make the
+    // packing non-injective and land ids at 18+; each tree level must
+    // actually split somewhere (the hierarchy is engaged, not
+    // degenerate at any depth)
+    val r = 3L; val f = 2L
     val cells = a.map(_._2._1).distinct
-    assert(cells.forall(c => c >= 0 && c < 3L * fpc),
-      s"cluster ids outside [0, 9): ${cells.filterNot(c => c >= 0 && c < 9).toSeq}")
-    assert(cells.map(_ / fpc).distinct.length > 1, "expected >1 coarse cell")
-    assert(cells.length > cells.map(_ / fpc).distinct.length,
-      "expected fine splitting within at least one coarse cell")
+    assert(cells.forall(c => c >= 0 && c < r * r * f),
+      s"cluster ids outside [0, ${r * r * f}): " +
+        s"${cells.filterNot(c => c >= 0 && c < r * r * f).toSeq}")
+    val l1 = cells.map(_ / (r * f)).distinct
+    val l2 = cells.map(_ / f).distinct
+    assert(l1.length > 1, "expected >1 level-1 cell")
+    assert(l2.length > l1.length,
+      "expected level-2 splitting within at least one level-1 cell")
+    assert(cells.length > l2.length,
+      "expected level-3 splitting within at least one level-2 cell")
   }
 
-  test("hierarchical cells match an independent local Scala replay (k = 9)") {
+  test("hierarchical cells match an independent local Scala replay (k = 16)") {
     // The DuckDB oracle replicates the same unrolled derivation, so a
     // shared misconception could pass the parity gate; this replay is a
     // third, in-JVM implementation of the spec'd algorithm (quantize →
-    // coarse Lloyd at k1=ceil(sqrt(k)) → per-coarse fine Lloyd at
-    // fpc=ceil(k/k1) → cc*fpc+fidx) over collected arrays.
-    val k = 9L
-    val k1 = math.ceil(math.sqrt(k.toDouble)).toLong   // 3
-    val fpc = (k + k1 - 1) / k1                        // 3
+    // level-1 Lloyd at r = min{r : r³ >= k} → per-cell Lloyd at r →
+    // per-cell Lloyd at f = ceil(k/r²) → (cc*r + mid)*f + fidx) over
+    // collected arrays. k = 16 engages a non-trivial split at every
+    // level (r = 3, f = 2).
+    val k = 16L
+    val r = 3L                                         // min r: r³ >= 16
+    val f = (k + r * r - 1) / (r * r)                  // 2
     val iters = 2                                      // KmIters
     val vecs: Array[(Long, Array[Long])] =
       graft.core.Tables.embeddings(spark, d).collect().map { r =>
@@ -96,18 +105,28 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assign()
     }
-    // coarse: init = vec_id < k1
-    val coarse = lloyd(vecs.toSeq,
-      vecs.filter(_._1 < k1).map { case (id, v) => id -> v }.toSeq)
-    // fine: per coarse group, init = fpc lowest vec_ids, keys 0..fpc-1
-    val expect: Map[Long, Long] =
-      vecs.groupBy { case (id, _) => coarse(id) }.toSeq.flatMap {
+    // refine one parent group: init = subK lowest vec_ids, keys 0..subK-1
+    def refine(members: Seq[(Long, Array[Long])], subK: Long): Map[Long, Long] = {
+      val init = members.sortBy(_._1).take(subK.toInt).zipWithIndex
+        .map { case ((_, v), si) => si.toLong -> v }
+      lloyd(members, init)
+    }
+    // level 1: init = vec_id < r
+    val l1 = lloyd(vecs.toSeq,
+      vecs.filter(_._1 < r).map { case (id, v) => id -> v }.toSeq)
+    // level 2: per level-1 group, r sub-centroids → pkey = cc*r + mid
+    val l2: Map[Long, Long] =
+      vecs.groupBy { case (id, _) => l1(id) }.toSeq.flatMap {
         case (cc, members) =>
-          val sorted = members.sortBy(_._1)
-          val init = sorted.take(fpc.toInt).zipWithIndex
-            .map { case ((_, v), fi) => fi.toLong -> v }
-          val fine = lloyd(members.toSeq, init.toSeq)
-          members.toSeq.map { case (id, _) => id -> (cc * fpc + fine(id)) }
+          val mid = refine(members.toSeq, r)
+          members.toSeq.map { case (id, _) => id -> (cc * r + mid(id)) }
+      }.toMap
+    // level 3: per level-2 group, f sub-centroids → cluster = pkey*f + fidx
+    val expect: Map[Long, Long] =
+      vecs.groupBy { case (id, _) => l2(id) }.toSeq.flatMap {
+        case (pk, members) =>
+          val fine = refine(members.toSeq, f)
+          members.toSeq.map { case (id, _) => id -> (pk * f + fine(id)) }
       }.toMap
     val got = SimilarityQueries.hierarchicalCellAssign(spark, d, k).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -195,9 +214,9 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     val n = graft.core.Tables.embeddings(spark, d).count()
     assert(rows.length === n)
-    // cells match the shared hierarchical cell build verbatim (r8: the
-    // derived-k family builds cells two-level; s4's flat k=4 Lloyd stays
-    // its own gated surface)
+    // cells match the shared hierarchical cell build verbatim (r9: the
+    // derived-k family builds cells three-level; s4's flat k=4 Lloyd
+    // stays its own gated surface)
     val cells = SimilarityQueries.cellAssignMaterialized(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { case (v, c, _, _) => assert(cells(v) === c, s"cell of $v") }
