@@ -1055,6 +1055,68 @@ object GraphQueries {
       .orderBy("part")
   }
 
+  /** g29: the LOCALITY partition mode under the correctness dump — the
+    * one O8 path g19's hash-mode roundtrip never exercised (VERDICT r8
+    * item 4). The co-occurrence graph is written through
+    * [[graft.io.GraphLoaders.writeMetisSubgraphs]] with the
+    * LPA → capacity-split-LPT [[graft.io.GraphLoaders.localityAssignment]]
+    * owners, read back via [[graft.io.GraphLoaders.partitionStats]], and
+    * emitted one row per part: the locality files' vertex/edge/cut
+    * counts beside the hash baseline's per-part cut (computed
+    * relationally from the same symmetrized edge frame with the
+    * `id mod 3` convention — the identical arithmetic g19's oracle
+    * uses), the graph-wide cut totals, and the reference's Zoltan claim
+    * itself (`/root/reference/README.md:49-51`, minimize inter-node
+    * traffic) as data: `cut_improved` = locality total cut < hash total
+    * cut. Deterministic end-to-end (fixed LPA supersteps; LPT greedy
+    * over a bounded sorted collect; residual-capacity slot tail), so
+    * the driver's rows-only gate is stable across runs and
+    * partitionings.
+    *
+    * DuckDB-oracle exclusion (documented here and in SURVEY §2.1 O8):
+    * the LPT placement is an inherently SEQUENTIAL driver-side fold —
+    * each heavy unit's part depends on the loads left by every earlier
+    * placement — so a SQL twin would be a step-per-unit recursive
+    * unroll that REPLICATES the engine's fold instead of independently
+    * verifying it, and it would additionally have to reproduce Spark's
+    * xxhash64 (the capacity-split bucket draw), which DuckDB does not
+    * implement. The independent verification lives in GraphLoadersSpec
+    * (strictly-lower cut than hash; balance) and GmrMainSpec (the
+    * end-to-end `Gmr partition … locality` verb on the reference's own
+    * 4elt mesh, −73% cut); this query carries the same claim through
+    * the correctness dump as data under the driver's rows-only check. */
+  def g29LocalityRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val parts = 3
+    val pairs = partPairsMaterialized(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = PropertyGraph.symmetrize(pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = PropertyGraph(vertexDegMaterialized(s, d).select(col("id")), sym)
+    val assign = graft.io.GraphLoaders.localityAssignment(
+      lpaLabelsMaterialized(s, d), parts)
+    val base = s"${sys.props("user.dir")}/target/graft_derived/" +
+      s"v$DerivedVersion/${graft.core.Derived.tag(d)}/subgraph_loc"
+    new java.io.File(base).getParentFile.mkdirs()
+    graft.io.GraphLoaders.writeMetisSubgraphs(g, parts, base, Some(assign))
+    val loc = graft.io.GraphLoaders.partitionStats(s, base, parts)
+      .select(col("part"), col("nvtxs").as("loc_nvtxs"),
+        col("nedges").as("loc_nedges"), col("cut_edges").as("loc_cut"))
+    val hash = sym
+      .groupBy(pmod(col("src"), lit(parts.toLong)).as("part"))
+      .agg(sum(when(pmod(col("dst"), lit(parts.toLong)) =!=
+          pmod(col("src"), lit(parts.toLong)), 1L).otherwise(0L)).as("hash_cut"))
+    val tot = broadcast(
+      loc.agg(sum(col("loc_cut")).as("loc_cut_total"))
+        .crossJoin(hash.agg(sum(col("hash_cut")).as("hash_cut_total"))))
+    loc.join(hash, Seq("part"))
+      .crossJoin(tot)
+      .select(col("part"), col("loc_nvtxs"), col("loc_nedges"),
+        col("loc_cut"), col("hash_cut"),
+        col("loc_cut_total"), col("hash_cut_total"),
+        (col("loc_cut_total") < col("hash_cut_total")).as("cut_improved"))
+      .orderBy("part")
+  }
+
   def g6DegreeHistogram(s: SparkSession, d: String): DataFrame =
     partGraph(s, d).degrees
       .groupBy("deg").agg(count(lit(1)).as("n_vertices")).orderBy("deg")
@@ -1362,6 +1424,9 @@ object GraphQueries {
     "g4_components" -> g4Components,
     "g5_triangle_count" -> g5TriangleCount,
     "g19_partition_roundtrip" -> g19PartitionRoundtrip,
+    // g29 carries NO oracle entry deliberately: the driver records its
+    // rows-only check (see the g29 Scaladoc's documented exclusion).
+    "g29_locality_roundtrip" -> g29LocalityRoundtrip,
     "g6_degree_histogram" -> g6DegreeHistogram,
     "g7_mst" -> g7Mst,
     "g8_labelprop" -> g8LabelProp,

@@ -197,6 +197,24 @@ class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(backE.count() === g.edges.count())
   }
 
+  test("g29 locality roundtrip: cut_improved = true, totals exact, one row per part") {
+    // The gated (rows-only) locality query: per-part cut columns must sum
+    // to the broadcast totals, and the Zoltan claim (locality beats the
+    // hash cut) must hold as data — the same property the O8 spec above
+    // proves through partitionImbalance, here through the query surface.
+    val rows = graft.operators.GraphQueries
+      .g29LocalityRoundtrip(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L))
+    val locTot = rows.map(_.getLong(3)).sum
+    val hashTot = rows.map(_.getLong(4)).sum
+    rows.foreach { r =>
+      assert(r.getLong(5) === locTot, "loc_cut_total must equal the per-part sum")
+      assert(r.getLong(6) === hashTot, "hash_cut_total must equal the per-part sum")
+      assert(r.getBoolean(7), s"locality cut $locTot must beat hash $hashTot")
+    }
+  }
+
   test("integer files + SampleSort ≡ sorted concatenation (O22)") {
     val df = GraphLoaders.integers(spark, res("numbers.part.0").stripSuffix(".0") + ".*")
     val sorted = SampleSort.sort(df, "n").collect().map(_.getLong(0)).toSeq

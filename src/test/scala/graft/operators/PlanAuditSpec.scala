@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d27_cluster_sizes",   // size histogram × broadcast doc-total scalar (the g25 shape)
     "s19_ann_cost",        // 5-query frame × broadcast vector-total scalar
     "q70_quality_audit",   // 1-row check frame × broadcast orphan-count scalar
-    "q74_deletion_cascade") // four 1-row count frames × broadcast count scalars
+    "q74_deletion_cascade", // four 1-row count frames × broadcast count scalars
+    "g29_locality_roundtrip") // 3-part stats frame × broadcast cut-total scalars
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
