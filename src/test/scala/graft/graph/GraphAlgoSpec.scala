@@ -126,6 +126,57 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(key)
   }
 
+  test("grouped-triangle wedge fallback spreads a hot middle vertex (skew salt)") {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    import spark.implicits._
+    // Star with the hub at a MIDDLE id: 300 low leaves point in
+    // (leaf → hub) and 300 high leaves point out (hub → leaf) under the
+    // canonical src<dst orientation, so the id-oriented wedge join
+    // funnels in·out = 90,000 wedge pairs through the single
+    // middle-vertex key — the documented straggler class the broadcast
+    // budget's fallback is exposed to. Three closing edges make three
+    // real triangles through the hub.
+    val hub = 1000L
+    val low = (0L until 300L).map(l => (l, hub))
+    val high = (0L until 300L).map(h => (hub, 1001L + h))
+    val closing = Seq((0L, 1001L), (1L, 1002L), (2L, 1003L))
+    val e = (low ++ high ++ closing).toDF("src", "dst")
+    val budgetKey = "spark.graft.adjacencyBroadcastBytes"
+    val thrKey = "spark.graft.wedgeSaltThreshold"
+    try {
+      spark.conf.set(thrKey, "1000") // 90,000 ≥ 1000 → the hub is hot
+      // forced fallback == intersect kernel on the star fixture
+      spark.conf.set(budgetKey, "1")
+      assert(!GraphOps.adjacencyFitsBroadcast(e))
+      val fb = GraphOps.triangleCountByGroup(e, x => pmod(x, lit(3L))).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set(budgetKey, "10485760")
+      val bc = GraphOps.triangleCountByGroup(e, x => pmod(x, lit(3L))).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fb === bc, "salted fallback must equal the intersect kernel")
+      assert(fb.values.sum === 3L)
+      // the hub's wedge set actually spreads: no shuffle partition of
+      // the salted wedge frame holds more than 4× the mean non-empty
+      // load (unsalted, ONE partition holds all 90k wedge pairs). AQE's
+      // small-partition coalescing is disabled for the measurement —
+      // at real scale the hot partitions are nowhere near the advisory
+      // size, so coalescing would never merge them.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val sizes = GraphOps.saltedWedges(e).rdd
+        .mapPartitions(it => Iterator(it.size.toLong)).collect().filter(_ > 0)
+      val total = sizes.sum
+      assert(total >= 90000L, s"expected the hub's wedge set, saw $total")
+      assert(sizes.length > 1, "wedges must land in more than one partition")
+      val mean = total / sizes.length
+      assert(sizes.max <= 4 * mean,
+        s"straggler partition: max ${sizes.max} vs mean $mean (sizes: ${sizes.toSeq})")
+    } finally {
+      spark.conf.unset(budgetKey)
+      spark.conf.unset(thrKey)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("per-vertex triangle counts credit all corners") {
     val per = GraphOps.triangleCounts(edgeDf(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L))
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
