@@ -92,20 +92,20 @@ object GScale {
           .write.mode("overwrite").parquet(out)
       }
     }
-    // A prefix token does NOT decorrelate 3-word shingles across copies
-    // (copies share all but ~2 shingles → genuine jaccard-0.9 near-dups
-    // → true-pair volume quadratic in copies; measured 256 → 250k →
-    // 27.1M pairs across the decades on the prefix convention). For the
-    // PLAN-scaling probe, interleave a per-copy token after every 2nd
-    // word instead: every 3-shingle of copy k then contains `decatag$k`,
-    // so shingle sets are DISJOINT across copies (including vs the
-    // untagged copy 0) while each copy keeps sf1's internal near-dup
-    // structure — pair volume grows ~linearly in copies.
+    // Per-decade-copy word bijection, the same convention as the sf1
+    // generator (r9): prefix every word of decade copy k > 0 with
+    // `d${k}_` (on top of sf1's `c*_` prefixes). A word-level bijection
+    // keeps within-copy shingle/tf structure exactly isomorphic while
+    // making cross-copy shingle sets disjoint and cross-copy SimHash
+    // fingerprints independent — the r8 interleaved-token convention
+    // decorrelated shingles but would dominate any tf-weighted
+    // fingerprint, and a TRAILING marker correlates polynomial word
+    // hashes across copies (see the sf1 generator's comment).
     replicate("documents", (df, k) => df
       .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
       .withColumn("text",
         if (k == 0) col("text")
-        else regexp_replace(col("text"), "(\\S+\\s+\\S+)\\s+", s"$$1 decatag$k ")))
+        else regexp_replace(col("text"), "(\\S+)", s"d${k}_$$1")))
     // Sign-flip with probability exactly 1/2 per dimension: two copies
     // then differ in sign on E[1/2] of dims, so cross-copy expected
     // cosine is 0 (a 1/3 flip rate leaves E[cos] ≈ 1/3·within-copy —
@@ -162,11 +162,31 @@ object GScale {
           .write.mode("overwrite").parquet(out)
       }
     }
-    // documents: offset ids, tag texts per copy (keeps intra-copy
-    // near-dup structure; copies never near-match each other).
+    // documents: offset ids, and apply a PER-COPY WORD BIJECTION — every
+    // word of copy k > 0 gets the prefix `c${k}_` (r9, VERDICT r8
+    // item 5). Why a bijection and not a tag token: a prepended TAG
+    // TOKEN never decorrelates 3-word shingles (copies were genuine
+    // jaccard-0.9 near-dups — d3/d4/d18 measured quadratic-in-copies
+    // workload density, not plan scaling), and an INTERLEAVED constant
+    // token fixes d3 but dominates d4's tf-weighted SimHash (the tag's
+    // tf ≈ n/3 outweighs the ~√n random-walk of the real words, so ALL
+    // docs within a copy collapse to hamming ≈ 0 — a first attempt at
+    // this rebuild produced ~10⁹ verified pairs). Per-word decoration is
+    // a word-level bijection per copy: shingle sets map injectively
+    // (cross-copy shingles DISJOINT, within-copy jaccard EXACTLY the
+    // organic sf0.1 structure) and no token ever dominates a
+    // fingerprint. The copy marker must lead the word, not trail it:
+    // the word hash is the polynomial (acc·31 + cp) mod P, so a
+    // TRAILING marker shifts same-length words' hashes by a tiny
+    // constant (copies 1 vs 3 differ by 2 — measured same-doc
+    // cross-copy hamming 2.3, 241/400 under the dedup threshold) while
+    // a LEADING marker's delta rides B^len through the mod-P wrap
+    // (measured hamming 14.5 ≈ independent, 0/400 colliding).
     replicate("documents", (df, k) => df
       .withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
-      .withColumn("text", concat(lit(s"copytag$k "), col("text"))))
+      .withColumn("text",
+        if (k == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1")))
     // embeddings: offset vec ids and cyclic-shift each copy's dimensions
     // by k. Cosine is invariant under a permutation applied to BOTH
     // vectors, so every copy's internal neighbor structure is exactly
@@ -274,6 +294,48 @@ object GScale {
         val cBig = graft.operators.SimilarityQueries.knnCandidateCount(spark, big)
         println(f"[gscale] s9_candidate_pairs     $cSmall%8d $cBig%8d  ${cBig.toDouble / cSmall}%5.2f")
       }
+      if (name == "d3_minhash_lsh") {
+        // Convention evidence (r9): under the per-copy word bijection no
+        // verified pair may straddle copies — pair volume must be the
+        // per-copy organic density × copies, not quadratic in copies.
+        val cross = graft.operators.DedupQueries.d3CrossCopyPairs(spark, big, 1000000L)
+        println(s"[gscale] d3_cross_copy_pairs     $cross (must be 0)")
+      }
+      if (name == "d4_simhash") {
+        val cross = graft.operators.DedupQueries.d4CrossCopyPairs(spark, big, 1000000L)
+        println(s"[gscale] d4_cross_copy_pairs     $cross (must be ~0)")
+      }
+    }
+    // Locality-partitioner pricing (VERDICT r8 item 7): the `Gmr
+    // partition … locality` verb's pipeline — self-contained LPA at the
+    // verb's default 5 iterations (each two O(E) shuffles, the g8 cost
+    // model; deliberately NOT the derive-once materialization, so both
+    // sides bill the same cold build), capacity-split LPT assignment,
+    // and the fmt=1111 subgraph write — over the co-purchase graph.
+    // The shared part_pairs derivation may be warm from the probes
+    // above on either side (the first-caller-pays convention).
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .forall(_.split(",").toSet.contains("locality"))) {
+      def locality(dir: String): Double = {
+        spark.sqlContext.clearCache()
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.GraphQueries.partPairsMaterialized(spark, dir)
+        val g = graft.graph.PropertyGraph(
+          pairs.select(col("src").as("id"))
+            .union(pairs.select(col("dst").as("id"))).distinct(),
+          graft.graph.PropertyGraph.symmetrize(pairs))
+        val assign = graft.io.GraphLoaders.localityAssignment(
+          graft.graph.GraphOps.labelPropagation(g, 5)
+            .select(col("id"), col("label")), 3)
+        val out = s"${sys.props("user.dir")}/target/graft_scale/locality_probe/" +
+          new java.io.File(dir).getName
+        new java.io.File(out).getParentFile.mkdirs()
+        graft.io.GraphLoaders.writeMetisSubgraphs(g, 3, out, Some(assign))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tSmall = locality(base)
+      val tBig = locality(big)
+      println(f"[gscale] locality_partition     $tSmall%8.2f $tBig%8.2f  ${tBig / tSmall}%5.2f")
     }
     spark.stop()
   }
