@@ -133,6 +133,18 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
   }
 
+  test("cubeBranch is the minimal r with r^3 >= k (exact at perfect cubes)") {
+    // The oracle derives r by an integer min-search over range(1, 4096);
+    // the engine must land on the identical value for every k — perfect
+    // cubes are where a floating cbrt could round to 2.9999… or
+    // 3.0000…1 and diverge the tree shape between engines.
+    for (k <- (1L to 2000L) ++ Seq(4096L, 15625L, 15626L, 16000L, 17576L)) {
+      val r = SimilarityQueries.cubeBranch(k)
+      assert(r * r * r >= k, s"k=$k r=$r not sufficient")
+      assert(r == 1 || (r - 1) * (r - 1) * (r - 1) < k, s"k=$k r=$r not minimal")
+    }
+  }
+
   test("PQ ADC (s6): full top-k per query, monotone, partition-invariant") {
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
