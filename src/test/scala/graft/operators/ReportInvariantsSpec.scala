@@ -208,6 +208,26 @@ class ReportInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff.getOrElse("persisted", 0L) + diff.getOrElse("new", 0L) === pairCount(false))
   }
 
+  test("g29 locality roundtrip agrees with g19's hash roundtrip about the graph") {
+    import org.apache.spark.sql.functions._
+    // Two independent writer/reader pipelines over the SAME co-occurrence
+    // graph: the locality-mode files (g29) and the id-mod-3 files (g19)
+    // must account for identical vertex and edge-record totals, and
+    // g29's relational hash-cut baseline must equal the cut g19 reads
+    // back from its own files — the rows-only-gated query tied to the
+    // hash-oracle-gated one.
+    val g29 = GraphQueries.g29LocalityRoundtrip(spark, sf)
+      .agg(sum("loc_nvtxs"), sum("loc_nedges"), max("hash_cut_total"),
+        max("loc_cut_total")).first()
+    val g19 = GraphQueries.g19PartitionRoundtrip(spark, sf)
+      .agg(sum("nvtxs"), sum("nedges"), sum("cut_edges")).first()
+    assert(g29.getLong(0) === g19.getLong(0), "vertex totals must agree")
+    assert(g29.getLong(1) === g19.getLong(1), "edge-record totals must agree")
+    assert(g29.getLong(2) === g19.getLong(2),
+      "g29's relational id-mod-3 cut must equal the cut g19 reads from files")
+    assert(g29.getLong(3) < g29.getLong(2), "locality must beat the hash cut")
+  }
+
   test("g26 residual trace is the monotone tail of a contracting iteration") {
     val rows = GraphQueries.g26ConvergenceTrace(spark, sf).orderBy("iter").collect()
     assert(rows.length === 6)
