@@ -105,6 +105,37 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Elementwise sum buffer for fixed-width long vectors + row count. */
+  final case class VecSumBuf(sums: Seq[Long], n: Long)
+
+  /** Elementwise truncating integer mean of quantized vectors — the
+    * Lloyd centroid-update aggregate. The posexplode formulation pushes
+    * d rows per INPUT vector through two aggregate stages (N·d rows per
+    * round, the hot-loop row volume of the cell build at scale); this
+    * buffer accumulates one O(d) array per group per map task instead —
+    * map-side combinable, merge-associative, and the finish computes
+    * the same exact `sum DIV count` integer means in JVM longs, so the
+    * result is bit-identical to the per-dim formulation (pinned by
+    * KmeansArrayParitySpec and the in-JVM replay). Empty groups cannot
+    * reach finish through groupBy, but a merge-of-zeros can: n == 0
+    * finishes null so the caller's coalesce keeps the previous
+    * centroid. */
+  final class VecMean extends Aggregator[Seq[Long], VecSumBuf, Seq[Long]] {
+    override def zero: VecSumBuf = VecSumBuf(Vector.empty, 0L)
+    override def reduce(b: VecSumBuf, v: Seq[Long]): VecSumBuf =
+      if (b.n == 0L) VecSumBuf(v.toVector, 1L)
+      else VecSumBuf(b.sums.lazyZip(v).map(_ + _), b.n + 1L)
+    override def merge(a: VecSumBuf, b: VecSumBuf): VecSumBuf =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else VecSumBuf(a.sums.lazyZip(b.sums).map(_ + _), a.n + b.n)
+    override def finish(b: VecSumBuf): Seq[Long] =
+      if (b.n == 0L) null else b.sums.map(_ / b.n)
+    override def bufferEncoder: Encoder[VecSumBuf] = Encoders.product[VecSumBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** One (measure, id) candidate held by [[BottomK]]. */
   final case class ScoredId(m: Long, id: Long)
 

@@ -357,6 +357,15 @@ object SimilarityQueries {
       transform(col("embedding"),
         x => round((x.cast("double") + lit(1.0)) * QScale).cast("long")).as("qv"))
 
+  /** The Lloyd centroid-update aggregate: elementwise exact integer
+    * means over the assigned vectors' quantized arrays in ONE
+    * map-combinable pass ([[graft.functions.Aggregators.VecMean]]) —
+    * the posexplode formulation it replaces (r9) pushed d rows per
+    * input vector through two aggregate stages every round, the
+    * dominant row volume of the cell build's hot loop. Bit-identical
+    * output (`sum DIV count` per dim, positive longs). */
+  private def vecMean = udaf(new graft.functions.Aggregators.VecMean)
+
   /** Core flat Lloyd over an already-persisted quantized frame — callers
     * own `qa`'s persist/unpersist lifecycle. */
   private def kmeansAssignArrayOn(qa: DataFrame, k: Long): DataFrame = {
@@ -372,12 +381,8 @@ object SimilarityQueries {
       .select(col("vec_id").as("cluster"), col("qv").as("cv"))
     for (_ <- 1 to KmIters) {
       val sums = qa.join(assign(cent).select("vec_id", "cluster"), "vec_id")
-        .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "qd")))
-        .groupBy("cluster", "dim")
-        .agg(expr("sum(qd) DIV count(1)").as("ncd"))
         .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("ncd")))),
-          x => x.getField("ncd")).as("ncv"))
+        .agg(vecMean(col("qv")).as("ncv"))
       cent = cent.join(sums, Seq("cluster"), "left_outer")
         .select(col("cluster"), coalesce(col("ncv"), col("cv")).as("cv"))
         .materialize()
@@ -425,12 +430,8 @@ object SimilarityQueries {
           col("m.d2").as("d2"))
     for (_ <- 1 to KmIters) {
       val sums = assign(cent).join(ca.select("vec_id", "qv"), "vec_id")
-        .select(col("pkey"), col("sidx"), posexplode(col("qv")).as(Seq("dim", "qd")))
-        .groupBy("pkey", "sidx", "dim")
-        .agg(expr("sum(qd) DIV count(1)").as("ncd"))
         .groupBy("pkey", "sidx")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("ncd")))),
-          x => x.getField("ncd")).as("ncv"))
+        .agg(vecMean(col("qv")).as("ncv"))
       cent = cent.join(sums, Seq("pkey", "sidx"), "left_outer")
         .select(col("pkey"), col("sidx"), coalesce(col("ncv"), col("cv")).as("cv"))
         .materialize()
