@@ -348,7 +348,9 @@ object GraphLoaders {
           math.min(cum.lastIndexWhere(_ <= x), parts - 1).toLong
         }
       }
-    val slotArr = array(slots.map(lit): _*)
+    // One ArrayType Literal, not CreateArray of 1024 literal exprs —
+    // the expression tree stays a single node in codegen.
+    val slotArr = lit(slots)
     sized.join(broadcast(heavyDf), Seq("label", "bucket"), "left_outer")
       .select(col("id"),
         coalesce(col("hpart"),
