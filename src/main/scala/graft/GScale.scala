@@ -120,8 +120,8 @@ object GScale {
     replicate("lineitem", (df, k) => df
       .withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
       .withColumn("l_partkey", col("l_partkey") + lit(k * 100000000L)))
-    val all10 = Seq("s15_semdedup", "d3_minhash_lsh", "s9_knn_graph",
-      "g1_pagerank")
+    val all10 = Seq("s15_semdedup", "d3_minhash_lsh", "d4_simhash",
+      "s9_knn_graph", "g1_pagerank")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all10.filter(s.split(",").toSet)).getOrElse(all10)
     def run(dir: String, name: String): Double = {
@@ -142,6 +142,21 @@ object GScale {
         val cSmall = graft.operators.SimilarityQueries.knnCandidateCount(spark, sf1)
         val cBig = graft.operators.SimilarityQueries.knnCandidateCount(spark, big)
         println(f"[gscale10] s9_candidate_pairs     $cSmall%8d $cBig%8d  ${cBig.toDouble / cSmall}%5.2f")
+      }
+      if (name == "d3_minhash_lsh") {
+        val cross = graft.operators.DedupQueries.d3CrossCopyPairs(spark, big, 10000000L)
+        println(s"[gscale10] d3_cross_decade_pairs  $cross (must be 0)")
+      }
+      if (name == "d4_simhash") {
+        // Unlike d3's exact-jaccard verify (0 cross-copy at any N), a
+        // 30-bit fingerprint at hamming ≤ 2 has a RANDOM collision
+        // floor ≈ pairs × 466/2^30 that grows quadratically in N —
+        // ~49k chance pairs among 500k docs' ~1.1e11 cross-decade
+        // pairs. The health check is cross ≈ that floor (fingerprints
+        // independent), not cross = 0; materially ABOVE it means the
+        // generator correlates copies again.
+        val cross = graft.operators.DedupQueries.d4CrossCopyPairs(spark, big, 10000000L)
+        println(s"[gscale10] d4_cross_decade_pairs  $cross (health: ~ the random 30-bit floor)")
       }
     }
     spark.stop()
