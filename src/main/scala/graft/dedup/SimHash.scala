@@ -20,6 +20,18 @@ import graft.functions.Portable
   *
   * 30 bits (not 64) because the portable hash lives in [0, 1e9+7) —
   * every bit is honest entropy, nothing above bit 29 is populated.
+  *
+  * Width is the corpus-size knob: unrelated fingerprints collide at
+  * hamming ≤ h by pure chance with probability C(bits, ≤h)/2^bits, so
+  * the FALSE-POSITIVE FLOOR of a dedup pass is ≈ N²/2 × 466/2^30 at
+  * the default (bits=30, h=2) — ~49k chance pairs per 500k docs,
+  * measured exactly at that level on content-independent replicas
+  * (GScale sf10, SURVEY §6.2.1). The banded-candidate plan is
+  * width-agnostic (bands slice whatever width is configured), so a
+  * corpus past ~10⁶ docs should raise `Bits` (a 64-bit fingerprint
+  * from a wider word hash drops the floor ~1.3e5×) rather than accept
+  * quadratic chance pairs; the exact-verify stages downstream (d18's
+  * clusters) are insensitive either way.
   */
 object SimHash {
 
