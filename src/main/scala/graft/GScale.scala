@@ -317,8 +317,10 @@ object GScale {
         println(s"[gscale] d3_cross_copy_pairs     $cross (must be 0)")
       }
       if (name == "d4_simhash") {
+        // Health bar: ≈ the random 30-bit hamming≤2 floor (~500 at 50k
+        // docs), not 0 — see the sf10 twin's comment. Measured 171.
         val cross = graft.operators.DedupQueries.d4CrossCopyPairs(spark, big, 1000000L)
-        println(s"[gscale] d4_cross_copy_pairs     $cross (must be ~0)")
+        println(s"[gscale] d4_cross_copy_pairs     $cross (health: ~ the random 30-bit floor)")
       }
     }
     // Locality-partitioner pricing (VERDICT r8 item 7): the `Gmr
