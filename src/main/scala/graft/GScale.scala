@@ -121,7 +121,7 @@ object GScale {
       .withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
       .withColumn("l_partkey", col("l_partkey") + lit(k * 100000000L)))
     val all10 = Seq("s15_semdedup", "d3_minhash_lsh", "d4_simhash",
-      "s9_knn_graph", "g1_pagerank")
+      "d18_simhash_clusters", "s9_knn_graph", "g1_pagerank")
     val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(s => all10.filter(s.split(",").toSet)).getOrElse(all10)
     def run(dir: String, name: String): Double = {
@@ -142,6 +142,13 @@ object GScale {
         val cSmall = graft.operators.SimilarityQueries.knnCandidateCount(spark, sf1)
         val cBig = graft.operators.SimilarityQueries.knnCandidateCount(spark, big)
         println(f"[gscale10] s9_candidate_pairs     $cSmall%8d $cBig%8d  ${cBig.toDouble / cSmall}%5.2f")
+      }
+      if (name == "d18_simhash_clusters") {
+        // The O(docs)-output claim across the SECOND decade: cluster
+        // rows must track the doc count no matter the pair density.
+        val rows = SparkEntry.queries(name)(spark, big).count()
+        val docsN = spark.read.parquet(s"$big/documents.parquet").count()
+        println(s"[gscale10] d18_rows_vs_docs       $rows <= $docsN: ${rows <= docsN}")
       }
       if (name == "d3_minhash_lsh") {
         val cross = graft.operators.DedupQueries.d3CrossCopyPairs(spark, big, 10000000L)
