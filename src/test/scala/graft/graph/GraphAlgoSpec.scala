@@ -177,6 +177,39 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("salted wedge enumeration stays exact when EVERY middle is hot") {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    import spark.implicits._
+    // Threshold 1 salts every wedge middle, so the exactly-once-meeting
+    // property (each wedge's a-side carries one salt, the b-side
+    // replicates across all salts, they meet at exactly one key) is
+    // exercised on every vertex of a seeded random graph — not just a
+    // single engineered hub.
+    val rnd = new scala.util.Random(20260814)
+    val n = 60
+    val edges = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.15
+    } yield (a, b)).toDF("src", "dst")
+    val budgetKey = "spark.graft.adjacencyBroadcastBytes"
+    val thrKey = "spark.graft.wedgeSaltThreshold"
+    try {
+      spark.conf.set(thrKey, "1")
+      spark.conf.set(budgetKey, "1")
+      val fb = GraphOps.triangleCountByGroup(edges, x => pmod(x, lit(4L))).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set(budgetKey, "10485760")
+      val bc = GraphOps.triangleCountByGroup(edges, x => pmod(x, lit(4L))).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fb === bc, "fully-salted fallback must equal the intersect kernel")
+      assert(fb.values.sum === GraphOps.triangleCount(edges))
+      assert(fb.values.sum > 0, "fixture must contain triangles")
+    } finally {
+      spark.conf.unset(budgetKey)
+      spark.conf.unset(thrKey)
+    }
+  }
+
   test("per-vertex triangle counts credit all corners") {
     val per = GraphOps.triangleCounts(edgeDf(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L))
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
