@@ -304,8 +304,10 @@ object GraphOps {
     * `in·out` → `in·out / salts`. */
   private[graph] def saltedWedges(canonicalEdges: DataFrame): DataFrame = {
     val spark = canonicalEdges.sparkSession
-    val salts = spark.conf.getOption(WedgeSaltsKey).map(_.toInt)
-      .getOrElse(WedgeSaltsDefault)
+    // Clamp to ≥ 1: salts = 0 would explode hot b→c rows into an EMPTY
+    // salt array and silently drop their triangles.
+    val salts = math.max(1, spark.conf.getOption(WedgeSaltsKey).map(_.toInt)
+      .getOrElse(WedgeSaltsDefault))
     val thr = spark.conf.getOption(WedgeSaltThresholdKey).map(_.toLong)
       .getOrElse(WedgeSaltThresholdDefault)
     val e = canonicalEdges.select("src", "dst")
