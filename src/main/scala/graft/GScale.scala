@@ -166,6 +166,32 @@ object GScale {
         println(s"[gscale10] d4_cross_decade_pairs  $cross (health: ~ the random 30-bit floor)")
       }
     }
+    // Locality-partitioner pipeline across the SECOND decade (the sf1
+    // main's probe one decade up): self-contained 5-iteration LPA +
+    // LPT assignment + fmt=1111 write over the co-purchase graph.
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .forall(_.split(",").toSet.contains("locality"))) {
+      def locality(dir: String): Double = {
+        spark.sqlContext.clearCache()
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.GraphQueries.partPairsMaterialized(spark, dir)
+        val g = graft.graph.PropertyGraph(
+          pairs.select(col("src").as("id"))
+            .union(pairs.select(col("dst").as("id"))).distinct(),
+          graft.graph.PropertyGraph.symmetrize(pairs))
+        val assign = graft.io.GraphLoaders.localityAssignment(
+          graft.graph.GraphOps.labelPropagation(g, 5)
+            .select(col("id"), col("label")), 3)
+        val out = s"${sys.props("user.dir")}/target/graft_scale/locality_probe10/" +
+          new java.io.File(dir).getName
+        new java.io.File(out).getParentFile.mkdirs()
+        graft.io.GraphLoaders.writeMetisSubgraphs(g, 3, out, Some(assign))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tSmall = locality(sf1)
+      val tBig = locality(big)
+      println(f"[gscale10] locality_partition     $tSmall%8.2f $tBig%8.2f  ${tBig / tSmall}%5.2f")
+    }
     spark.stop()
   }
 
