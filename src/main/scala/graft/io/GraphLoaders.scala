@@ -160,12 +160,15 @@ object GraphLoaders {
     * in ascending id order so the output is deterministic.
     *
     * The line construction is fully distributed (per-vertex adjacency
-    * grouping — one shuffle); only the final per-part file emission is a
-    * coalesce(1) text write + header-concat, which is faithful to what it
-    * replaces: the reference's own partitioner runs in-memory on rank 0.
-    * The concat step goes through the Hadoop FileSystem API, so the
-    * writer works against whatever filesystem `basePath` resolves to
-    * (local, HDFS, S3A), not just driver-local disk.
+    * grouping — one shuffle); only the final per-part file emission is
+    * single-task-per-part (the format contract: one file per reference
+    * rank, so write parallelism IS the part count — faithful to what it
+    * replaces, the reference's own partitioner running in-memory on
+    * rank 0). The header rides as each part's first ROW (the counts are
+    * known before the write), so finishing a file is one O(1) rename —
+    * no second byte pass. Renames go through the Hadoop FileSystem API,
+    * so the writer works against whatever filesystem `basePath`
+    * resolves to (local, HDFS, S3A), not just driver-local disk.
     *
     * Weights: integral weights are written as integer tokens (the
     * reference's default `iss >> iewgt` path); if ANY edge weight is
@@ -247,29 +250,34 @@ object GraphLoaders {
       // on concurrent driver threads — paid `parts` × (2-stage sort +
       // job schedule + codegen) on tiny data: measured ~9-13 s of mostly
       // scheduler/JIT latency at sf0.1 vs ~3 s for this single pass.
+      //
+      // The `nvtxs nedges fmt ncon` header is INJECTED as each part's
+      // first row (id = Long.MinValue sorts before every vertex) — the
+      // counts are already known from the grouped pass above, so the
+      // finished file only needs an O(1) rename. The previous shape —
+      // create + header + stream-copy the whole part file — was a
+      // second full sequential byte pass per part (r9; the sf10 probe
+      // measured ~90 s per 3-part write at ~2.6 GB/part, half of it
+      // this copy).
+      val spark2 = g.edges.sparkSession
+      import spark2.implicits._
+      val headers = counts.toSeq.map { case (p, (nv, ne)) =>
+        (java.lang.Long.MIN_VALUE, p, s"$nv $ne 1111 1")
+      }.toDF("id", "part", "line")
       val tmp = new org.apache.hadoop.fs.Path(s"$basePath.subgraphs.tmp")
       val fs = tmp.getFileSystem(hconf)
-      lines.repartition(parts, col("part"))
+      lines.select(col("id"), col("part"), col("line")).union(headers)
+        .repartition(parts, col("part"))
         .sortWithinPartitions(col("part"), col("id"))
         .select(col("part"), col("line").as("value"))
         .write.partitionBy("part").mode("overwrite").text(tmp.toString)
       (0 until parts).foreach { p =>
-        val (nv, ne) = counts(p.toLong)
         val dir = new org.apache.hadoop.fs.Path(tmp, s"part=$p")
         val partFile = fs.listStatus(dir).map(_.getPath)
           .find(_.getName.startsWith("part-")).get
-        // Header-prepend as a RAW byte copy: the text job already emitted
-        // final LF-terminated lines; write the header, then stream bytes.
-        val out = new java.io.BufferedOutputStream(
-          fs.create(new org.apache.hadoop.fs.Path(s"$basePath.subgraph.$p"), true),
-          1 << 16)
-        try {
-          out.write(s"$nv $ne 1111 1\n"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val in = fs.open(partFile)
-          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 16, false)
-          finally in.close()
-        } finally out.close()
+        val dst = new org.apache.hadoop.fs.Path(s"$basePath.subgraph.$p")
+        if (fs.exists(dst)) fs.delete(dst, false)
+        require(fs.rename(partFile, dst), s"rename $partFile -> $dst failed")
       }
       fs.delete(tmp, true)
     } finally lines.unpersist(blocking = false)
