@@ -46,7 +46,16 @@ object GScale {
     }
     Option(root.listFiles()).foreach(_.foreach { family =>
       Option(family.listFiles())
-        .foreach(_.filter(t => tags.contains(t.getName)).foreach(rm))
+        .foreach(_.filter(t => tags.contains(t.getName)).foreach { t =>
+          rm(t)
+          // A tag dir surviving a failed delete (e.g. a permissions
+          // hiccup leaving _SUCCESS behind) would let a recorded probe
+          // read a WARM derive-once cache, corrupting the
+          // both-sides-cold ratio this wipe exists to guarantee — fail
+          // loudly instead (ADVICE r9).
+          require(!t.exists(), s"wipeDerived failed to remove $t — " +
+            "a warm derive-once cache would corrupt the cold-cold ratio")
+        })
     })
   }
 

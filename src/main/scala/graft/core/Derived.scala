@@ -42,19 +42,29 @@ object Derived {
         // fewer bytes than requested even when more are available, and a
         // short read would change the fingerprint nondeterministically
         // across runs (spurious cache-key misses → rebuilds). Sample
-        // sizes are clamped to the file length so EOF cannot hit.
-        val raf = new java.io.RandomAccessFile(f, "r")
+        // sizes are clamped to the file length so EOF cannot hit —
+        // UNLESS the file shrinks between the length() calls and the
+        // read (data regenerated in place by a concurrent process). An
+        // EOF there must perturb the fingerprint (→ cache-key miss and
+        // rebuild), not abort the run (ADVICE r9).
         try {
-          val head = new Array[Byte](math.min(4096L, f.length()).toInt)
-          raf.readFully(head)
-          md.update(head)
-          if (f.length() > 4096) {
-            val tail = new Array[Byte](4096)
-            raf.seek(f.length() - 4096)
-            raf.readFully(tail)
-            md.update(tail)
-          }
-        } finally raf.close()
+          val raf = new java.io.RandomAccessFile(f, "r")
+          try {
+            val head = new Array[Byte](math.min(4096L, f.length()).toInt)
+            raf.readFully(head)
+            md.update(head)
+            if (f.length() > 4096) {
+              val tail = new Array[Byte](4096)
+              raf.seek(f.length() - 4096)
+              raf.readFully(tail)
+              md.update(tail)
+            }
+          } finally raf.close()
+        } catch {
+          case _: java.io.IOException =>
+            md.update("|concurrent-rewrite".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+        }
       }
       val children = f.listFiles()
       if (children != null)

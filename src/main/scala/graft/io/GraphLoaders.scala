@@ -190,14 +190,33 @@ object GraphLoaders {
         floor(coalesce(col("weight"), lit(1.0)))).isEmpty
     def wTok(c: org.apache.spark.sql.Column) =
       if (allIntegral) c.cast("long").cast("string") else c.cast("string")
+    // The assignment is consumed twice (edge dst ownership + vertex
+    // ownership) and its plan is the LPA/LPT pipeline — persist it once.
+    // It is O(V) two-long rows, so when it fits the broadcast budget
+    // (same discipline as spark.graft.adjacencyBroadcastBytes — one
+    // deliberate broadcast per write replacing an O(E) shuffle exchange
+    // on the edge side, which the sf10 decomposition named as the write
+    // leg's dominant cost term; VERDICT r9 item 2) the ownership joins
+    // broadcast; beyond the budget they fall back to the shuffle join.
+    val assignPersisted = assignment.map(_
+      .select(col("id"), col("part").cast("long").as("part"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val assignBroadcasts = assignPersisted.exists { a =>
+      val budget = spark.conf.getOption(AssignmentBroadcastBytesKey)
+        .map(_.toLong).getOrElse(AssignmentBroadcastBytesDefault)
+      // 16 payload bytes + ~16 row overhead per (id, part) row; the
+      // count also materializes the persisted frame exactly once.
+      budget > 0 && 32L * a.count() <= budget
+    }
     // Owner of vertex v: the assignment frame's part when provided (the
     // locality path, SURVEY §2.1 O8), else `id mod parts` (the reference's
     // random/hash convention, O7 — also the fallback for ids the
     // assignment misses, e.g. gap-filled isolated vertices).
     def owned(in: DataFrame, idCol: String, out: String): DataFrame =
-      assignment match {
+      assignPersisted match {
         case Some(a) =>
-          in.join(a.select(col("id").as(idCol), col("part").cast("long").as(out)),
+          val af = a.select(col("id").as(idCol), col("part").as(out))
+          in.join(if (assignBroadcasts) broadcast(af) else af,
               Seq(idCol), "left_outer")
             .withColumn(out, coalesce(col(out), pmod(col(idCol), lit(parts.toLong))))
         case None =>
@@ -273,15 +292,36 @@ object GraphLoaders {
         .write.partitionBy("part").mode("overwrite").text(tmp.toString)
       (0 until parts).foreach { p =>
         val dir = new org.apache.hadoop.fs.Path(tmp, s"part=$p")
-        val partFile = fs.listStatus(dir).map(_.getPath)
-          .find(_.getName.startsWith("part-")).get
+        val partFiles = fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+        // The rename finish assumes the repartition(col("part")) task
+        // committed exactly ONE file per part=p dir. A session-wide
+        // spark.sql.files.maxRecordsPerFile (or codec split) could emit
+        // several; renaming just the first would silently drop vertex
+        // lines, so the single-file invariant fails loudly (ADVICE r9).
+        require(partFiles.length == 1,
+          s"part=$p committed ${partFiles.length} files (expected exactly 1; " +
+            "is spark.sql.files.maxRecordsPerFile set session-wide?)")
         val dst = new org.apache.hadoop.fs.Path(s"$basePath.subgraph.$p")
         if (fs.exists(dst)) fs.delete(dst, false)
-        require(fs.rename(partFile, dst), s"rename $partFile -> $dst failed")
+        require(fs.rename(partFiles.head, dst), s"rename ${partFiles.head} -> $dst failed")
       }
       fs.delete(tmp, true)
-    } finally lines.unpersist(blocking = false)
+    } finally {
+      lines.unpersist(blocking = false)
+      assignPersisted.foreach(_.unpersist(blocking = false))
+    }
   }
+
+  /** Broadcast budget for the locality writer's `(id, part)` assignment
+    * frame — the adjacencyBroadcastBytes discipline (Algorithms.scala):
+    * a deliberate one-per-write broadcast that deletes the edge-side
+    * shuffle exchange from the ownership join, NOT the per-join
+    * autoBroadcastJoinThreshold guard. 256 MB ≈ 8M vertices of
+    * assignment — routine executor memory on a real cluster; larger
+    * assignments fall back to the shuffle join automatically. */
+  private val AssignmentBroadcastBytesKey = "spark.graft.assignmentBroadcastBytes"
+  private val AssignmentBroadcastBytesDefault = 256L << 20
 
   /** Locality-aware part assignment — the engine's analog of the
     * reference's Zoltan/METIS "minimize inter-node traffic" partitioner

@@ -233,9 +233,12 @@ object DedupQueries {
   /** Builder-probe helper (GScale generator-health check, not a gated
     * query): verified d3 pairs whose endpoints lie in DIFFERENT replica
     * copies of a synthetic scale dir (`copy = doc_id / copySpan`, the
-    * GScale id-offset convention). Zero under the token-interleaving
-    * replication convention — a nonzero count means the probe is
-    * measuring workload density, not plan scaling (the r8 finding). */
+    * GScale id-offset convention). Zero under the per-copy WORD-BIJECTION
+    * replication convention (r9 — every word of copy k gets a leading
+    * `c${k}_` marker, so cross-copy shingle sets are disjoint and the
+    * exact-jaccard verify can never pass a straddling pair) — a nonzero
+    * count means the probe is measuring workload density, not plan
+    * scaling (the r8 finding). */
   def d3CrossCopyPairs(s: SparkSession, d: String, copySpan: Long): Long =
     lshPairsMaterialized(s, d)
       .where(expr(s"id_a DIV $copySpan") =!= expr(s"id_b DIV $copySpan"))

@@ -143,6 +143,10 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = (low ++ high ++ closing).toDF("src", "dst")
     val budgetKey = "spark.graft.adjacencyBroadcastBytes"
     val thrKey = "spark.graft.wedgeSaltThreshold"
+    // Restore whatever AQE setting the suite session runs with, not a
+    // hardcoded "true" (ADVICE r9: the hardcode leaked config if the
+    // session ever ran with AQE off by default).
+    val aqePrior = spark.conf.getOption("spark.sql.adaptive.enabled")
     try {
       spark.conf.set(thrKey, "1000") // 90,000 ≥ 1000 → the hub is hot
       // forced fallback == intersect kernel on the star fixture
@@ -173,7 +177,10 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally {
       spark.conf.unset(budgetKey)
       spark.conf.unset(thrKey)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      aqePrior match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
     }
   }
 
