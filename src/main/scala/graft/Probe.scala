@@ -43,6 +43,7 @@ object Probe {
       case "scc"      => scc(spark, d)
       case "g1"       => g1(spark, d)
       case "locality" => locality(spark, d)
+      case "simham"   => simham(spark, d)
       case other      => println(s"[probe] unknown verb '$other'")
     }
     spark.stop()
@@ -237,5 +238,27 @@ object Probe {
       val (vI, eI, cuts) = GraphLoaders.partitionImbalance(stats)
       println(f"[probe:locality] $mode%-9s vImbal=$vI%.4f eImbal=$eI%.4f cuts=$cuts")
     }
+  }
+
+  /** All-pairs SimHash hamming histogram (low end) over the documents
+    * table — the calibration evidence behind `SimMaxHamming`: the
+    * near-dup population and the chance population separate by a wide
+    * gap, and the threshold sits inside it. Re-run after any
+    * fingerprint-width change (it priced the r10 30→60-bit widening). */
+  private def simham(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val fps = graft.dedup.SimHash
+      .fingerprints(graft.core.Tables.documents(spark, d)
+        .select(col("doc_id").as("id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = fps.as("a"); val b = fps.as("b")
+    val hist = t("simham", "all-pairs hamming histogram") {
+      a.join(b, col("a.id") < col("b.id"))
+        .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("h"))
+        .groupBy("h").count().orderBy("h").limit(32).collect()
+    }
+    fps.unpersist(blocking = false)
+    println("[probe:simham] " +
+      hist.map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
   }
 }

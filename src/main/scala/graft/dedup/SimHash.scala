@@ -6,32 +6,34 @@ import graft.functions.Portable
 
 /** SimHash document fingerprinting for near-duplicate detection.
   *
-  * Per document: tokenize to words, hash each word with the portable
-  * polynomial hash, and for each of the 30 low bits of the word hash add
-  * `+tf` when the bit is set, `-tf` when clear; the fingerprint sets bit j
-  * iff the accumulated weight is positive. Near-dups differ in few bits →
-  * hamming distance (bit_count of xor) is the similarity measure.
+  * Per document: tokenize to words, derive a 60-bit key per word from
+  * TWO portable polynomial folds (plain hash → low 30 bits, a
+  * salt-prefixed hash → high 30; [[graft.functions.HashUtil.SimSalt]]),
+  * and for each of the 60 key bits add `+tf` when the bit is set, `-tf`
+  * when clear; the fingerprint sets bit j iff the accumulated weight is
+  * positive. Near-dups differ in few bits → hamming distance (bit_count
+  * of xor) is the similarity measure.
   *
   * The fingerprint is one per-row native kernel
   * ([[graft.functions.HashUtil.simHashFp]]) — tokenize, tf-count, and
-  * 30-bit weight accumulation in a single pass, no explode and no
+  * 60-bit weight accumulation in a single pass, no explode and no
   * aggregate shuffle (the DuckDB oracle computes the identical
-  * fingerprint relationally: unnest → tf → bit table → two aggregations).
+  * fingerprint relationally: unnest → tf → composed two-fold hash →
+  * bit table → two aggregations).
   *
-  * 30 bits (not 64) because the portable hash lives in [0, 1e9+7) —
-  * every bit is honest entropy, nothing above bit 29 is populated.
-  *
-  * Width is the corpus-size knob: unrelated fingerprints collide at
-  * hamming ≤ h by pure chance with probability C(bits, ≤h)/2^bits, so
-  * the FALSE-POSITIVE FLOOR of a dedup pass is ≈ N²/2 × 466/2^30 at
-  * the default (bits=30, h=2) — ~49k chance pairs per 500k docs,
-  * measured exactly at that level on content-independent replicas
-  * (GScale sf10, SURVEY §6.2.1). The banded-candidate plan is
-  * width-agnostic (bands slice whatever width is configured), so a
-  * corpus past ~10⁶ docs should raise `Bits` (a 64-bit fingerprint
-  * from a wider word hash drops the floor ~1.3e5×) rather than accept
-  * quadratic chance pairs; the exact-verify stages downstream (d18's
-  * clusters) are insensitive either way.
+  * 60 bits by composition (r10; was 30) because one portable hash lives
+  * in [0, 1e9+7) — only 30 honest bits. Width is the corpus-size knob:
+  * unrelated fingerprints collide at hamming ≤ h by pure chance with
+  * probability C(bits, ≤h)/2^bits. At the old (bits=30, h=2) the dedup
+  * FALSE-POSITIVE FLOOR was ≈ N²/2 × 466/2³⁰ — ~39k chance pairs
+  * measured on 500k content-independent docs (GScale sf10, SURVEY
+  * §6.2.1). At (bits=60, h=4) the floor is N²/2 × C(60,≤4)/2⁶⁰ ≈
+  * N²/2 × 4.5e-13 — ~0.06 pairs at the same N, gone for any corpus the
+  * banding itself can hold. The hamming threshold re-derivation is
+  * proportional (2/30 → 4/60 — the same per-bit noise fraction; the
+  * `Probe simham` histogram shows the population is smooth, so the
+  * fraction, not an absolute gap, is the invariant); bands follow
+  * pigeonhole: 5 bands of 12 bits catch every pair with hamming ≤ 4.
   */
 object SimHash {
 

@@ -23,9 +23,29 @@ object HashUtil {
   val PermA: Long = 961748927L
   val PermB: Long = 885320963L
 
-  /** SimHash fingerprint width: the polynomial hash lives in [0, P), so
-    * only the low 30 bits carry entropy. */
-  val SimHashBits: Int = 30
+  /** SimHash fingerprint width. One portable word hash lives in [0, P)
+    * — only 30 honest bits — so the 60-bit fingerprint composes TWO
+    * independent folds per word: the plain hash (low 30 bits) and a
+    * [[SimSalt]]-prefixed hash (high 30 bits). Widening from 30 bits
+    * (r10) kills the quadratic chance-collision floor a ≥10⁶-doc corpus
+    * hits: P(hamming ≤ 4) drops from C(30,≤2)/2³⁰ ≈ 4.3e-7 (≈39k chance
+    * pairs measured on 500k content-independent docs, SURVEY §6.2.1) to
+    * C(60,≤4)/2⁶⁰ ≈ 4.5e-13 (≈0.06 pairs at the same N). */
+  val SimHashBits: Int = 60
+
+  /** Prefix salt of the second per-word fold: the high half of the
+    * fingerprint uses hash(SimSalt ∥ word) — a genuinely different
+    * polynomial (the prefix shifts every codepoint's power of 31 by
+    * |salt| and adds the salt's own fold), not a bijection of the plain
+    * hash, because it depends on word length too. The DuckDB oracle
+    * composes the identical concatenation. */
+  val SimSalt: String = "fp2:"
+
+  /** Fold of [[SimSalt]] alone — the seed the salted per-word fold
+    * starts from (prefix-fold associativity: fold(salt ∥ w, 0) =
+    * fold(w, fold(salt, 0))). */
+  private val SimSaltSeed: Long =
+    charPolyHash(UTF8String.fromString(SimSalt))
 
   /** Polynomial rolling hash over the Unicode codepoints of a string:
     * `acc = (acc*31 + codepoint) % P`, acc0 = 0. Matches the DuckDB fold
@@ -37,9 +57,12 @@ object HashUtil {
     hashRange(b, 0, b.length)
   }
 
-  /** Codepoint-fold hash of the UTF-8 byte range [from, until). */
-  private def hashRange(b: Array[Byte], from: Int, until: Int): Long = {
-    var acc = 0L
+  /** Codepoint-fold hash of the UTF-8 byte range [from, until), folding
+    * onto `acc0` (0 for the plain hash; [[SimSaltSeed]] for the salted
+    * second fold — equivalent to hashing the salt-prefixed string). */
+  private def hashRange(b: Array[Byte], from: Int, until: Int,
+                        acc0: Long = 0L): Long = {
+    var acc = acc0
     var i = from
     while (i < until) {
       val c = b(i) & 0xFF
@@ -260,11 +283,13 @@ object HashUtil {
     new GenericArrayData(mins)
   }
 
-  /** SimHash fingerprint of a document: per distinct word hash h with
-    * term frequency tf, add +tf to bit-weight j when bit j of h is set,
-    * -tf when clear; fingerprint sets bit j iff the total weight is
-    * positive. Grouping by hash instead of by word string is exact: the
-    * sign depends only on h, so colliding words' contributions add. */
+  /** SimHash fingerprint of a document: per distinct 60-bit word key k
+    * (low 30 bits = plain word hash, high 30 = [[SimSalt]]-prefixed
+    * hash) with term frequency tf, add +tf to bit-weight j when bit j
+    * of k is set, -tf when clear; fingerprint sets bit j iff the total
+    * weight is positive. Grouping by the composed key instead of by
+    * word string is exact: the sign at every bit depends only on k, so
+    * double-colliding words' contributions add. */
   def simHashFp(s: UTF8String): Long = {
     val b = s.getBytes
     val bounds = wordBounds(b)
@@ -272,7 +297,9 @@ object HashUtil {
     val tf = new java.util.HashMap[java.lang.Long, Array[Long]](nWords * 2)
     var i = 0
     while (i < nWords) {
-      val h = hashRange(b, bounds(2 * i), bounds(2 * i + 1))
+      val h1 = hashRange(b, bounds(2 * i), bounds(2 * i + 1))
+      val h2 = hashRange(b, bounds(2 * i), bounds(2 * i + 1), SimSaltSeed)
+      val h = h1 | (h2 << 30)
       val cur = tf.get(h)
       if (cur == null) tf.put(h, Array(1L)) else cur(0) += 1
       i += 1

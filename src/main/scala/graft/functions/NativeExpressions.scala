@@ -150,7 +150,7 @@ case class ZOrderKey(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
-/** `graft_simhash(text)` → BIGINT: 30-bit SimHash fingerprint. */
+/** `graft_simhash(text)` → BIGINT: 60-bit composed SimHash fingerprint. */
 case class SimHashFp(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType

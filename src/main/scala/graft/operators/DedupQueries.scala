@@ -244,17 +244,21 @@ object DedupQueries {
       .where(expr(s"id_a DIV $copySpan") =!= expr(s"id_b DIV $copySpan"))
       .count()
 
-  /** Band/hamming parameters for d4: 3 bands × 10 bits over the 30-bit
-    * fingerprint, hamming ≤ 2 — the 30-bit analog of the classic 64-bit/
-    * 4-band/hamming-3 SimHash dedup setup. maxHamming ≤ bands-1 is what
-    * makes the banding lossless (pigeonhole: ≤2 flipped bits can dirty at
-    * most 2 of the 3 slices). */
-  private val SimBands = 3
-  private val SimMaxHamming = 2
+  /** Band/hamming parameters for d4: 5 bands × 12 bits over the 60-bit
+    * fingerprint, hamming ≤ 4 (r10; was 3 × 10 / ≤ 2 over 30 bits — the
+    * threshold re-derivation is proportional, 2/30 → 4/60, the same
+    * per-bit noise fraction; see [[graft.dedup.SimHash]] for the floor
+    * math and `Probe simham` for the calibration histogram). maxHamming
+    * ≤ bands-1 is what makes the banding lossless (pigeonhole: ≤4
+    * flipped bits can dirty at most 4 of the 5 slices). The wider
+    * slices also SHRINK the candidate volume: chance band collisions
+    * are bands × N²/2^sliceBits — 5/4096 per pair vs the old 3/1024. */
+  private val SimBands = 5
+  private val SimMaxHamming = 4
 
   /** d4: SimHash fingerprint pairs with hamming ≤ [[SimMaxHamming]], via
     * banded candidate generation ([[SimHash.bandedPairs]]): candidates =
-    * docs sharing any 10-bit fingerprint slice, an equi-join on
+    * docs sharing any 12-bit fingerprint slice, an equi-join on
     * (band, slice) — no blocking column, no per-block all-pairs. The
     * pigeonhole guarantee makes the banded result provably EQUAL to the
     * all-pairs ground truth, so the oracle runs plain all-pairs SQL and
@@ -266,7 +270,7 @@ object DedupQueries {
     * without the materialization each re-pays the fingerprint kernel +
     * banded self-join (~2.3 s at sf0.1). First caller pays; bump the
     * version when the fingerprint/banding parameters change. */
-  private val SimDerivedVersion = 1
+  private val SimDerivedVersion = 2 // v2: 60-bit composed fingerprint, 5×12 bands, h ≤ 4
   private def simDerivedPath(d: String, leaf: String): String =
     s"${sys.props("user.dir")}/target/graft_derived/" +
       s"sim_v$SimDerivedVersion/${graft.core.Derived.tag(d)}/$leaf"
@@ -1298,12 +1302,19 @@ object DedupQueries {
        |FROM c$iters ORDER BY doc_id""".stripMargin
 
   /** SimHash fingerprint + all-pairs hamming CTE chain (pigeonhole-equal
-    * to the engine's banded generation) — shared by d4 and d18. */
+    * to the engine's banded generation) — shared by d4 and d18. The
+    * 60-bit word key composes the plain fold (low 30 bits) with the
+    * salt-prefixed fold (high 30) exactly as the native kernel does:
+    * hash(SimSalt ∥ w) is the same polynomial continued from the salt's
+    * own fold, so prefix-concatenation in SQL reproduces it verbatim. */
   private val simhashPairsCte: String =
     s"""sdocs AS (SELECT doc_id AS id, text FROM documents),
        |stf AS (SELECT id, w, count(*) AS tf FROM
        |  (SELECT id, unnest(string_split(text, ' ')) AS w FROM sdocs) GROUP BY id, w),
-       |sth AS (SELECT id, ${sqlCharHash("w")} AS h, tf FROM stf),
+       |sth AS (SELECT id,
+       |  (${sqlCharHash("w")})
+       |  + ((${sqlCharHash(s"'${graft.functions.HashUtil.SimSalt}' || w")}) << 30) AS h,
+       |  tf FROM stf),
        |sbits AS (SELECT range AS j, (CAST(1 AS BIGINT) << range) AS bitval
        |  FROM range(0, ${SimHash.Bits})),
        |swb AS (SELECT id, j, bitval,

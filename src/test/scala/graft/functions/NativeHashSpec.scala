@@ -110,8 +110,13 @@ class NativeHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val tf = docs.select(col("id"), explode(Portable.words(col("text"))).as("w"))
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
-      .select(col("id"), hofCharHash(col("w")).as("h"), col("tf"))
-    val bits = broadcast((0 until SimHash30.bits).map(j => (j, 1L << j)).toDF("j", "bitval"))
+      // 60-bit word key: plain fold (low 30) + salt-prefixed fold
+      // (high 30) — the exact composition the native kernel computes.
+      .select(col("id"),
+        (hofCharHash(col("w")) + shiftleft(
+          hofCharHash(concat(lit(HashUtil.SimSalt), col("w"))), 30)).as("h"),
+        col("tf"))
+    val bits = broadcast((0 until SimHashW.bits).map(j => (j, 1L << j)).toDF("j", "bitval"))
     val relational = tf.crossJoin(bits)
       .select(col("id"), col("j"), col("bitval"),
         (col("tf") * when(col("h").bitwiseAND(col("bitval")) =!= 0L, lit(1L))
@@ -173,4 +178,4 @@ class NativeHashSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 /** Bits constant accessor (avoids importing graft.dedup into functions). */
-private object SimHash30 { val bits: Int = HashUtil.SimHashBits }
+private object SimHashW { val bits: Int = HashUtil.SimHashBits }
