@@ -38,9 +38,18 @@ object Bench {
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg
+    // Shared-derivation billing (VERDICT r9 item 5): per-query numbers
+    // used to misattribute derive-once build cost purely by run order
+    // (g29 paid the 7 s LPA build that g8 then read for 0.3 s). Every
+    // builder records its cold-build seconds in Derived.buildTimes;
+    // diffing that registry around each query splits its wall time into
+    // MARGINAL query cost (reported under "queries") and build cost
+    // (accumulated under "derived_builds"). "value" stays the true
+    // total wall = queries + builds — comparable across rounds.
     def timeOne(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Boolean) = {
+        : (Double, Double, Boolean) = {
+      val buildsBefore = graft.core.Derived.buildTimes
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -49,12 +58,14 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      val buildSecs = graft.core.Derived.buildTimes.map { case (k, v) =>
+        v - buildsBefore.getOrElse(k, 0.0) }.sum
       // Drop caches/checkpoint blocks between queries (not billed to the
       // query) so block-manager pressure from iterative queries doesn't
       // poison later measurements in the shared local-mode JVM.
       spark.catalog.clearCache()
       System.gc()
-      (dt, ok)
+      (math.max(0.0, dt - buildSecs), buildSecs, ok)
     }
     // Stability protocol (VERDICT r7 item 6): the documented
     // highest-variance queries (g19's tiny-data write jobs magnify
@@ -72,10 +83,10 @@ object Bench {
     val minOfTwo = Set("g19_partition_roundtrip")
     val minOfTwoRan = selected.exists(s => minOfTwo(s._1))
     val results = selected.map { case (name, fn) =>
-      val (t1, ok1) = timeOne(name, fn)
+      val (t1, _, ok1) = timeOne(name, fn)
       val dt =
         if (minOfTwo(name)) {
-          val (t2, ok2) = timeOne(name, fn)
+          val (t2, _, ok2) = timeOne(name, fn)
           (ok1, ok2) match {
             case (true, true)  => math.min(t1, t2)
             case (true, false) => t1
@@ -85,7 +96,9 @@ object Bench {
         } else t1
       name -> dt
     }
-    val total = results.map(_._2).sum
+    val builds = graft.core.Derived.buildTimes.toSeq.sortBy(_._1)
+    val buildsTotal = builds.map(_._2).sum
+    val total = results.map(_._2).sum + buildsTotal
     val load = loadAvg
     // The driver ships only the last ~2000 chars of stdout, which a
     // 112-entry map with full query names overflows (round-6 artifact
@@ -104,8 +117,12 @@ object Bench {
         .mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val buildsJson = builds.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val meta = f""""unit":"sec","sf":"$sfDir","load":$load%.2f,""" +
-      f""""load_start":$loadStart%.2f,"g19_min_of_two":$minOfTwoRan,"n":${results.size}"""
+      f""""load_start":$loadStart%.2f,"g19_min_of_two":$minOfTwoRan,""" +
+      f""""derived_builds":$buildsJson,"derived_builds_total":$buildsTotal%.2f,""" +
+      f""""n":${results.size}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(f"""{"metric":"total","value":$total%.3f,$meta,"queries":$fullQs}""")

@@ -165,14 +165,16 @@ object GScale {
       }
       if (name == "d4_simhash") {
         // Unlike d3's exact-jaccard verify (0 cross-copy at any N), a
-        // 30-bit fingerprint at hamming ≤ 2 has a RANDOM collision
-        // floor ≈ pairs × 466/2^30 that grows quadratically in N —
-        // ~49k chance pairs among 500k docs' ~1.1e11 cross-decade
-        // pairs. The health check is cross ≈ that floor (fingerprints
-        // independent), not cross = 0; materially ABOVE it means the
-        // generator correlates copies again.
+        // chance-collision floor grows quadratically in N with the
+        // fingerprint width as the knob. The old 30-bit/hamming≤2
+        // fingerprint measured 39,150 chance pairs here (≈ pairs ×
+        // 466/2³⁰ over ~1.1e11 cross-decade pairs — SURVEY §6.2.1);
+        // the r10 60-bit/hamming≤4 widening drops the floor to
+        // pairs × C(60,≤4)/2⁶⁰ ≈ 0.05 expected pairs, so the bar is
+        // now ≈ 0 — materially above it means either the generator
+        // correlates copies again or the width regressed.
         val cross = graft.operators.DedupQueries.d4CrossCopyPairs(spark, big, 10000000L)
-        println(s"[gscale10] d4_cross_decade_pairs  $cross (health: ~ the random 30-bit floor)")
+        println(s"[gscale10] d4_cross_decade_pairs  $cross (must be ~0 at 60 bits; was 39150 at 30)")
       }
     }
     // Locality-partitioner pipeline across the SECOND decade (the sf1
@@ -180,21 +182,40 @@ object GScale {
     // LPT assignment + fmt=1111 write over the co-purchase graph.
     if (sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").toSet.contains("locality"))) {
+      // Leg-decomposed (r10): the r9 verdict's two named cost terms are
+      // the LPA leg (frontier-incremental this round — was ~39 s/iter
+      // full-recompute at sf10) and the write leg (assignment join now
+      // broadcast under the budget — hash-mode wrote in 52 s). Timing
+      // each leg separately pins both improvements in the artifact.
       def locality(dir: String): Double = {
         spark.sqlContext.clearCache()
+        def leg[T](name: String)(f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[gscale10] locality_leg_$name%-10s ${new java.io.File(dir).getName}%-5s $dt%8.2f")
+          (r, dt)
+        }
         val t0 = System.nanoTime()
         val pairs = graft.operators.GraphQueries.partPairsMaterialized(spark, dir)
         val g = graft.graph.PropertyGraph(
           pairs.select(col("src").as("id"))
             .union(pairs.select(col("dst").as("id"))).distinct(),
           graft.graph.PropertyGraph.symmetrize(pairs))
-        val assign = graft.io.GraphLoaders.localityAssignment(
+        // labelPropagation's final round materializes eagerly, so the
+        // LPA cost lands inside this leg, not in a consumer.
+        val (labels, _) = leg("lpa") {
           graft.graph.GraphOps.labelPropagation(g, 5)
-            .select(col("id"), col("label")), 3)
+            .select(col("id"), col("label"))
+        }
+        val (assign, _) = leg("assign") {
+          graft.io.GraphLoaders.localityAssignment(labels, 3)
+        }
         val out = s"${sys.props("user.dir")}/target/graft_scale/locality_probe10/" +
           new java.io.File(dir).getName
         new java.io.File(out).getParentFile.mkdirs()
-        graft.io.GraphLoaders.writeMetisSubgraphs(g, 3, out, Some(assign))
+        leg("write") {
+          graft.io.GraphLoaders.writeMetisSubgraphs(g, 3, out, Some(assign))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val tSmall = locality(sf1)
@@ -359,10 +380,12 @@ object GScale {
         println(s"[gscale] d3_cross_copy_pairs     $cross (must be 0)")
       }
       if (name == "d4_simhash") {
-        // Health bar: ≈ the random 30-bit hamming≤2 floor (~500 at 50k
-        // docs), not 0 — see the sf10 twin's comment. Measured 171.
+        // Health bar: ≈ the random chance floor for the configured
+        // width — 30-bit/h≤2 measured 171 here (r9); the r10
+        // 60-bit/h≤4 floor is ~1e-6 expected pairs at 50k docs, so the
+        // bar is now 0 — see the sf10 twin's comment.
         val cross = graft.operators.DedupQueries.d4CrossCopyPairs(spark, big, 1000000L)
-        println(s"[gscale] d4_cross_copy_pairs     $cross (health: ~ the random 30-bit floor)")
+        println(s"[gscale] d4_cross_copy_pairs     $cross (must be ~0 at 60 bits; was 171 at 30)")
       }
     }
     // Locality-partitioner pricing (VERDICT r8 item 7): the `Gmr

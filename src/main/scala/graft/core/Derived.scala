@@ -20,6 +20,47 @@ package graft.core
   * creation timestamp) without re-reading terabytes for a cache key. */
 object Derived {
 
+  /** Wall-clock registry of derive-once cache BUILDS — the first-caller
+    * cost the per-query bench numbers used to silently absorb (g29 paid
+    * the 7 s LPA build g8 then read for 0.3 s, purely by run order;
+    * VERDICT r9 item 5). Every builder wraps its cold-build block in
+    * [[recordBuild]]; Bench diffs this registry around each query to
+    * bill the query its MARGINAL cost and emits the builds as their own
+    * `derived_builds` artifact field. Warm cache hits never record
+    * (the guard sits outside the build block). */
+  private val buildLog =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Time spent in recordBuild calls NESTED inside the current one
+    * (builders compose: pairStats builds postings, d6's assignment
+    * builds the LSH pairs) — subtracted so each build bills only its
+    * own marginal seconds and the registry total equals the outermost
+    * build's wall time. Same-thread by construction: the builders are
+    * `synchronized` and call each other directly. */
+  private val nestedSecs = new ThreadLocal[java.lang.Double] {
+    override def initialValue(): java.lang.Double = 0.0
+  }
+
+  /** Run a cold derive-once build, billing its marginal wall seconds to
+    * `name` in the registry. */
+  def recordBuild[T](name: String)(f: => T): T = {
+    val outerNested = nestedSecs.get()
+    nestedSecs.set(0.0)
+    val t0 = System.nanoTime()
+    try f finally {
+      val wall = (System.nanoTime() - t0) / 1e9
+      val own = math.max(0.0, wall - nestedSecs.get())
+      buildLog.merge(name, own, (a, b) => a + b)
+      nestedSecs.set(outerNested + wall)
+    }
+  }
+
+  /** Snapshot of accumulated build seconds by name. */
+  def buildTimes: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildLog.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+  }
+
   /** Stable cache tag for a source data directory. */
   def tag(d: String): String = {
     val name = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_")

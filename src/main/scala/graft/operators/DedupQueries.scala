@@ -97,11 +97,13 @@ object DedupQueries {
     val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/v$DedupDerivedVersion/$tag/dedup_postings"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
-      docs(s, d).select(col("id"), col("lang"),
-          Portable.shingleHashes(col("text"), cfg.shingleWords).as("sh"))
-        .where(size(col("sh")) > 0)
-        .select(col("id"), col("lang"), explode(col("sh")).as("h"))
-        .write.mode("overwrite").parquet(path)
+      graft.core.Derived.recordBuild("dedup_postings") {
+        docs(s, d).select(col("id"), col("lang"),
+            Portable.shingleHashes(col("text"), cfg.shingleWords).as("sh"))
+          .where(size(col("sh")) > 0)
+          .select(col("id"), col("lang"), explode(col("sh")).as("h"))
+          .write.mode("overwrite").parquet(path)
+      }
     s.read.parquet(path)
   }
 
@@ -119,7 +121,7 @@ object DedupQueries {
     val szsPath = s"$base/dedup_sizes"
     val prPath = s"$base/dedup_pairs"
     val hotPath = s"$base/dedup_hot"
-    if (!new java.io.File(s"$prPath/_SUCCESS").exists()) {
+    if (!new java.io.File(s"$prPath/_SUCCESS").exists()) graft.core.Derived.recordBuild("dedup_pairs") {
       val ex = postingsMaterialized(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -217,8 +219,10 @@ object DedupQueries {
     val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/lsh_v$LshDerivedVersion/$tag/pairs"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
-      MinHashLsh.nearDuplicates(docs(s, d), cfg)
-        .write.mode("overwrite").parquet(path)
+      graft.core.Derived.recordBuild("lsh_pairs") {
+        MinHashLsh.nearDuplicates(docs(s, d), cfg)
+          .write.mode("overwrite").parquet(path)
+      }
     s.read.parquet(path)
   }
 
@@ -277,13 +281,15 @@ object DedupQueries {
   private def simhashPairs(s: SparkSession, d: String): DataFrame = synchronized {
     val path = simDerivedPath(d, "pairs")
     if (!new java.io.File(s"$path/_SUCCESS").exists())
-      // persist: both self-join sides would otherwise re-run the per-doc
-      // fingerprint kernel (the dominant projection) over the full corpus
-      SimHash.bandedPairs(simhashFingerprints(s, d)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-          bands = SimBands, maxHamming = SimMaxHamming)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
-        .write.mode("overwrite").parquet(path)
+      graft.core.Derived.recordBuild("sim_pairs") {
+        // persist: both self-join sides would otherwise re-run the per-doc
+        // fingerprint kernel (the dominant projection) over the full corpus
+        SimHash.bandedPairs(simhashFingerprints(s, d)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+            bands = SimBands, maxHamming = SimMaxHamming)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+          .write.mode("overwrite").parquet(path)
+      }
     s.read.parquet(path)
   }
 
@@ -293,7 +299,9 @@ object DedupQueries {
   private def simhashFingerprints(s: SparkSession, d: String): DataFrame = synchronized {
     val path = simDerivedPath(d, "fp")
     if (!new java.io.File(s"$path/_SUCCESS").exists())
-      SimHash.fingerprints(docs(s, d)).write.mode("overwrite").parquet(path)
+      graft.core.Derived.recordBuild("sim_fp") {
+        SimHash.fingerprints(docs(s, d)).write.mode("overwrite").parquet(path)
+      }
     s.read.parquet(path)
   }
 
@@ -364,18 +372,20 @@ object DedupQueries {
         s"lsh_v$LshDerivedVersion/$tag/assign_cc${D6Iters}_" +
         ConnectedComponentsProgram.getClass.getSimpleName.stripSuffix("$")
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        val pairs = lshPairsMaterialized(s, d)
-          .select(col("id_a").as("src"), col("id_b").as("dst"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(pairs))
-        val comp = GmrRunner.runFixed(g, ConnectedComponentsProgram, D6Iters)
-          .select(col("id"), col("value").cast("long").as("comp"))
-        docs(s, d).select(col("id").as("doc_id"))
-          .join(comp, col("doc_id") === col("id"), "left_outer")
-          .select(col("doc_id"),
-            coalesce(col("comp"), col("doc_id")).as("canonical_id"))
-          .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
-          .write.mode("overwrite").parquet(path)
+        graft.core.Derived.recordBuild("dedup_assign") {
+          val pairs = lshPairsMaterialized(s, d)
+            .select(col("id_a").as("src"), col("id_b").as("dst"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(pairs))
+          val comp = GmrRunner.runFixed(g, ConnectedComponentsProgram, D6Iters)
+            .select(col("id"), col("value").cast("long").as("comp"))
+          docs(s, d).select(col("id").as("doc_id"))
+            .join(comp, col("doc_id") === col("id"), "left_outer")
+            .select(col("doc_id"),
+              coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+            .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+            .write.mode("overwrite").parquet(path)
+        }
       }
       s.read.parquet(path)
     }

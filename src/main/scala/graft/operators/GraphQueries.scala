@@ -66,7 +66,9 @@ object GraphQueries {
     val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/v$DerivedVersion/$tag/part_pairs"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
-      partPairs(s, d).write.mode("overwrite").parquet(path)
+      graft.core.Derived.recordBuild("part_pairs") {
+        partPairs(s, d).write.mode("overwrite").parquet(path)
+      }
     s.read.parquet(path)
   }
 
@@ -80,8 +82,10 @@ object GraphQueries {
     val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/v$DerivedVersion/$tag/vertex_deg"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
-      PropertyGraph.fromEdges(PropertyGraph.symmetrize(partPairsMaterialized(s, d)))
-        .degrees.write.mode("overwrite").parquet(path)
+      graft.core.Derived.recordBuild("vertex_deg") {
+        PropertyGraph.fromEdges(PropertyGraph.symmetrize(partPairsMaterialized(s, d)))
+          .degrees.write.mode("overwrite").parquet(path)
+      }
     s.read.parquet(path)
   }
 
@@ -93,8 +97,10 @@ object GraphQueries {
     val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/v$DerivedVersion/$tag/lpa_labels"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
-      GraphOps.labelPropagation(partGraph(s, d), LpIters)
-        .write.mode("overwrite").parquet(path)
+      graft.core.Derived.recordBuild("lpa_labels") {
+        GraphOps.labelPropagation(partGraph(s, d), LpIters)
+          .write.mode("overwrite").parquet(path)
+      }
     s.read.parquet(path)
   }
 

@@ -524,11 +524,12 @@ object SimilarityQueries {
     synchronized {
       val path = s"${sys.props("user.dir")}/target/graft_derived/" +
         s"cells_v$CellsDerivedVersion/${graft.core.Derived.tag(d)}/assign"
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        val n = Tables.embeddings(s, d).count()
-        val k = math.max(KmK.toLong, n / SemCellTarget)
-        hierarchicalCellAssign(s, d, k).write.mode("overwrite").parquet(path)
-      }
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        graft.core.Derived.recordBuild("cells") {
+          val n = Tables.embeddings(s, d).count()
+          val k = math.max(KmK.toLong, n / SemCellTarget)
+          hierarchicalCellAssign(s, d, k).write.mode("overwrite").parquet(path)
+        }
       s.read.parquet(path)
     }
 

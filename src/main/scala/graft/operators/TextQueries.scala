@@ -361,15 +361,16 @@ object TextQueries {
   def gramPostingsMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
     val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/v$TextDerivedVersion/$tag/gram_postings"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      val w = Portable.words(col("text"))
-      val grams = when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      docs(s, d).select(col("doc_id"), explode(grams).as("gram"))
-        .write.mode("overwrite").parquet(path)
-    }
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      graft.core.Derived.recordBuild("gram_postings") {
+        val w = Portable.words(col("text"))
+        val grams = when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        docs(s, d).select(col("doc_id"), explode(grams).as("gram"))
+          .write.mode("overwrite").parquet(path)
+      }
     s.read.parquet(path)
   }
 
@@ -378,9 +379,11 @@ object TextQueries {
     val tag = graft.core.Derived.tag(d)
     val path = s"${sys.props("user.dir")}/target/graft_derived/v$TextDerivedVersion/$tag/gram_counts"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
-      gramPostingsMaterialized(s, d).groupBy(col("gram"))
-        .agg(count(lit(1)).as("cnt"))
-        .write.mode("overwrite").parquet(path)
+      graft.core.Derived.recordBuild("gram_counts") {
+        gramPostingsMaterialized(s, d).groupBy(col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(path)
+      }
     s.read.parquet(path)
   }
 
@@ -512,7 +515,9 @@ object TextQueries {
     val out = s"${sys.props("user.dir")}/target/graft_derived/" +
       s"jsonl_v1/${graft.core.Derived.tag(d)}/documents_jsonl"
     if (!new java.io.File(s"$out/_SUCCESS").exists())
-      Tables.documents(s, d).write.mode("overwrite").json(out)
+      graft.core.Derived.recordBuild("jsonl_sink") {
+        Tables.documents(s, d).write.mode("overwrite").json(out)
+      }
     s.read
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
       .json(out)

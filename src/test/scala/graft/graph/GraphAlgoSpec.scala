@@ -270,6 +270,56 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
     pr.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-4))
   }
 
+  test("frontier-incremental LPA equals full recompute at every round count") {
+    import spark.implicits._
+    // Seeded graph shaped so frontiers SHRINK: two dense communities, a
+    // bridge, and a pendant chain — round 1 is always full, round 2's
+    // frontier typically exceeds the half-of-V cutoff (full again), and
+    // the tail rounds engage the incremental path with a frontier
+    // collapsed to the community boundary. Both code paths exercised.
+    val rnd = new scala.util.Random(42)
+    val e1 = for { a <- 0L until 12L; b <- 0L until 12L
+                   if a < b && rnd.nextDouble() < 0.5 } yield (a, b)
+    val e2 = for { a <- 20L until 32L; b <- 20L until 32L
+                   if a < b && rnd.nextDouble() < 0.5 } yield (a, b)
+    val bridge = Seq((11L, 20L), (40L, 41L), (41L, 42L), (42L, 43L))
+    val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(
+      (e1 ++ e2 ++ bridge).toDF("src", "dst")))
+    def labelsAt(k: Int, frontier: Boolean): Map[Long, Long] = {
+      spark.conf.set("spark.graft.lpa.frontier", frontier.toString)
+      GraphOps.labelPropagation(g, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    try {
+      // Per-round equality: equal final labels at EVERY iteration count
+      // k pins every intermediate round (round k is some run's last).
+      for (k <- 1 to 6)
+        assert(labelsAt(k, frontier = true) === labelsAt(k, frontier = false),
+          s"frontier and full recompute diverged at round $k")
+    } finally spark.conf.unset("spark.graft.lpa.frontier")
+  }
+
+  test("frontier LPA early-exits at the fixpoint with the exact fixed-iter result") {
+    // A triangle + isolated vertex converges (all-1 by round 3); the
+    // frontier run's empty-frontier exit must still equal a full 20-round
+    // recompute (remaining rounds are provable no-ops). Note sync LPA
+    // does NOT converge on every graph (bipartite label swaps) — the
+    // early exit only fires on a genuinely empty frontier.
+    val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(
+      edgeDf(1L -> 2L, 2L -> 3L, 1L -> 3L, 7L -> 8L)))
+    def labelsAt(k: Int, frontier: Boolean): Map[Long, Long] = {
+      spark.conf.set("spark.graft.lpa.frontier", frontier.toString)
+      GraphOps.labelPropagation(g, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    try {
+      val full = labelsAt(20, frontier = false)
+      assert(labelsAt(20, frontier = true) === full)
+      assert(full.view.filterKeys(Set(1L, 2L, 3L)).values.toSet.size === 1,
+        "triangle must agree on one label at the fixpoint")
+    } finally spark.conf.unset("spark.graft.lpa.frontier")
+  }
+
   test("partition invariance: same SSSP result with 1 and 4 shuffle partitions") {
     // the property GMR's partitioning machinery was meant to preserve (SURVEY §5)
     val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(
