@@ -44,6 +44,7 @@ object Probe {
       case "g1"       => g1(spark, d)
       case "locality" => locality(spark, d)
       case "simham"   => simham(spark, d)
+      case "lpaab"    => lpaab(spark, d)
       case other      => println(s"[probe] unknown verb '$other'")
     }
     spark.stop()
@@ -238,6 +239,45 @@ object Probe {
       val (vI, eI, cuts) = GraphLoaders.partitionImbalance(stats)
       println(f"[probe:locality] $mode%-9s vImbal=$vI%.4f eImbal=$eI%.4f cuts=$cuts")
     }
+  }
+
+  /** Locality-pipeline leg A/B over the co-purchase graph (r10): LPA
+    * with the frontier-incremental plan vs the full per-round recompute
+    * (`spark.graft.lpa.frontier`), then the locality write with the
+    * assignment broadcast vs the shuffle ownership join
+    * (`spark.graft.assignmentBroadcastBytes`). Decomposes exactly the
+    * legs the GScale `locality_partition` row sums, so a moved number
+    * there can be attributed to one change. */
+  private def lpaab(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import graft.operators.GraphQueries
+    import graft.io.GraphLoaders
+    val pairs = GraphQueries.partPairsMaterialized(spark, d)
+    val g = graft.graph.PropertyGraph(
+      pairs.select(col("src").as("id"))
+        .union(pairs.select(col("dst").as("id"))).distinct(),
+      graft.graph.PropertyGraph.symmetrize(pairs))
+    def lpa(): org.apache.spark.sql.DataFrame =
+      graft.graph.GraphOps.labelPropagation(g, 5)
+        .select(col("id"), col("label"))
+    for (frontier <- Seq(true, false, true)) {
+      spark.conf.set("spark.graft.lpa.frontier", frontier.toString)
+      t("lpaab", s"lpa x5 frontier=$frontier") {
+        lpa().write.format("noop").mode("overwrite").save() }
+    }
+    spark.conf.set("spark.graft.lpa.frontier", "true")
+    val assign = t("lpaab", "assignment (LPT)") {
+      GraphLoaders.localityAssignment(lpa(), 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) }
+    val base = s"${sys.props("user.dir")}/target/graft_derived/probe_lpaab"
+    new java.io.File(base).getParentFile.mkdirs()
+    for (bcast <- Seq(true, false, true)) {
+      spark.conf.set("spark.graft.assignmentBroadcastBytes",
+        if (bcast) (256L << 20).toString else "0")
+      t("lpaab", s"locality write bcast=$bcast") {
+        GraphLoaders.writeMetisSubgraphs(g, 3, s"$base.loc", Some(assign)) }
+    }
+    spark.conf.unset("spark.graft.assignmentBroadcastBytes")
+    assign.unpersist(blocking = false)
   }
 
   /** All-pairs SimHash hamming histogram (low end) over the documents

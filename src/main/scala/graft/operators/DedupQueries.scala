@@ -284,11 +284,14 @@ object DedupQueries {
       graft.core.Derived.recordBuild("sim_pairs") {
         // persist: both self-join sides would otherwise re-run the per-doc
         // fingerprint kernel (the dominant projection) over the full corpus
-        SimHash.bandedPairs(simhashFingerprints(s, d)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-            bands = SimBands, maxHamming = SimMaxHamming)
+        val fp = simhashFingerprints(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try SimHash.bandedPairs(fp, bands = SimBands, maxHamming = SimMaxHamming)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
           .write.mode("overwrite").parquet(path)
+        // build-only cache: the write above is its sole consumer (the
+        // r8/r9 unpersist discipline, VERDICT r9 item 4)
+        finally fp.unpersist(blocking = false)
       }
     s.read.parquet(path)
   }
@@ -379,12 +382,16 @@ object DedupQueries {
           val g = PropertyGraph.fromEdges(PropertyGraph.symmetrize(pairs))
           val comp = GmrRunner.runFixed(g, ConnectedComponentsProgram, D6Iters)
             .select(col("id"), col("value").cast("long").as("comp"))
-          docs(s, d).select(col("id").as("doc_id"))
+          try docs(s, d).select(col("id").as("doc_id"))
             .join(comp, col("doc_id") === col("id"), "left_outer")
             .select(col("doc_id"),
               coalesce(col("comp"), col("doc_id")).as("canonical_id"))
             .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
             .write.mode("overwrite").parquet(path)
+          // build-only cache: runFixed materializes per superstep, so the
+          // write's plan no longer reads `pairs` — release it with the
+          // build (the r8/r9 unpersist discipline, VERDICT r9 item 4)
+          finally pairs.unpersist(blocking = false)
         }
       }
       s.read.parquet(path)

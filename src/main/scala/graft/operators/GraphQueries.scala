@@ -1038,6 +1038,10 @@ object GraphQueries {
       s"v$DerivedVersion/${graft.core.Derived.tag(d)}/subgraph_rt"
     new java.io.File(base).getParentFile.mkdirs()
     graft.io.GraphLoaders.writeMetisSubgraphs(g, parts, base)
+    // The write is `pairs`' sole consumer — everything below reads the
+    // written subgraph files back. Release it (the r8/r9 unpersist
+    // discipline, VERDICT r9 item 4; the g29 fix's hash-mode twin).
+    pairs.unpersist(blocking = false)
     val stats = graft.io.GraphLoaders.partitionStats(s, base, parts)
     val back = (0 until parts)
       .map(p => graft.io.GraphLoaders.metisSubgraph(s, s"$base.subgraph.$p").edges)
