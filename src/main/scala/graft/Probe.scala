@@ -256,12 +256,14 @@ object Probe {
       pairs.select(col("src").as("id"))
         .union(pairs.select(col("dst").as("id"))).distinct(),
       graft.graph.PropertyGraph.symmetrize(pairs))
+    val iters = sys.env.getOrElse("SPARK_GRAFT_LPA_ITERS", "5").toInt
     def lpa(): org.apache.spark.sql.DataFrame =
-      graft.graph.GraphOps.labelPropagation(g, 5)
+      graft.graph.GraphOps.labelPropagation(g, iters)
         .select(col("id"), col("label"))
+    spark.conf.set("spark.graft.lpa.debug", "true")
     for (frontier <- Seq(true, false, true)) {
       spark.conf.set("spark.graft.lpa.frontier", frontier.toString)
-      t("lpaab", s"lpa x5 frontier=$frontier") {
+      t("lpaab", s"lpa x$iters frontier=$frontier") {
         lpa().write.format("noop").mode("overwrite").save() }
     }
     spark.conf.set("spark.graft.lpa.frontier", "true")

@@ -534,20 +534,28 @@ object GraphOps {
     * mode-vote over its in-neighbors' labels can change in round i only
     * if some in-neighbor's label changed in round i−1 — for every other
     * vertex the vote multiset is unchanged, so its argmax (and hence
-    * its label) is provably the round-(i−1) value. Each round therefore
-    * restricts the O(|E|) vote shuffle to the in-edges of DIRTY
-    * vertices (those with a changed in-neighbor): frontier = ids whose
-    * label changed last round; dirty = distinct dst of edges out of the
-    * frontier; votes run over edges INTO dirty only, and `coalesce`
-    * keeps every other vertex's label. Round 1 is always full (every
-    * label is new), a round whose frontier covers ≥ half the vertices
-    * runs full too (the dirty set would be ~everything — the semi-join
-    * machinery is pure overhead there), and an empty frontier is the
-    * fixpoint — remaining rounds are exact no-ops and the loop exits.
-    * Same fixed-iteration result as the full recompute, bit for bit
-    * (GraphAlgoSpec proves per-round equality on a seeded graph); the
-    * win is the tail rounds, where LPA frontiers collapse to the
-    * community boundaries. */
+    * its label) is provably the round-(i−1) value. A round with a known
+    * (small) changed set therefore restricts the O(|E|) vote shuffle to
+    * the in-edges of DIRTY vertices (those with a changed in-neighbor),
+    * and `coalesce` keeps every other vertex's label; an EMPTY changed
+    * set is the fixpoint — remaining rounds are exact no-ops and the
+    * loop exits early.
+    *
+    * When the tracking runs is churn-adaptive (r10 follow-up, measured
+    * on the co-purchase graph): LPA churn stays ABOVE half the vertices
+    * for several rounds (where the semi-join machinery is pure
+    * overhead — round 1 changes everything by construction) and then
+    * COLLAPSES (20k-vertex run: 20000/15005/14588/13730/751/1/0), so
+    * full-mode rounds check the changed count only on an
+    * exponential-backoff schedule (rounds 2, 4, 8, …) — a non-check
+    * round is plan-identical to the frontier=false path, zero extra
+    * jobs — while frontier-mode rounds check every round (the frames
+    * are changed-set-sized, so the checks are cheap there). A check
+    * costs one pick materialization + one dimension-sized diff; the
+    * backoff bounds that to O(log iters) on never-collapsing runs and
+    * engages within 2× of the true crossover on collapsing ones. Same
+    * fixed-iteration result as the full recompute, bit for bit
+    * (GraphAlgoSpec proves equality at every iteration count). */
   def labelPropagation(g: PropertyGraph, iters: Int): DataFrame = {
     val edges = g.edges.select(col("src"), col("dst"))
     var labels = g.vertices.select(col("id"), col("id").as("label"))
@@ -559,6 +567,10 @@ object GraphOps {
     val nVerts = if (frontierOn && iters > 1) g.vertices.count() else 0L
     // None = recompute every vertex this round.
     var frontier: Option[(DataFrame, Long)] = None
+    // Next full-mode round whose changed set we pay to measure, and the
+    // doubling step to the one after that.
+    var nextCheck = 2
+    var checkStep = 2
     var fixed = false
     for (i <- 1 to iters if !fixed) {
       val active = frontier match {
@@ -574,23 +586,43 @@ object GraphOps {
       // argmax(c, ties -> min label) as a hash aggregate: max of the
       // lexicographic struct (c, -label) — map-side combinable, no
       // per-dst sort the way a row_number window would do it.
-      val pick = votes
+      val pickPlan = votes
         .groupBy(col("dst"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("dst").as("id"), (-col("m.nl")).as("new_label"))
+      // Measure this round's churn? Frontier mode: always (cheap, and
+      // next round NEEDS the changed set). Full mode: only on the
+      // backoff schedule — and never on the last round (no next round
+      // to steer).
+      val check = frontierOn && i < iters &&
+        (frontier.isDefined || i >= nextCheck)
+      // Two consumers on check rounds (next + the changed diff below) —
+      // materialize so the vote pipeline runs once; non-check rounds
+      // keep the lazy plan (next's materialize executes it).
+      val pick = if (check) pickPlan.materialize() else pickPlan
       val next = labels.join(pick, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("new_label"), col("label")).as("label"))
         .materialize()
-      if (frontierOn && i < iters) {
-        val changed = next.as("n")
+      if (check) {
+        // A label can differ from last round's only where pick proposed
+        // one (coalesce keeps it everywhere else), so diff PICK against
+        // the old labels — |pick| rows, not an O(V) next ⋈ labels
+        // self-join.
+        val changed = pick.as("n")
           .join(labels.as("p"), col("n.id") === col("p.id"))
-          .where(col("n.label") =!= col("p.label"))
+          .where(col("n.new_label") =!= col("p.label"))
           .select(col("n.id").as("id"))
           .materialize()
         val n = changed.count()
+        if (edges.sparkSession.conf.getOption("spark.graft.lpa.debug")
+            .exists(_.toBoolean))
+          println(s"[lpa] round $i changed=$n of $nVerts" +
+            s" (next round ${if (n == 0) "fixpoint"
+              else if (2 * n >= nVerts) "full" else "frontier"})")
         if (n == 0) fixed = true
         frontier = if (2 * n >= nVerts) None else Some((changed, n))
+        if (frontier.isEmpty) { nextCheck = i + checkStep; checkStep *= 2 }
       }
       labels = next
     }
