@@ -261,11 +261,14 @@ object Probe {
       graft.graph.GraphOps.labelPropagation(g, iters)
         .select(col("id"), col("label"))
     spark.conf.set("spark.graft.lpa.debug", "true")
-    for (frontier <- Seq(true, false, true)) {
-      spark.conf.set("spark.graft.lpa.frontier", frontier.toString)
-      t("lpaab", s"lpa x$iters frontier=$frontier") {
-        lpa().write.format("noop").mode("overwrite").save() }
-    }
+    // SPARK_GRAFT_LPAAB_WRITES_ONLY=1 skips the LPA A/B (one LPA still
+    // runs to feed the assignment) — re-measuring just the write legs.
+    if (!sys.env.get("SPARK_GRAFT_LPAAB_WRITES_ONLY").contains("1"))
+      for (frontier <- Seq(true, false, true)) {
+        spark.conf.set("spark.graft.lpa.frontier", frontier.toString)
+        t("lpaab", s"lpa x$iters frontier=$frontier") {
+          lpa().write.format("noop").mode("overwrite").save() }
+      }
     spark.conf.set("spark.graft.lpa.frontier", "true")
     val assign = t("lpaab", "assignment (LPT)") {
       GraphLoaders.localityAssignment(lpa(), 3)
