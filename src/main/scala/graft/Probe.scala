@@ -17,6 +17,10 @@ import graft.graph.Materialize.MaterializeOps
   *  - `scc`      g9 SCC decomposition (derive/forward CC/full run)
   *  - `g1`       g1 PageRank decomposition (derive/degrees/supersteps)
   *  - `locality` hash vs locality partitioner cut + imbalance (O8)
+  *  - `simham`   all-pairs SimHash hamming histogram (threshold calibration)
+  *  - `lpaab`    locality-pipeline leg A/B: frontier vs full LPA,
+  *               broadcast vs shuffle ownership write (SPARK_GRAFT_LPA_ITERS,
+  *               SPARK_GRAFT_LPAAB_WRITES_ONLY)
   */
 object Probe {
 
@@ -28,7 +32,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val verb = args.headOption.getOrElse("help")
     if (verb == "help") {
-      println("usage: runMain graft.Probe <d2|g19|ppr|scc|g1|locality>")
+      println("usage: runMain graft.Probe <d2|g19|ppr|scc|g1|locality|simham|lpaab>")
       return
     }
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
