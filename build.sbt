@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to this process's stdout/stderr instead
+// of through sbt's logger: the default LoggedOutput strategy prefixes
+// every child stdout line with "[info] " (even raw fd-1 writes — the pipe
+// is at the process boundary), which made the Bench JSON line non-JSON to
+// a strict parser (BENCH_r09/r10 "parsed": null). Side benefit: Spark's
+// stderr logging stays on stderr instead of being folded into stdout as
+// "[error] " lines, so the driver's 2000-char stdout tail holds only
+// deliberate output.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

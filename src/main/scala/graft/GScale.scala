@@ -33,31 +33,10 @@ object GScale {
     * the r8 self-review; the first d3 sf10 reading of 225× was exactly
     * this). Derive-once builds are now billed to whichever RECORDED run
     * hits them first, identically on both sides. */
-  /** Delete every derive-once cache entry (`target/graft_derived/
-    * <family>/<tag>/…`) whose tag keys on one of `dirs` — the sf10
-    * probe's both-sides-cold guarantee. Bounded work: the derived root
-    * holds one small parquet tree per (family, source-dir). */
-  private def wipeDerived(dirs: Seq[String]): Unit = {
-    val root = new java.io.File(s"${sys.props("user.dir")}/target/graft_derived")
-    val tags = dirs.map(graft.core.Derived.tag).toSet
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    Option(root.listFiles()).foreach(_.foreach { family =>
-      Option(family.listFiles())
-        .foreach(_.filter(t => tags.contains(t.getName)).foreach { t =>
-          rm(t)
-          // A tag dir surviving a failed delete (e.g. a permissions
-          // hiccup leaving _SUCCESS behind) would let a recorded probe
-          // read a WARM derive-once cache, corrupting the
-          // both-sides-cold ratio this wipe exists to guarantee — fail
-          // loudly instead (ADVICE r9).
-          require(!t.exists(), s"wipeDerived failed to remove $t — " +
-            "a warm derive-once cache would corrupt the cold-cold ratio")
-        })
-    })
-  }
+  /** Sf10 probe's both-sides-cold guarantee — shared with the per-round
+    * Bench since r11 (see [[graft.core.Derived.wipeFor]]). */
+  private def wipeDerived(dirs: Seq[String]): Unit =
+    graft.core.Derived.wipeFor(dirs)
 
   private def neutralWarmup(spark: SparkSession, dir: String): Unit = {
     spark.read.parquet(s"$dir/lineitem.parquet").limit(1000).count()

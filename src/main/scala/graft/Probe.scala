@@ -274,9 +274,15 @@ object Probe {
           lpa().write.format("noop").mode("overwrite").save() }
       }
     spark.conf.set("spark.graft.lpa.frontier", "true")
+    // Force the cache INSIDE the assignment timing block: a lazy persist
+    // would bill the per-vertex assignment pickup to whichever write leg
+    // runs first (the broadcast one), inflating exactly the comparison
+    // this probe exists to make (ADVICE r10).
     val assign = t("lpaab", "assignment (LPT)") {
-      GraphLoaders.localityAssignment(lpa(), 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) }
+      val a = GraphLoaders.localityAssignment(lpa(), 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      a }
     val base = s"${sys.props("user.dir")}/target/graft_derived/probe_lpaab"
     new java.io.File(base).getParentFile.mkdirs()
     for (bcast <- Seq(true, false, true)) {

@@ -61,6 +61,36 @@ object Derived {
     buildLog.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
   }
 
+  /** Delete every derive-once cache entry (`target/graft_derived/
+    * <family>/<tag>/…`) whose tag keys on one of `dirs` — the
+    * both-sides-cold guarantee for recorded measurements (the GScale
+    * sf10 probes since r8; the per-round Bench since r11, which wipes
+    * at start so every driver artifact is cold-comparable instead of
+    * silently mixing warm-cache and cold-build runs, VERDICT r10
+    * item 3). Bounded work: the derived root holds one small parquet
+    * tree per (family, source-dir). */
+  def wipeFor(dirs: Seq[String]): Unit = {
+    val root = new java.io.File(s"${sys.props("user.dir")}/target/graft_derived")
+    val tags = dirs.map(tag).toSet
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Option(root.listFiles()).foreach(_.foreach { family =>
+      Option(family.listFiles())
+        .foreach(_.filter(t => tags.contains(t.getName)).foreach { t =>
+          rm(t)
+          // A tag dir surviving a failed delete (e.g. a permissions
+          // hiccup leaving _SUCCESS behind) would let a recorded run
+          // read a WARM derive-once cache, corrupting the cold
+          // measurement this wipe exists to guarantee — fail loudly
+          // instead (ADVICE r9).
+          require(!t.exists(), s"wipeFor failed to remove $t — " +
+            "a warm derive-once cache would corrupt the cold measurement")
+        })
+    })
+  }
+
   /** Stable cache tag for a source data directory. */
   def tag(d: String): String = {
     val name = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_")

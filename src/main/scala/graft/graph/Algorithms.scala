@@ -553,7 +553,11 @@ object GraphOps {
     * are changed-set-sized, so the checks are cheap there). A check
     * costs one pick materialization + one dimension-sized diff; the
     * backoff bounds that to O(log iters) on never-collapsing runs and
-    * engages within 2× of the true crossover on collapsing ones. Same
+    * engages within 2× of the true crossover on MONOTONE churn; an
+    * engage-then-disengage (churn dips then rises back) resets the
+    * ladder to step 2, so oscillating churn re-engages within 2× of
+    * each later crossover too, at the cost of denser checks right
+    * after a disengage. Same
     * fixed-iteration result as the full recompute, bit for bit
     * (GraphAlgoSpec proves equality at every iteration count). */
   def labelPropagation(g: PropertyGraph, iters: Int): DataFrame = {
@@ -621,8 +625,20 @@ object GraphOps {
             s" (next round ${if (n == 0) "fixpoint"
               else if (2 * n >= nVerts) "full" else "frontier"})")
         if (n == 0) fixed = true
+        val wasFrontier = frontier.isDefined
         frontier = if (2 * n >= nVerts) None else Some((changed, n))
-        if (frontier.isEmpty) { nextCheck = i + checkStep; checkStep *= 2 }
+        if (frontier.isEmpty) {
+          // Disengaging (churn rose back above half V) restarts the
+          // backoff ladder: the doubled step was calibrated to the
+          // EARLIER full-mode phase, and carrying it over would defer
+          // the next churn check — hence any fixpoint exit or
+          // re-engagement — many rounds on oscillating churn (ADVICE
+          // r10). Results are bit-exact either way (non-check rounds
+          // are full recomputes); this only bounds how stale the
+          // mode decision can get.
+          if (wasFrontier) checkStep = 2
+          nextCheck = i + checkStep; checkStep *= 2
+        }
       }
       labels = next
     }
