@@ -20,6 +20,14 @@ object Bench {
         case _ => ()
       }
     })
+    // Host conditions AT LAUNCH, read before any bench work: the r11
+    // micro-LPA warmup below is heavy enough (~10 s at 32 threads) to
+    // inflate the 1-min load average by itself, and a self-polluted
+    // load_start would break the field's cross-round meaning (every
+    // quiet/noisy call in SURVEY §6.1 reads it as co-tenant pressure).
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
     // Cold-comparable artifacts (VERDICT r10 item 3): wipe this dir's
     // derive-once caches at bench start, so every recorded run pays the
     // same cold builds (billed apart under "derived_builds") instead of
@@ -61,9 +69,6 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    def loadAvg: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    val loadStart = loadAvg
     // Shared-derivation billing (VERDICT r9 item 5): per-query numbers
     // used to misattribute derive-once build cost purely by run order
     // (g29 paid the 7 s LPA build that g8 then read for 0.3 s). Every
