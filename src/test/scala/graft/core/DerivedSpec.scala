@@ -47,6 +47,33 @@ class DerivedSpec extends AnyFunSuite {
     assert(hashedAfter !== hashedBefore)
   }
 
+  test("wipeFor removes exactly the tag dirs keyed on the given sources") {
+    // Guards the cold-measurement invariant the per-round Bench (r11) and
+    // the GScale sf10 probe both rely on: wiping one source's derive-once
+    // caches must not touch a sibling source's.
+    val src = tmpDirWith("wipe-me")
+    val other = tmpDirWith("keep-me")
+    val root = new java.io.File(
+      s"${sys.props("user.dir")}/target/graft_derived/spec_wipe")
+    val doomed = new java.io.File(root, Derived.tag(src.toString))
+    val kept = new java.io.File(root, Derived.tag(other.toString))
+    Seq(doomed, kept).foreach { d =>
+      assert(d.mkdirs())
+      val w = new java.io.FileOutputStream(new java.io.File(d, "part-0.parquet"))
+      try w.write("x".getBytes("UTF-8")) finally w.close()
+    }
+    try {
+      Derived.wipeFor(Seq(src.toString))
+      assert(!doomed.exists(), "the wiped source's cache must be gone")
+      assert(kept.exists(), "an unrelated source's cache must survive")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("content-hash mode samples head AND tail of large files") {
     // file > 4 KiB whose difference is only in the LAST bytes
     val big = "x" * 10000
