@@ -28,6 +28,27 @@ object Bench {
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg
+    // Delivered per-core speed calibration (r11, §6.1[^h11]): the host's
+    // single-thread throughput swings ~2× across the day with co-tenant
+    // pressure INVISIBLE to the load average (a fixed reference loop read
+    // 1.56 s in one idle window and 2.9–3.4 s in another the same
+    // morning — the difference between the 252-era and 306-era bench
+    // totals). Two passes, the second reported: the first pays C2
+    // compilation. ~0.5 s each on a fast host; the value rides the
+    // artifact so cross-round `value` deltas can be normalized for
+    // delivered speed instead of argued from load averages.
+    def calibOnce(): Double = {
+      var x = 0L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 800000000L) { x ^= i * 2654435761L; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) System.err.println("")  // keep the loop live
+      dt
+    }
+    // Min of three: pass 1 pays C2 + core wake-up (measured ~10% ramp on
+    // this host), passes 2–3 read the sustained delivered speed.
+    def calib(): Double = Seq(calibOnce(), calibOnce(), calibOnce()).min
+    val host1tStart = calib()
     // Cold-comparable artifacts (VERDICT r10 item 3): wipe this dir's
     // derive-once caches at bench start, so every recorded run pays the
     // same cold builds (billed apart under "derived_builds") instead of
@@ -135,6 +156,7 @@ object Bench {
     val buildsTotal = builds.map(_._2).sum
     val total = results.map(_._2).sum + buildsTotal
     val load = loadAvg
+    val host1tEnd = calib()
     // The driver ships only the LAST 2000 chars of stdout (confirmed:
     // BENCH_r09's "tail" is exactly 2000 chars and its "parsed" is null
     // — the r9 line was already over, so the HEAD of the line, i.e.
@@ -156,7 +178,9 @@ object Bench {
     val metaTail = f""""derived_builds_total":$buildsTotal%.2f,""" +
       f""""derived_cold":$derivedCold,""" +
       f""""unit":"sec","sf":"$sfDir","load":$load%.2f,""" +
-      f""""load_start":$loadStart%.2f,"g19_min_of_two":$g19MinOfTwo,""" +
+      f""""load_start":$loadStart%.2f,""" +
+      f""""host_1t_start":$host1tStart%.2f,"host_1t_end":$host1tEnd%.2f,""" +
+      f""""g19_min_of_two":$g19MinOfTwo,""" +
       f""""g29_min_of_two":$g29MinOfTwo,""" +
       f""""n":${results.size},"full":"bench_full.json""""
     def line(qents: Seq[String]) =
@@ -188,7 +212,9 @@ object Bench {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(f"""{"metric":"total","value":$total%.3f,""" +
         f""""unit":"sec","sf":"$sfDir","load":$load%.2f,""" +
-        f""""load_start":$loadStart%.2f,"g19_min_of_two":$g19MinOfTwo,""" +
+        f""""load_start":$loadStart%.2f,""" +
+        f""""host_1t_start":$host1tStart%.2f,"host_1t_end":$host1tEnd%.2f,""" +
+        f""""g19_min_of_two":$g19MinOfTwo,""" +
         f""""g29_min_of_two":$g29MinOfTwo,"derived_cold":$derivedCold,""" +
         f""""derived_builds":$buildsJson,""" +
         f""""derived_builds_total":$buildsTotal%.2f,""" +
