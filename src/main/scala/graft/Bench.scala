@@ -48,7 +48,31 @@ object Bench {
     // Min of three: pass 1 pays C2 + core wake-up (measured ~10% ramp on
     // this host), passes 2–3 read the sustained delivered speed.
     def calib(): Double = Seq(calibOnce(), calibOnce(), calibOnce()).min
+    // Second calibration lane, MEMORY-BOUND: the ALU loop above runs in
+    // registers and stayed fast (0.31–0.40 s) in a window where the
+    // Spark sweep inflated ×1.3 — co-tenant pressure on this box shows
+    // up in memory bandwidth, which is what shuffle/scan-heavy queries
+    // actually consume. Stream a 256 MB long array 8×; report seconds
+    // (min of three) — a bandwidth-starved window reads proportionally
+    // higher here while host_1t barely moves.
+    val memArr = new Array[Long](32 << 20)
+    java.util.Arrays.fill(memArr, 0x9E3779B97F4A7C15L)
+    def memOnce(): Double = {
+      var x = 0L
+      val t0 = System.nanoTime()
+      var p = 0
+      while (p < 8) {
+        var i = 0
+        while (i < memArr.length) { x ^= memArr(i); i += 1 }
+        p += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) System.err.println("")
+      dt
+    }
+    def memCalib(): Double = Seq(memOnce(), memOnce(), memOnce()).min
     val host1tStart = calib()
+    val hostMemStart = memCalib()
     // Cold-comparable artifacts (VERDICT r10 item 3): wipe this dir's
     // derive-once caches at bench start, so every recorded run pays the
     // same cold builds (billed apart under "derived_builds") instead of
@@ -157,6 +181,7 @@ object Bench {
     val total = results.map(_._2).sum + buildsTotal
     val load = loadAvg
     val host1tEnd = calib()
+    val hostMemEnd = memCalib()
     // The driver ships only the LAST 2000 chars of stdout (confirmed:
     // BENCH_r09's "tail" is exactly 2000 chars and its "parsed" is null
     // — the r9 line was already over, so the HEAD of the line, i.e.
@@ -180,6 +205,7 @@ object Bench {
       f""""unit":"sec","sf":"$sfDir","load":$load%.2f,""" +
       f""""load_start":$loadStart%.2f,""" +
       f""""host_1t_start":$host1tStart%.2f,"host_1t_end":$host1tEnd%.2f,""" +
+      f""""host_mem_start":$hostMemStart%.2f,"host_mem_end":$hostMemEnd%.2f,""" +
       f""""g19_min_of_two":$g19MinOfTwo,""" +
       f""""g29_min_of_two":$g29MinOfTwo,""" +
       f""""n":${results.size},"full":"bench_full.json""""
@@ -214,6 +240,7 @@ object Bench {
         f""""unit":"sec","sf":"$sfDir","load":$load%.2f,""" +
         f""""load_start":$loadStart%.2f,""" +
         f""""host_1t_start":$host1tStart%.2f,"host_1t_end":$host1tEnd%.2f,""" +
+        f""""host_mem_start":$hostMemStart%.2f,"host_mem_end":$hostMemEnd%.2f,""" +
         f""""g19_min_of_two":$g19MinOfTwo,""" +
         f""""g29_min_of_two":$g29MinOfTwo,"derived_cold":$derivedCold,""" +
         f""""derived_builds":$buildsJson,""" +
