@@ -33,10 +33,13 @@ object Bench {
     // pressure INVISIBLE to the load average (a fixed reference loop read
     // 1.56 s in one idle window and 2.9–3.4 s in another the same
     // morning — the difference between the 252-era and 306-era bench
-    // totals). Two passes, the second reported: the first pays C2
-    // compilation. ~0.5 s each on a fast host; the value rides the
-    // artifact so cross-round `value` deltas can be normalized for
-    // delivered speed instead of argued from load averages.
+    // totals). ~0.3–0.5 s per pass; the value rides the artifact so
+    // cross-round `value` deltas can be read against delivered speed
+    // instead of argued from load averages. Known limit (measured,
+    // §6.1): single-threaded lanes bound ONLY the cheap cases — box
+    // pressure that materializes under 32-wide operation can leave
+    // both lanes reading idle-fast; same-window A/B is the decisive
+    // instrument there.
     def calibOnce(): Double = {
       var x = 0L; var i = 0L
       val t0 = System.nanoTime()
@@ -55,6 +58,8 @@ object Bench {
     // actually consume. Stream a 256 MB long array 8×; report seconds
     // (min of three) — a bandwidth-starved window reads proportionally
     // higher here while host_1t barely moves.
+    // Deliberately retained for the end-of-run reading (256 MB, < 1% of
+    // the bench heap) so both calibrations stream the same buffer.
     val memArr = new Array[Long](32 << 20)
     java.util.Arrays.fill(memArr, 0x9E3779B97F4A7C15L)
     def memOnce(): Double = {
