@@ -1,0 +1,49 @@
+#!/usr/bin/env bash
+# Same-window bench A/B against a prior ref (SURVEY §6.1[^h11], r11).
+#
+# The only decisive way to attribute a cross-round bench `value` delta on
+# this host: delivered capacity swings ~1.3-1.5x between windows with every
+# single-threaded probe (load average, ALU loop, memory stream) reading
+# idle-fast, so "wait for a quiet window and compare" conflates code with
+# host. This script rebuilds REF in a clean worktree and benches it NOW,
+# in the same window as HEAD's most recent bench_full.json, then prints
+# the median like-for-like ratio — ~1.0 means the delta is the host.
+#
+# Usage: tools/bench_ab.sh <ref> [sf-dir]
+#   e.g. tools/bench_ab.sh 0ba61e1 /root/testdata/sf0.1
+#
+# Cost: one compile (~1 min) + one full bench (~7 min at sf0.1).
+# The worktree benches with ITS OWN code (including its own warmup/wipe
+# protocol) — protocol deltas between refs show up in derived_builds_total
+# and warmup handling, so read the per-query median, not just `value`.
+set -euo pipefail
+REF="${1:?usage: tools/bench_ab.sh <ref> [sf-dir]}"
+SF="${2:-/root/testdata/sf0.1}"
+ROOT="$(git rev-parse --show-toplevel)"
+WT="$ROOT/.wt_ab_$REF"
+cleanup() { git -C "$ROOT" worktree remove --force "$WT" 2>/dev/null || true; }
+trap cleanup EXIT
+[ -f "$ROOT/bench_full.json" ] || {
+  echo "run the HEAD bench first (bench_full.json missing)" >&2; exit 1; }
+git -C "$ROOT" worktree add "$WT" "$REF"
+( cd "$WT" && sbt -batch compile >/dev/null 2>&1 )
+( cd "$WT" && SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" \
+    > "$WT/bench_ab.out" 2> "$WT/bench_ab.err" )
+python3 - "$ROOT/bench_full.json" "$WT/bench_full.json" <<'EOF'
+import json, statistics, sys
+head = json.load(open(sys.argv[1])); ref = json.load(open(sys.argv[2]))
+qh, qr = head['queries'], ref['queries']
+ratios = sorted(((k, qh[k]/qr[k]) for k in qh if k in qr and qr[k] > 0.2),
+                key=lambda kv: kv[1])
+med = statistics.median(r for _, r in ratios)
+print(f"HEAD value {head['value']} (builds {head.get('derived_builds_total')}, "
+      f"load_start {head.get('load_start')})")
+print(f"REF  value {ref['value']} (builds {ref.get('derived_builds_total')}, "
+      f"load_start {ref.get('load_start')})")
+print(f"median like-for-like HEAD/REF: {med:.3f} over {len(ratios)} queries")
+print("largest regressions (HEAD/REF):")
+for k, r in ratios[-8:][::-1]:
+    print(f"  {k:30s} {qr[k]:7.2f} -> {qh[k]:7.2f}  x{r:.2f}")
+print("interpretation: median ~1.0 -> host window; a tight cluster of")
+print("large ratios on related queries -> chase those as code.")
+EOF
