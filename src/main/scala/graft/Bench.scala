@@ -7,6 +7,15 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune projections/sorts and under-measure. One warmup action
   * first so JVM/codegen startup isn't billed to the first query. */
 object Bench {
+  /** Locale-pinned numeric formatting for the JSON artifacts (ADVICE r11):
+    * the f-interpolator formats through the JVM default locale, so on a
+    * comma-decimal locale every `%.2f` field would render "3,14" and the
+    * single stdout line would be unparseable — the exact `parsed: null`
+    * failure mode the r11 protocol work eliminated. Route every numeric
+    * field through here to pin '.' as the decimal separator. */
+  private def jn(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.get(
@@ -204,20 +213,20 @@ object Bench {
       if (shortKeys.distinct.size == results.size) shortKeys
       else results.map(_._1)
     val bySlowest = compactKeys.zip(results.map(_._2)).sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-    val metaTail = f""""derived_builds_total":$buildsTotal%.2f,""" +
-      f""""derived_cold":$derivedCold,""" +
-      f""""unit":"sec","sf":"$sfDir","load":$load%.2f,""" +
-      f""""load_start":$loadStart%.2f,""" +
-      f""""host_1t_start":$host1tStart%.2f,"host_1t_end":$host1tEnd%.2f,""" +
-      f""""host_mem_start":$hostMemStart%.2f,"host_mem_end":$hostMemEnd%.2f,""" +
-      f""""g19_min_of_two":$g19MinOfTwo,""" +
-      f""""g29_min_of_two":$g29MinOfTwo,""" +
-      f""""n":${results.size},"full":"bench_full.json""""
+      .map { case (k, v) => "\"" + k + "\":" + jn(v, 2) }
+    val metaTail = s""""derived_builds_total":${jn(buildsTotal, 2)},""" +
+      s""""derived_cold":$derivedCold,""" +
+      s""""unit":"sec","sf":"$sfDir","load":${jn(load, 2)},""" +
+      s""""load_start":${jn(loadStart, 2)},""" +
+      s""""host_1t_start":${jn(host1tStart, 2)},"host_1t_end":${jn(host1tEnd, 2)},""" +
+      s""""host_mem_start":${jn(hostMemStart, 2)},"host_mem_end":${jn(hostMemEnd, 2)},""" +
+      s""""g19_min_of_two":$g19MinOfTwo,""" +
+      s""""g29_min_of_two":$g29MinOfTwo,""" +
+      s""""n":${results.size},"full":"bench_full.json""""
     def line(qents: Seq[String]) =
-      f"""{"queries":${qents.mkString("{", ",", "}")},""" +
-        f""""queries_shown":${qents.size},$metaTail,""" +
-        f""""metric":"total","value":$total%.3f}"""
+      s"""{"queries":${qents.mkString("{", ",", "}")},""" +
+        s""""queries_shown":${qents.size},$metaTail,""" +
+        s""""metric":"total","value":${jn(total, 3)}}"""
     // One-pass budget fit (ADVICE r10): accumulate entry lengths against
     // the fixed overhead instead of re-rendering the whole line per
     // dropped entry. +8 margin covers "queries_shown" digit growth; the
@@ -235,22 +244,22 @@ object Bench {
     if (line(shown).length > budget)
       System.err.println(s"[bench] meta tail alone exceeds the $budget-char" +
         s" budget (${line(shown).length}) — driver tail will cut the head")
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + jn(v, 3) }
       .mkString("{", ",", "}")
-    val buildsJson = builds.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    val buildsJson = builds.map { case (k, v) => "\"" + k + "\":" + jn(v, 2) }
       .mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(f"""{"metric":"total","value":$total%.3f,""" +
-        f""""unit":"sec","sf":"$sfDir","load":$load%.2f,""" +
-        f""""load_start":$loadStart%.2f,""" +
-        f""""host_1t_start":$host1tStart%.2f,"host_1t_end":$host1tEnd%.2f,""" +
-        f""""host_mem_start":$hostMemStart%.2f,"host_mem_end":$hostMemEnd%.2f,""" +
-        f""""g19_min_of_two":$g19MinOfTwo,""" +
-        f""""g29_min_of_two":$g29MinOfTwo,"derived_cold":$derivedCold,""" +
-        f""""derived_builds":$buildsJson,""" +
-        f""""derived_builds_total":$buildsTotal%.2f,""" +
-        f""""n":${results.size},"queries":$fullQs}""")
+      try w.println(s"""{"metric":"total","value":${jn(total, 3)},""" +
+        s""""unit":"sec","sf":"$sfDir","load":${jn(load, 2)},""" +
+        s""""load_start":${jn(loadStart, 2)},""" +
+        s""""host_1t_start":${jn(host1tStart, 2)},"host_1t_end":${jn(host1tEnd, 2)},""" +
+        s""""host_mem_start":${jn(hostMemStart, 2)},"host_mem_end":${jn(hostMemEnd, 2)},""" +
+        s""""g19_min_of_two":$g19MinOfTwo,""" +
+        s""""g29_min_of_two":$g29MinOfTwo,"derived_cold":$derivedCold,""" +
+        s""""derived_builds":$buildsJson,""" +
+        s""""derived_builds_total":${jn(buildsTotal, 2)},""" +
+        s""""n":${results.size},"queries":$fullQs}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // Print the line to the RAW stdout fd. BENCH_r09/r10 show

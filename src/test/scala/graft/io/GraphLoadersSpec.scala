@@ -215,6 +215,28 @@ class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g29b locality invariants: one row, totality + balance + cut win (O8)") {
+    // The oracle-checked companion (VERDICT r11 item 3): nvtxs_total
+    // must equal the graph's own vertex count (totality — DuckDB
+    // recomputes this side independently), every part populated, the
+    // LPT capacity bound held, and the Zoltan cut claim true as data.
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.operators.GraphQueries
+      .g29bLocalityInvariants(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val v = graft.operators.GraphQueries
+      .vertexDegMaterialized(spark, sf).select(col("id")).count()
+    assert(r.getAs[Long]("nvtxs_total") === v,
+      "assignment must be total: every vertex placed exactly once")
+    assert(r.getAs[Long]("parts_used") === 3L)
+    assert(r.getAs[Boolean]("balance_ok"),
+      "max part load must respect the LPT bound cap·(2 − 1/parts)")
+    assert(r.getAs[Boolean]("cut_improved"),
+      "locality cut must beat the id-mod-parts baseline")
+  }
+
   test("integer files + SampleSort ≡ sorted concatenation (O22)") {
     val df = GraphLoaders.integers(spark, res("numbers.part.0").stripSuffix(".0") + ".*")
     val sorted = SampleSort.sort(df, "n").collect().map(_.getLong(0)).toSeq

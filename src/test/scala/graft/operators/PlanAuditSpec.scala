@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s19_ann_cost",        // 5-query frame × broadcast vector-total scalar
     "q70_quality_audit",   // 1-row check frame × broadcast orphan-count scalar
     "q74_deletion_cascade", // four 1-row count frames × broadcast count scalars
-    "g29_locality_roundtrip") // 3-part stats frame × broadcast cut-total scalars
+    "g29_locality_roundtrip", // 3-part stats frame × broadcast cut-total scalars
+    "g29b_locality_invariants") // 1-row load stats × broadcast 1-row cut scalars
 
   test("no CartesianProduct in any gated plan; BNLJ only where documented") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

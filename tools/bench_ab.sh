@@ -20,12 +20,28 @@ set -euo pipefail
 REF="${1:?usage: tools/bench_ab.sh <ref> [sf-dir]}"
 SF="${2:-/root/testdata/sf0.1}"
 ROOT="$(git rev-parse --show-toplevel)"
-WT="$ROOT/.wt_ab_$REF"
+# Resolve the ref to a short sha BEFORE building paths (ADVICE r11): a ref
+# with a slash (origin/main, feature/x) embedded verbatim would nest the
+# worktree path and the cleanup trap would miss it.
+REF_SHA="$(git -C "$ROOT" rev-parse --short "$REF")"
+WT="$ROOT/.wt_ab_$REF_SHA"
 cleanup() { git -C "$ROOT" worktree remove --force "$WT" 2>/dev/null || true; }
 trap cleanup EXIT
 [ -f "$ROOT/bench_full.json" ] || {
   echo "run the HEAD bench first (bench_full.json missing)" >&2; exit 1; }
-git -C "$ROOT" worktree add "$WT" "$REF"
+# Same-window guard (VERDICT r11 item 2): the whole attribution rests on
+# HEAD's artifact being from THIS window — the host band demonstrably
+# drifts within the hour. Refuse a stale artifact rather than silently
+# voiding the premise; re-bench HEAD first (or override explicitly).
+AGE=$(( $(date +%s) - $(stat -c %Y "$ROOT/bench_full.json") ))
+MAX_AGE="${BENCH_AB_MAX_AGE_SEC:-1800}"
+if [ "$AGE" -gt "$MAX_AGE" ]; then
+  echo "bench_full.json is ${AGE}s old (> ${MAX_AGE}s): the same-window" >&2
+  echo "premise is void. Re-bench HEAD first, or set" >&2
+  echo "BENCH_AB_MAX_AGE_SEC=$((AGE + 60)) to override knowingly." >&2
+  exit 1
+fi
+git -C "$ROOT" worktree add "$WT" "$REF_SHA"
 ( cd "$WT" && sbt -batch compile >/dev/null 2>&1 )
 ( cd "$WT" && SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" \
     > "$WT/bench_ab.out" 2> "$WT/bench_ab.err" )
@@ -33,8 +49,15 @@ python3 - "$ROOT/bench_full.json" "$WT/bench_full.json" <<'EOF'
 import json, statistics, sys
 head = json.load(open(sys.argv[1])); ref = json.load(open(sys.argv[2]))
 qh, qr = head['queries'], ref['queries']
-ratios = sorted(((k, qh[k]/qr[k]) for k in qh if k in qr and qr[k] > 0.2),
+shared = [k for k in qh if k in qr]
+ratios = sorted(((k, qh[k]/qr[k]) for k in shared if qr[k] > 0.2),
                 key=lambda kv: kv[1])
+if not ratios:
+    # Guard (ADVICE r11): renamed queries between refs would otherwise
+    # crash statistics.median AFTER the ~20-min bench completed.
+    sys.exit(f"no comparable queries ({len(shared)} shared keys, none "
+             f"above the 0.2 s floor) — cannot compute a median; compare "
+             f"the two bench_full.json files by hand.")
 med = statistics.median(r for _, r in ratios)
 print(f"HEAD value {head['value']} (builds {head.get('derived_builds_total')}, "
       f"load_start {head.get('load_start')})")
