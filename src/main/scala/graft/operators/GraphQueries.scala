@@ -1138,7 +1138,11 @@ object GraphQueries {
   }
 
   /** g29b: the oracle-checkable HALF of the O8 locality story (VERDICT
-    * r11 item 3) — g29's placement itself stays rows-only (the LPT fold
+    * r11 item 3). SCOPE OF THE ORACLE, up front: `nvtxs_total` is the
+    * only genuinely two-engine column (DuckDB recomputes V itself); the
+    * other three are engine-computed values hash-gated against
+    * oracle-PINNED expectations — a regression gate, not independent
+    * recomputation. g29's placement itself stays rows-only (the LPT fold
     * is sequential and DuckDB lacks xxhash64, see the [[g29LocalityRoundtrip]]
     * Scaladoc), but the partitioner's INVARIANTS are a one-row frame the
     * driver's all-or-nothing hash gate can check in full:
@@ -1152,10 +1156,16 @@ object GraphQueries {
     *    doubling up whenever ≥ parts units exist (true at every tested
     *    SF — the GraphLoadersSpec O8 test asserts the same property).
     *  - `balance_ok` — max part load against the LPT list-scheduling
-    *    bound with units capped at cap = ⌈V/parts⌉ by the capacity
-    *    split: max ≤ cap·(2 − 1/parts), in exact integer arithmetic
-    *    (`max·parts ≤ cap·(2·parts − 1)`). Measured slack at sf0.01 is
-    *    1.20× cap vs the 1.67× bound.
+    *    bound for cap-sized units, cap = ⌈V/parts⌉: max ≤ cap·(2 − 1/parts),
+    *    in exact integer arithmetic (`max·parts ≤ cap·(2·parts − 1)`).
+    *    The capacity split TARGETS cap-sized units but does not hard-bound
+    *    them (the xxhash64 bucket draw can skew a unit above cap, and the
+    *    residual tail places against a load snapshot frozen before the
+    *    tail), so the bound is an EMPIRICALLY-held expectation, not a
+    *    by-construction guarantee — held with wide slack everywhere
+    *    tested (1.20× cap vs the 1.67× bound at sf0.01); a data or
+    *    LpaIters shift that broke it would fail this gate, which is the
+    *    point of pinning it.
     *  - `cut_improved` — the reference's Zoltan claim
     *    (`/root/reference/README.md:49-51`, `gmr.cpp:107-167`) computed
     *    relationally from the assignment joined back to the symmetrized

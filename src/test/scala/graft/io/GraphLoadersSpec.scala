@@ -235,6 +235,11 @@ class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
       "max part load must respect the LPT bound cap·(2 − 1/parts)")
     assert(r.getAs[Boolean]("cut_improved"),
       "locality cut must beat the id-mod-parts baseline")
+    // g29b persists its assignment frame and cannot unpersist it itself
+    // (the caller actions the plan); Bench/Verify clear caches between
+    // queries — match that convention here so the cached frame does not
+    // leak into the rest of the suite (ADVICE r12).
+    spark.catalog.clearCache()
   }
 
   test("integer files + SampleSort ≡ sorted concatenation (O22)") {

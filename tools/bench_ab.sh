@@ -45,9 +45,16 @@ git -C "$ROOT" worktree add "$WT" "$REF_SHA"
 ( cd "$WT" && sbt -batch compile >/dev/null 2>&1 )
 ( cd "$WT" && SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" \
     > "$WT/bench_ab.out" 2> "$WT/bench_ab.err" )
-python3 - "$ROOT/bench_full.json" "$WT/bench_full.json" <<'EOF'
+# The staleness guard above ran at script START; the ref rebuild+bench
+# takes ~20+ min, so at comparison time the HEAD artifact is older than
+# the guard saw. Acceptable for a serial A/B by construction (the two
+# readings still bracket one contiguous window), but record the ACTUAL
+# skew next to the median so the reading carries it (ADVICE r12).
+HEAD_AGE=$(( $(date +%s) - $(stat -c %Y "$ROOT/bench_full.json") ))
+python3 - "$ROOT/bench_full.json" "$WT/bench_full.json" "$HEAD_AGE" <<'EOF'
 import json, statistics, sys
 head = json.load(open(sys.argv[1])); ref = json.load(open(sys.argv[2]))
+head_age = int(sys.argv[3])
 qh, qr = head['queries'], ref['queries']
 shared = [k for k in qh if k in qr]
 ratios = sorted(((k, qh[k]/qr[k]) for k in shared if qr[k] > 0.2),
@@ -63,7 +70,8 @@ print(f"HEAD value {head['value']} (builds {head.get('derived_builds_total')}, "
       f"load_start {head.get('load_start')})")
 print(f"REF  value {ref['value']} (builds {ref.get('derived_builds_total')}, "
       f"load_start {ref.get('load_start')})")
-print(f"median like-for-like HEAD/REF: {med:.3f} over {len(ratios)} queries")
+print(f"median like-for-like HEAD/REF: {med:.3f} over {len(ratios)} queries "
+      f"(HEAD artifact {head_age}s old at comparison — the window skew)")
 print("largest regressions (HEAD/REF):")
 for k, r in ratios[-8:][::-1]:
     print(f"  {k:30s} {qr[k]:7.2f} -> {qh[k]:7.2f}  x{r:.2f}")
