@@ -51,6 +51,13 @@ git -C "$ROOT" worktree add "$WT" "$REF_SHA"
 # readings still bracket one contiguous window), but record the ACTUAL
 # skew next to the median so the reading carries it (ADVICE r12).
 HEAD_AGE=$(( $(date +%s) - $(stat -c %Y "$ROOT/bench_full.json") ))
+# Preserve the ref's full artifact OUTSIDE the worktree before the
+# cleanup trap removes it — without this, any post-hoc per-query
+# analysis (e.g. comparing the ref against a LATER head re-run to
+# control for slot order) loses the data it needs (r13 lesson: the
+# first A/B's ref map was deleted with the worktree and the order
+# control had to re-bench the ref from scratch).
+cp "$WT/bench_full.json" "$ROOT/bench_ab_ref_$REF_SHA.json"
 python3 - "$ROOT/bench_full.json" "$WT/bench_full.json" "$HEAD_AGE" <<'EOF'
 import json, statistics, sys
 head = json.load(open(sys.argv[1])); ref = json.load(open(sys.argv[2]))
