@@ -1184,7 +1184,19 @@ object GraphQueries {
     * assignment fits the threshold), both aggregates are single-pass
     * partial+final — no driver-side data beyond the bounded LPT collect
     * inside localityAssignment itself. */
-  def g29bLocalityInvariants(s: SparkSession, d: String): DataFrame = {
+  def g29bLocalityInvariants(s: SparkSession, d: String): DataFrame =
+    g29bInvariantsWithHandle(s, d)._1
+
+  /** [[g29bLocalityInvariants]] plus a handle to its persisted
+    * assignment frame, for callers that action the plan themselves and
+    * then want to release EXACTLY that cache entry (ADVICE r13: the
+    * spec's previous `spark.catalog.clearCache()` evicted every cached
+    * frame in the shared session, not just this one). Bench/Verify keep
+    * using the DataFrame-only entry point — their between-query cache
+    * wipe is the release there — so this split changes no engine
+    * behavior; it only exposes the frame the persist call creates. */
+  private[graft] def g29bInvariantsWithHandle(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val parts = 3
     val assign = graft.io.GraphLoaders.localityAssignment(
       lpaLabelsMaterialized(s, d), parts)
@@ -1205,13 +1217,14 @@ object GraphQueries {
         sum(when(pmod(col("src"), lit(parts.toLong)) =!=
             pmod(col("dst"), lit(parts.toLong)), 1L).otherwise(0L)).as("hash_cut"))
     val cap = expr(s"(nvtxs_total + ${parts - 1}) DIV $parts") // ⌈V/parts⌉, exact
-    stats.crossJoin(broadcast(cuts))
+    val out = stats.crossJoin(broadcast(cuts))
       .select(
         col("nvtxs_total"),
         col("parts_used"),
         (col("max_part") * lit(parts.toLong) <=
           cap * lit(2L * parts - 1L)).as("balance_ok"),
         (col("loc_cut") < col("hash_cut")).as("cut_improved"))
+    (out, assign)
   }
 
   def g6DegreeHistogram(s: SparkSession, d: String): DataFrame =

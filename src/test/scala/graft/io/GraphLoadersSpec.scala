@@ -222,8 +222,9 @@ class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     // LPT capacity bound held, and the Zoltan cut claim true as data.
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
-    val rows = graft.operators.GraphQueries
-      .g29bLocalityInvariants(spark, sf).collect()
+    val (frame, assignHandle) = graft.operators.GraphQueries
+      .g29bInvariantsWithHandle(spark, sf)
+    val rows = frame.collect()
     assert(rows.length === 1)
     val r = rows.head
     val v = graft.operators.GraphQueries
@@ -236,10 +237,10 @@ class GraphLoadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Boolean]("cut_improved"),
       "locality cut must beat the id-mod-parts baseline")
     // g29b persists its assignment frame and cannot unpersist it itself
-    // (the caller actions the plan); Bench/Verify clear caches between
-    // queries — match that convention here so the cached frame does not
-    // leak into the rest of the suite (ADVICE r12).
-    spark.catalog.clearCache()
+    // (the caller actions the plan). Release exactly that frame — a
+    // blanket clearCache() would evict every cached frame in the shared
+    // session and silently slow later suites (ADVICE r13).
+    assignHandle.unpersist(blocking = true)
   }
 
   test("integer files + SampleSort ≡ sorted concatenation (O22)") {

@@ -56,8 +56,18 @@ HEAD_AGE=$(( $(date +%s) - $(stat -c %Y "$ROOT/bench_full.json") ))
 # analysis (e.g. comparing the ref against a LATER head re-run to
 # control for slot order) loses the data it needs (r13 lesson: the
 # first A/B's ref map was deleted with the worktree and the order
-# control had to re-bench the ref from scratch).
-cp "$WT/bench_full.json" "$ROOT/bench_ab_ref_$REF_SHA.json"
+# control had to re-bench the ref from scratch). Never overwrite an
+# existing copy (ADVICE r13): an A-B-A-B sandwich runs the SAME ref
+# twice, and clobbering slot 2's map with slot 4's is exactly the data
+# loss this cp exists to prevent — suffix repeat runs with an index.
+REF_OUT="$ROOT/bench_ab_ref_$REF_SHA.json"
+n=2
+while [ -e "$REF_OUT" ]; do
+  REF_OUT="$ROOT/bench_ab_ref_$REF_SHA.run$n.json"
+  n=$((n + 1))
+done
+cp "$WT/bench_full.json" "$REF_OUT"
+echo "ref per-query artifact preserved: $REF_OUT" >&2
 python3 - "$ROOT/bench_full.json" "$WT/bench_full.json" "$HEAD_AGE" <<'EOF'
 import json, statistics, sys
 head = json.load(open(sys.argv[1])); ref = json.load(open(sys.argv[2]))
