@@ -49,6 +49,7 @@ object Probe {
       case "locality" => locality(spark, d)
       case "simham"   => simham(spark, d)
       case "lpaab"    => lpaab(spark, d)
+      case "superstep" => superstep(spark, d)
       case other      => println(s"[probe] unknown verb '$other'")
     }
     spark.stop()
@@ -293,6 +294,54 @@ object Probe {
     }
     spark.conf.unset("spark.graft.assignmentBroadcastBytes")
     assign.unpersist(blocking = false)
+  }
+
+  /** One BSP superstep under the microscope (r21 optimization round):
+    * prints the physical plan of a single PageRank superstep in the
+    * current shuffle-join shape and in the broadcast-state shape, then
+    * A/Bs 5 supersteps of each (alternating, so slot drift cannot fake a
+    * winner). The broadcast shape hints the O(V) state side of the
+    * message join and the O(V) aggregate side of the update join —
+    * leaving the message groupBy as the superstep's only exchange and
+    * never sorting the O(E) edge side. */
+  private def superstep(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import graft.operators.GraphQueries
+    val g = GraphQueries.partGraph(spark, d)
+    val degs = g.degrees
+    val n = degs.count()
+    val pr = new graft.graph.PageRank(n)
+    val nShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = g.edges.repartition(nShuffle, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgesPlain = g.edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val state0 = pr.initial(degs)
+      .withColumn("_delta", lit(Double.MaxValue)).materialize()
+    def step(v: org.apache.spark.sql.DataFrame, bcast: Boolean)
+        : org.apache.spark.sql.DataFrame = {
+      val vv = if (bcast) broadcast(v) else v
+      val e = if (bcast) edgesPlain else edges
+      val msgs = pr.messages(vv, e)
+      val agg = msgs.groupBy("id").agg(pr.combiner.as("_agg"))
+      val aggS = if (bcast) broadcast(agg) else agg
+      v.join(aggS, Seq("id"), "left_outer")
+        .select(col("id"),
+          pr.updated(col("value"), col("_agg")).as("value"),
+          pr.delta(col("value"), pr.updated(col("value"), col("_agg"))).as("_delta"),
+          col("deg"))
+    }
+    println("========== superstep plan: shuffle shape ==========")
+    step(state0, bcast = false).explain("formatted")
+    println("========== superstep plan: broadcast shape ==========")
+    step(state0, bcast = true).explain("formatted")
+    for (b <- Seq(false, true, false, true)) {
+      var s2 = state0
+      t("superstep", s"5 supersteps bcast=$b") {
+        for (_ <- 1 to 5) s2 = step(s2, b).materialize()
+      }
+    }
+    edges.unpersist(blocking = false)
+    edgesPlain.unpersist(blocking = false)
   }
 
   /** All-pairs SimHash hamming histogram (low end) over the documents

@@ -119,6 +119,39 @@ object ConnectedComponentsProgram extends VertexProgram {
 /** Non-iterative whole-graph operators. */
 object GraphOps {
 
+  /** Broadcast budget for iterative-loop VERTEX STATE frames (r21, guide
+    * §3.1) — the adjacencyBroadcastBytes discipline applied to the BSP
+    * family: one deliberate bounded broadcast per superstep replaces the
+    * state-side exchange AND the per-superstep sort-merge sorts of both
+    * join sides (the superstep then has exactly one exchange — the
+    * message groupBy — which is the first-principles minimum for BSP).
+    * Estimated at a conservative 64 B per state row (id + value + delta
+    * + a static column or two, plus row overhead); 256 MB ≈ 4M vertices,
+    * routine executor memory on a real cluster. Larger vertex sets fall
+    * back to the pre-r21 shuffle-join shape automatically, so the knob
+    * is a latency optimization, never a correctness or OOM hazard. Set
+    * to 0 to force the shuffle shape (the A/B instrument the
+    * before/after plans in plans/r21/ were captured with). */
+  val StateBroadcastBytesKey = "spark.graft.stateBroadcastBytes"
+  val StateBroadcastBytesDefault: Long = 256L << 20
+  val StateBytesPerRow = 64L
+
+  /** Does an O(V) state frame of `rows` rows fit the state-broadcast
+    * budget? Shared by every iterative loop in the engine (GmrRunner,
+    * LPA, Luby MIS, k-core/k-truss peeling, multi-source BFS, Borůvka,
+    * SCC, semi-naive reachability, Lloyd assignment). */
+  def stateBroadcastFits(spark: org.apache.spark.sql.SparkSession,
+                         rows: Long): Boolean = {
+    val budget = spark.conf.getOption(StateBroadcastBytesKey).map(_.toLong)
+      .getOrElse(StateBroadcastBytesDefault)
+    budget > 0 && rows * StateBytesPerRow <= budget
+  }
+
+  /** [[stateBroadcastFits]] as a hint: `df` marked for broadcast when its
+    * O(V)/O(frontier) row count fits the budget, unchanged otherwise. */
+  def broadcastIfFits(df: DataFrame, rows: Long): DataFrame =
+    if (stateBroadcastFits(df.sparkSession, rows)) broadcast(df) else df
+
   /** Priority composite shift for [[lubyMis]]: hash ∈ [0, P) with
     * P = 1e9+7, so hash·2³¹ + id is a strict total order in BIGINT for
     * id < 2³¹. */
