@@ -38,6 +38,14 @@ object Probe {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.get(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // Same contract as Bench: "k=v;k2=v2" runtime session confs (e.g.
+    // spark.graft.explainMaterialize=true to capture loop-round plans).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     // unrecorded warmup: classload + codegen floor (SURVEY §6)
     spark.read.parquet(s"$d/lineitem.parquet").limit(1000).count()
     verb match {
@@ -50,9 +58,37 @@ object Probe {
       case "simham"   => simham(spark, d)
       case "lpaab"    => lpaab(spark, d)
       case "superstep" => superstep(spark, d)
+      case "ab"       => abQuery(spark, d, args.drop(1))
       case other      => println(s"[probe] unknown verb '$other'")
     }
     spark.stop()
+  }
+
+  /** In-JVM A/B of one declared query under a conf toggle (r21): runs the
+    * query `reps`× alternating the session conf between the two given
+    * values, same JVM/caches/JIT, so the contrast is free of the inter-JVM
+    * slot variance that dominates subset bench runs on this host. Usage:
+    * `runMain graft.Probe ab <query> [reps] [key] [valA] [valB]`
+    * (defaults: 6 reps of the state-broadcast knob, default-vs-0).
+    * First pair is warmup-biased — read pairs 2+. */
+  private def abQuery(spark: org.apache.spark.sql.SparkSession, d: String,
+                      rest: Array[String]): Unit = {
+    val name = rest.headOption.getOrElse("g1_pagerank")
+    val reps = rest.lift(1).map(_.toInt).getOrElse(6)
+    val key = rest.lift(2).getOrElse(graft.graph.GraphOps.StateBroadcastBytesKey)
+    val valA = rest.lift(3).getOrElse(
+      graft.graph.GraphOps.StateBroadcastBytesDefault.toString)
+    val valB = rest.lift(4).getOrElse("0")
+    val fn = SparkEntry.queries(name)
+    for (i <- 1 to reps) {
+      val v = if (i % 2 == 1) valA else valB
+      spark.conf.set(key, v)
+      t("ab", s"$name $key=$v") {
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      System.gc()
+    }
   }
 
   /** d2 cold + warm: the warm delta isolates the cache-fill + AQE stage

@@ -177,6 +177,15 @@ object GraphOps {
     var state = vertices
       .select(col("id"), lit("a").as("st"), lit(-1L).as("round_joined"))
       .materialize()
+    // r21 (the GmrRunner superstep discipline, guide §2.4/§3.1): every
+    // per-round frame here — priorities, winners, knockouts — is bounded
+    // by the (shrinking) active vertex set, so when V fits the
+    // state-broadcast budget all five per-round joins become broadcast
+    // joins against the cached edge frame / the O(V) state, leaving the
+    // max-neighbor groupBy and the knockout distinct as the round's only
+    // exchanges. Shuffle shape beyond the budget, results identical.
+    val fits = stateBroadcastFits(edges.sparkSession, state.count())
+    def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     for (r <- 1 to rounds) {
       val pri = state.where(col("st") === "a")
         .select(col("id"),
@@ -184,18 +193,18 @@ object GraphOps {
             concat(col("id").cast("string"), lit("mis"), lit(r.toString)))
             * lit(MisShift) + col("id")).as("key"))
       val nbrMax = edges
-        .join(pri.select(col("id").as("src"), col("key").as("skey")), "src")
-        .join(pri.select(col("id").as("dst")), "dst")
+        .join(hint(pri.select(col("id").as("src"), col("key").as("skey"))), "src")
+        .join(hint(pri.select(col("id").as("dst"))), "dst")
         .groupBy(col("dst").as("id")).agg(max(col("skey")).as("mk"))
-      val win = pri.join(nbrMax, Seq("id"), "left_outer")
+      val win = pri.join(hint(nbrMax), Seq("id"), "left_outer")
         .where(col("mk").isNull || col("key") > col("mk"))
         .select(col("id"))
         .materialize()
-      val out = edges.join(win.select(col("id").as("src")), "src")
+      val out = edges.join(hint(win.select(col("id").as("src"))), "src")
         .select(col("dst").as("id")).distinct()
       state = state
-        .join(win.withColumn("w", lit(true)), Seq("id"), "left_outer")
-        .join(out.withColumn("o", lit(true)), Seq("id"), "left_outer")
+        .join(hint(win.withColumn("w", lit(true))), Seq("id"), "left_outer")
+        .join(hint(out.withColumn("o", lit(true))), Seq("id"), "left_outer")
         .select(col("id"),
           when(col("w"), lit("m"))
             .when(col("o") && col("st") === "a", lit("o"))
@@ -223,12 +232,19 @@ object GraphOps {
     val e2 = symEdges.select("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s0 = e2.select(col("src").as("id")).distinct().materialize()
+    // r21 (the GmrRunner superstep discipline, guide §2.4/§3.1): the
+    // survivor set is O(V) and only shrinks — when V fits the
+    // state-broadcast budget both per-round semi-filters broadcast it and
+    // the cached edge frame streams map-side, leaving the degree groupBy
+    // as the round's only exchange. Shuffle shape beyond the budget.
+    val fits = stateBroadcastFits(e2.sparkSession, s0.count())
+    def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var surv = s0
     val snapshots = Seq.newBuilder[DataFrame]
     for (_ <- 1 to rounds) {
       val deg = e2
-        .join(surv.select(col("id").as("src")), "src")
-        .join(surv.select(col("id").as("dst")), "dst")
+        .join(hint(surv.select(col("id").as("src"))), "src")
+        .join(hint(surv.select(col("id").as("dst"))), "dst")
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       surv = deg.where(col("deg") >= k).select("id").materialize()
       snapshots += surv
@@ -598,10 +614,18 @@ object GraphOps {
     var labels = g.vertices.select(col("id"), col("id").as("label"))
     val frontierOn = edges.sparkSession.conf
       .getOption(LpaFrontierKey).forall(_.toBoolean)
-    // Full-round cutoff denominator; one O(V) count over the (small,
-    // usually parquet-backed) vertex frame, only when the frontier
-    // plan can ever engage.
-    val nVerts = if (frontierOn && iters > 1) g.vertices.count() else 0L
+    // Full-round cutoff denominator AND the r21 broadcast-budget gate's
+    // row bound; one O(V) count over the (small, usually parquet-backed)
+    // vertex frame.
+    val nVerts = g.vertices.count()
+    // r21 (the GmrRunner superstep discipline, guide §2.4/§3.1): labels
+    // and pick are O(V) — when V fits the state-broadcast budget the vote
+    // join broadcasts the label side (the edge view streams map-side with
+    // no exchange) and the update/diff joins broadcast the pick side,
+    // leaving the two vote aggregates as the round's only exchanges.
+    // Shuffle shape beyond the budget, bit-identical labels either way.
+    val bcFits = stateBroadcastFits(edges.sparkSession, nVerts)
+    def hint(df: DataFrame): DataFrame = if (bcFits) broadcast(df) else df
     // None = recompute every vertex this round.
     var frontier: Option[(DataFrame, Long)] = None
     // Next full-mode round whose changed set we pay to measure, and the
@@ -618,7 +642,7 @@ object GraphOps {
           frontierSemi(edges, "dst", dirty, dirty.count())
       }
       val votes = active
-        .join(labels, col("src") === col("id"))
+        .join(hint(labels), col("src") === col("id"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
       // argmax(c, ties -> min label) as a hash aggregate: max of the
       // lexicographic struct (c, -label) — map-side combinable, no
@@ -637,7 +661,7 @@ object GraphOps {
       // materialize so the vote pipeline runs once; non-check rounds
       // keep the lazy plan (next's materialize executes it).
       val pick = if (check) pickPlan.materialize() else pickPlan
-      val next = labels.join(pick, Seq("id"), "left_outer")
+      val next = labels.join(hint(pick), Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("new_label"), col("label")).as("label"))
         .materialize()
@@ -646,7 +670,7 @@ object GraphOps {
         // one (coalesce keeps it everywhere else), so diff PICK against
         // the old labels — |pick| rows, not an O(V) next ⋈ labels
         // self-join.
-        val changed = pick.as("n")
+        val changed = hint(pick.as("n"))
           .join(labels.as("p"), col("n.id") === col("p.id"))
           .where(col("n.new_label") =!= col("p.label"))
           .select(col("n.id").as("id"))

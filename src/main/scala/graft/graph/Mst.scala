@@ -2,7 +2,6 @@ package graft.graph
 
 import graft.graph.Materialize.MaterializeOps
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Minimum spanning forest via distributed Borůvka — the reference's
@@ -43,6 +42,12 @@ object Mst {
     var comp = edges.select(col("src").as("id")).union(edges.select(col("dst").as("id")))
       .distinct().select(col("id"), col("id").as("comp"))
       .materialize()
+    // r21 (the GmrRunner superstep discipline, guide §2.4/§3.1): the
+    // component-label frame is O(V) — when V fits the state-broadcast
+    // budget both labeling joins broadcast it and the persisted edge list
+    // streams map-side; beyond the budget the pre-r21 shuffle joins.
+    val fits = GraphOps.stateBroadcastFits(spark, comp.count())
+    def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var forest = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "weight")
     // Edges inside one component can never be picked again — merging only
     // grows components, so filtering on the current labels is sound and
@@ -52,8 +57,8 @@ object Mst {
     var done = false
     while (round < maxRounds && !done) {
       val labeled = liveEdges
-        .join(comp.select(col("id").as("src"), col("comp").as("csrc")), "src")
-        .join(comp.select(col("id").as("dst"), col("comp").as("cdst")), "dst")
+        .join(hint(comp.select(col("id").as("src"), col("comp").as("csrc"))), "src")
+        .join(hint(comp.select(col("id").as("dst"), col("comp").as("cdst"))), "dst")
         .where(col("csrc") =!= col("cdst"))
         .materialize()
       liveEdges = labeled.select("src", "dst", "weight")
@@ -74,8 +79,20 @@ object Mst {
           col("weight"), col("cdst"))
         .union(labeled.select(col("cdst").as("c"), col("src"), col("dst"),
           col("weight"), col("csrc")))
-      val w = Window.partitionBy("c").orderBy(col("weight"), col("src"), col("dst"))
-      val picked = cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      // r21 (guide §2.3 "aggregate before you shuffle"): the per-component
+      // lightest-edge pick is an argmin — the row_number window it
+      // replaces sorted the FULL candidate list inside each partition
+      // with no partial aggregation; min(struct(...)) hash-aggregates
+      // map-side so only one row per component crosses the exchange.
+      // Identical pick: within a component, (weight, src, dst) is unique
+      // (csrc ≠ cdst means an edge appears at most once per side), so the
+      // lexicographic struct-min is exactly the window's ORDER BY head,
+      // and cdst rides along functionally determined by (c, src, dst).
+      val picked = cand.groupBy(col("c"))
+        .agg(min(struct(col("weight"), col("src"), col("dst"), col("cdst")))
+          .as("m"))
+        .select(col("c"), col("m.src").as("src"), col("m.dst").as("dst"),
+          col("m.weight").as("weight"), col("m.cdst").as("cdst"))
         .materialize()
       if (picked.isEmpty) done = true
       else {

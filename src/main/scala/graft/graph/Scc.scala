@@ -74,20 +74,29 @@ object Scc {
     var round = 0
     var finished = false
     while (round < maxRounds && !finished && !active.isEmpty) {
-      if (active.count() <= localFinishLimit && activeEdges.count() <= localFinishLimit) {
+      val nActive = active.count()
+      if (nActive <= localFinishLimit && activeEdges.count() <= localFinishLimit) {
         val verts = active.collect().map(_.getLong(0))
         val edgeArr = activeEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
         result = result.union(localTarjan(verts, edgeArr).toSeq.toDF("id", "scc"))
         finished = true
       } else {
+      // r21 (the GmrRunner superstep discipline, guide §2.4/§3.1): the
+      // color and surviving-vertex frames are O(|active|) — the loop
+      // guard already paid the count, so the broadcast-budget gate is
+      // free. When they fit, the per-round labeling/filter joins
+      // broadcast them and the edge frame streams map-side; beyond the
+      // budget the pre-r21 shuffle joins. Results identical either way.
+      val fits = GraphOps.stateBroadcastFits(spark, nActive)
+      def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
       val colors = GmrRunner.run(
           PropertyGraph(active, activeEdges.withColumn("weight", lit(1.0))),
           ConnectedComponentsProgram).vertices
         .select(col("id"), col("value").cast("long").as("color"))
         .materialize()
       val ec = activeEdges
-        .join(colors.select(col("id").as("src"), col("color").as("csrc")), "src")
-        .join(colors.select(col("id").as("dst"), col("color").as("cdst")), "dst")
+        .join(hint(colors.select(col("id").as("src"), col("color").as("csrc"))), "src")
+        .join(hint(colors.select(col("id").as("dst"), col("color").as("cdst"))), "dst")
         .where(col("csrc") === col("cdst"))
       // Eager checkpoint severs colors' attribute ids from the edge plan:
       // BackwardMark's vertex state ALSO passes colors' attrs through, and
@@ -103,8 +112,8 @@ object Scc {
         .materialize()
       active = marked.where(!col("m")).select("id").materialize()
       activeEdges = activeEdges
-        .join(active.select(col("id").as("src")), "src")
-        .join(active.select(col("id").as("dst")), "dst")
+        .join(hint(active.select(col("id").as("src"))), "src")
+        .join(hint(active.select(col("id").as("dst"))), "dst")
         .select("src", "dst").materialize()
       }
       round += 1

@@ -557,12 +557,24 @@ object GraphQueries {
       .select(col("q"), col("id"),
         when(col("id") === col("q"), lit(0L)).as("v"))
       .materialize()
+    // r21 (guide §2.4/§3.1, the GmrRunner superstep discipline): the
+    // distance table is exactly |srcs|·|V| rows of three BIGINTs — when it
+    // fits the state-broadcast budget, broadcast it into the relaxation
+    // join (the persisted O(E) edge view then streams map-side with no
+    // exchange) and broadcast the per-level min-frame (bounded by the same
+    // row count) into the update join, leaving the relaxation groupBy as
+    // the level's ONLY exchange and removing both per-level sorts. The
+    // row count is one cached-scan action on the just-checkpointed frame
+    // and never changes across levels (the left_outer keeps every (q, id)).
+    // Beyond the budget everything keeps the pre-r21 shuffle-join shape.
+    val fits = GraphOps.stateBroadcastFits(se.sparkSession, dist.count())
+    def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     for (_ <- 1 to depth) {
-      val m = dist.where(col("v").isNotNull)
+      val m = hint(dist.where(col("v").isNotNull))
         .join(se, dist("id") === se("src"))
         .groupBy(col("q"), col("dst")).agg(min(col("v") + 1).as("mv"))
         .select(col("q"), col("dst").as("id"), col("mv"))
-      dist = dist.join(m, Seq("q", "id"), "left_outer")
+      dist = dist.join(hint(m), Seq("q", "id"), "left_outer")
         .select(col("q"), col("id"), least(col("v"), col("mv")).as("v"))
         .materialize()
     }
@@ -579,6 +591,13 @@ object GraphQueries {
     // (1) BFS distances keyed by (q, id)
     val dist = bfsDistances(se, verts, srcs, BcDepth)
     val reached = dist.where(col("v").isNotNull)
+    // r21: every σ/δ frame below is bounded by |dist| = |srcs|·|V| rows —
+    // the same budget gate as the BFS phase; hinted frames turn the
+    // per-level joins against the cached O(E) edge view and against each
+    // other into broadcast joins (one groupBy exchange per level, no
+    // sorts). Identical results; shuffle shape beyond the budget.
+    val bcFits = GraphOps.stateBroadcastFits(s, dist.count())
+    def hint(df: DataFrame): DataFrame = if (bcFits) broadcast(df) else df
     // The σ and δ chains below are linear, so a sparser checkpoint cadence is
     // SEMANTICALLY safe — but measured SLOWER: every level is referenced
     // 2-3× downstream (σ step l+1, δ contrib, δ join, final union), and
@@ -590,9 +609,10 @@ object GraphQueries {
     levels(0) = reached.where(col("v") === 0)
       .select(col("q"), col("id"), lit(1L).as("sg")).materialize()
     for (l <- 1 to BcDepth) {
-      levels(l) = mat(levels(l - 1).join(se, col("id") === col("src"))
+      levels(l) = mat(hint(levels(l - 1)).join(se, col("id") === col("src"))
         .select(col("q"), col("dst").as("id"), col("sg"))
-        .join(reached.where(col("v") === l).select(col("q"), col("id")), Seq("q", "id"))
+        .join(hint(reached.where(col("v") === l).select(col("q"), col("id"))),
+          Seq("q", "id"))
         .groupBy(col("q"), col("id")).agg(sum(col("sg")).as("sg")), l)
     }
     // (3) δ back-propagation: deepest level first, σ-ratio weights
@@ -603,12 +623,12 @@ object GraphQueries {
       val succ = deltas(l + 1)
         .select(col("q").as("wq"), col("id").as("wid"),
           col("sg").as("wsg"), col("dl").as("wdl"))
-      val contrib = levels(l).join(se, col("id") === col("src"))
-        .join(succ, col("wq") === col("q") && col("wid") === col("dst"))
+      val contrib = hint(levels(l)).join(se, col("id") === col("src"))
+        .join(hint(succ), col("wq") === col("q") && col("wid") === col("dst"))
         .groupBy(col("q"), col("id"))
         .agg(sum(col("sg").cast("double") / col("wsg") * (lit(1.0) + col("wdl")))
           .as("c"))
-      deltas(l) = mat(levels(l).join(contrib, Seq("q", "id"), "left_outer")
+      deltas(l) = mat(levels(l).join(hint(contrib), Seq("q", "id"), "left_outer")
         .select(col("q"), col("id"), col("sg"),
           coalesce(col("c"), lit(0.0)).as("dl")), l)
     }
@@ -690,17 +710,25 @@ object GraphQueries {
     val e = partPairsMaterialized(s, d).select("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = vertexDegMaterialized(s, d).select(col("id")).materialize()
+    // r21 (the GmrRunner superstep discipline, guide §2.4/§3.1): hub and
+    // authority frames are O(V) — when V fits the state-broadcast budget,
+    // the score join broadcasts the score side (the cached edge view
+    // streams map-side) and the rejoin against the vertex dimension
+    // broadcasts the normalized sums, so each half-step has exactly one
+    // exchange (the raw groupBy). Shuffle shape beyond the budget.
+    val fits = GraphOps.stateBroadcastFits(s, verts.count())
+    def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     // raw = Σ over in-(out-)edges; normalized = raw·scale div max(raw):
     // vertices missing from the sum side score 0 (no in-/out-edges).
     def step(scores: DataFrame, scoreCol: String, fromCol: String,
         toCol: String, outName: String): DataFrame = {
-      val raw = e.join(scores.withColumnRenamed("id", fromCol), fromCol)
+      val raw = e.join(hint(scores.withColumnRenamed("id", fromCol)), fromCol)
         .groupBy(col(toCol).as("id"))
         .agg(sum(col(scoreCol)).as("r"))
       val mx = raw.agg(max(col("r")).as("mx"))
       val norm = raw.crossJoin(broadcast(mx))
         .selectExpr("id", s"(r * $HitsScale) div mx AS $outName")
-      verts.join(norm, Seq("id"), "left_outer")
+      verts.join(hint(norm), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col(outName), lit(0L)).as(outName))
         .materialize()
     }
