@@ -59,6 +59,7 @@ object Probe {
       case "lpaab"    => lpaab(spark, d)
       case "superstep" => superstep(spark, d)
       case "ab"       => abQuery(spark, d, args.drop(1))
+      case "d18"      => d18(spark, d)
       case other      => println(s"[probe] unknown verb '$other'")
     }
     spark.stop()
@@ -88,6 +89,31 @@ object Probe {
       }
       spark.catalog.clearCache()
       System.gc()
+    }
+  }
+
+  /** d18 phase decomposition (r21): rep map build, quotient edges, CC,
+    * final assembly — run twice so the warm pass separates steady compute
+    * from the cache/AQE floor. */
+  private def d18(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import graft.operators.DedupQueries
+    for (pass <- Seq("cold", "warm")) {
+      t("d18", s"full $pass") {
+        DedupQueries.d18SimhashClusters(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+    }
+    for (pass <- Seq("cold", "warm")) {
+      t("d18", s"rep-only $pass") {
+        DedupQueries.d18RepOnly(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("d18", s"qedges $pass") {
+        DedupQueries.d18QedgesOnly(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
     }
   }
 

@@ -159,6 +159,12 @@ object GmrRunner {
     // pre-r21 shape: edges hash-partitioned by src once, shuffle joins.
     val stateRows = state.count()
     val bcastState = GraphOps.stateBroadcastFits(spark, stateRows)
+    // Kill switch for the r21 fixed-mode empty-frontier early exit below
+    // (the LPA-frontier-knob pattern): `false` forces every contracted
+    // superstep to run. Exists for the A/B instrument and as an
+    // operational escape hatch; results are bit-identical either way.
+    val fixedEarlyExit = spark.conf
+      .getOption("spark.graft.fixedEarlyExit").forall(_.toBoolean)
     // Static side of every superstep join. Broadcast mode streams the
     // cached frame map-side (partitioning is irrelevant to a broadcast
     // join probe side — skipping the upfront repartition saves its
@@ -196,6 +202,21 @@ object GmrRunner {
         lastDelta = next.agg(max(col("_delta"))).first().getDouble(0)
         residuals += lastDelta
         converged = earlyStop && lastDelta < program.tolerance
+      } else if (earlyStop && fixedEarlyExit && program.frontierOnly &&
+          checkpointNow && iter < maxIter) {
+        // r21 (guide §1.2: don't compute what you throw away): in FIXED
+        // mode a frontier-pruned monotone program whose frontier has
+        // emptied can never change again — no senders means no messages,
+        // and updated(old, null) is absorbing (the same invariant
+        // frontierOnly already requires) — so every remaining superstep
+        // is an exact no-op that still pays the full per-superstep
+        // scheduler/checkpoint floor. Exit early: bit-identical result
+        // (the oracle's extra unrolled rounds are no-ops on its side
+        // too). One cheap isEmpty (take-1 over the just-checkpointed
+        // O(V) frame) per superstep buys back every no-op round — the
+        // dup-cluster quotient CCs converge in 2-3 hops of their 8
+        // contract rounds.
+        converged = next.where(col("_delta") > 0.0).isEmpty
       }
       state = next
       timings += (System.nanoTime() - tickStart) / 1e9

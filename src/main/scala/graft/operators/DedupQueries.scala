@@ -585,6 +585,24 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Builder-probe helpers (`Probe d18`): the d18 pipeline's first two
+    * phases in isolation, for wall-time decomposition. Not part of the
+    * query surface. */
+  def d18RepOnly(s: SparkSession, d: String): DataFrame =
+    simhashFingerprints(s, d)
+      .groupBy(col("simhash")).agg(min(col("id")).as("rep"))
+      .join(simhashFingerprints(s, d), "simhash")
+      .select(col("id"), col("rep"))
+  def d18QedgesOnly(s: SparkSession, d: String): DataFrame = {
+    val rep = d18RepOnly(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simhashPairs(s, d)
+      .join(rep.select(col("id").as("doc_a"), col("rep").as("src")), "doc_a")
+      .join(rep.select(col("id").as("doc_b"), col("rep").as("dst")), "doc_b")
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
   /** d7 shingle width: 4-word n-grams — long enough that incidental
     * same-topic overlap is rare, short enough that partial copies still
     * collide (the eval-contamination sweet spot on this corpus; 3-grams

@@ -46,6 +46,23 @@ class GraphAlgoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist(2L) === 2.0)
   }
 
+  test("fixed mode early-exits on an emptied frontier, result identical (r21)") {
+    // Line 1-2-3: CC converges in 2 hops; frontier empties at superstep 3.
+    // loopTimed is fixed mode (convergenceCheck=false) — with the r21
+    // early exit it must stop well short of the requested 10 supersteps
+    // and still produce the exact fixpoint labels.
+    val r = GmrRunner.loopTimed(lineGraph, ConnectedComponentsProgram, 10)
+    assert(r.iterations < 10, s"expected early exit, ran ${r.iterations}")
+    val labels = r.vertices.collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(labels === Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+    // Non-frontier programs must NOT early-exit in fixed mode (PageRank
+    // needs every contribution every round).
+    val pr = PageRank(lineGraph)
+    val r2 = GmrRunner.loopTimed(pr.graph, pr.program, 4)
+    assert(r2.iterations === 4)
+  }
+
   test("unreached vertices stay null") {
     val g = PropertyGraph.fromEdges(edgeDf(1L -> 2L, 3L -> 4L))
     val r = GmrRunner.run(g, new Sssp(1L))
