@@ -557,20 +557,23 @@ object GraphQueries {
       .select(col("q"), col("id"),
         when(col("id") === col("q"), lit(0L)).as("v"))
       .materialize()
-    // r21 (guide §2.4/§3.1, the GmrRunner superstep discipline): the
-    // distance table is exactly |srcs|·|V| rows of three BIGINTs — when it
-    // fits the state-broadcast budget, broadcast it into the relaxation
-    // join (the persisted O(E) edge view then streams map-side with no
-    // exchange) and broadcast the per-level min-frame (bounded by the same
-    // row count) into the update join, leaving the relaxation groupBy as
-    // the level's ONLY exchange and removing both per-level sorts. The
-    // row count is one cached-scan action on the just-checkpointed frame
-    // and never changes across levels (the left_outer keeps every (q, id)).
-    // Beyond the budget everything keeps the pre-r21 shuffle-join shape.
+    // r21 (guide §2.4/§3.1, the GmrRunner superstep discipline applied
+    // with its cost asymmetry in mind): the per-level min-frame `m` is
+    // the SMALL side (≤ |srcs|·|V| rows of three BIGINTs) — broadcasting
+    // it into the update join removes that join's exchange+sort of the
+    // O(|srcs|·|V|) distance table every level. The distance table
+    // itself is deliberately NOT broadcast into the relaxation join:
+    // it is the engine's largest state frame, the broadcast would be
+    // rebuilt per level, and the edge view it would save an exchange on
+    // is the THRESHOLDED strong-tie subgraph — measured net-slower at
+    // sf0.1 (Probe ab g21: 2.7-2.9 s vs 2.2-2.6 s with the full-dist
+    // broadcast on vs off; the GmrRunner case is the opposite asymmetry,
+    // 20k-row state vs 1.2M-row edges). Budget-gated: beyond
+    // stateBroadcastBytes everything keeps the shuffle-join shape.
     val fits = GraphOps.stateBroadcastFits(se.sparkSession, dist.count())
     def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     for (_ <- 1 to depth) {
-      val m = hint(dist.where(col("v").isNotNull))
+      val m = dist.where(col("v").isNotNull)
         .join(se, dist("id") === se("src"))
         .groupBy(col("q"), col("dst")).agg(min(col("v") + 1).as("mv"))
         .select(col("q"), col("dst").as("id"), col("mv"))
