@@ -248,6 +248,16 @@ object Bench {
       .mkString("{", ",", "}")
     val buildsJson = builds.map { case (k, v) => "\"" + k + "\":" + jn(v, 2) }
       .mkString("{", ",", "}")
+    // r22 (VERDICT r20 item 3 / r21 item 1): per-query PHASE legs (the
+    // g19/g29 write/assign splits operators record in graft.core.Phase)
+    // ride bench_full.json as their own top-level field so a burst draw
+    // names its leg without a same-window A/B. bench_full.json only —
+    // the stdout line and the flat "queries" map are byte-identical to
+    // r21's format; no timed code changed. Legs are from the query's
+    // LAST run in this JVM (min-of-two queries: the second run).
+    val phaseJson = graft.core.Phase.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + jn(v, 3) }
+      .mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(s"""{"metric":"total","value":${jn(total, 3)},""" +
@@ -259,6 +269,7 @@ object Bench {
         s""""g29_min_of_two":$g29MinOfTwo,"derived_cold":$derivedCold,""" +
         s""""derived_builds":$buildsJson,""" +
         s""""derived_builds_total":${jn(buildsTotal, 2)},""" +
+        s""""phase_legs":$phaseJson,""" +
         s""""n":${results.size},"queries":$fullQs}""")
       finally w.close()
     } catch { case _: Throwable => () }

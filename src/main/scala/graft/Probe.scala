@@ -164,14 +164,19 @@ object Probe {
     t("g19", "writeMetisSubgraphs") {
       graft.io.GraphLoaders.writeMetisSubgraphs(g, parts, base)
     }
+    // r22: the query's read side parses the files ONCE
+    // (writtenSubgraphRecords, persisted) — mirror that here, but also
+    // time the stats aggregate and the canon distinct separately.
+    val recs = t("g19", "parse once (cache fill)") {
+      val r = graft.io.GraphLoaders.writtenSubgraphRecords(spark, base, parts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count(); r
+    }
     t("g19", "partitionStats") {
-      graft.io.GraphLoaders.partitionStats(spark, base, parts).collect()
+      graft.io.GraphLoaders.partitionStatsFromRecords(recs).collect()
     }
-    val back = t("g19", "read-back build") {
-      (0 until parts)
-        .map(p => graft.io.GraphLoaders.metisSubgraph(spark, s"$base.subgraph.$p").edges)
-        .reduce(_ union _)
-    }
+    val back = recs.select(col("id").as("src"), explode(col("ns")).as("e"))
+      .select(col("src"), col("e.dst").as("dst"))
     val canon = back
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))

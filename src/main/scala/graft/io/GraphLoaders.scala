@@ -185,11 +185,6 @@ object GraphLoaders {
   def writeMetisSubgraphs(g: PropertyGraph, parts: Int, basePath: String,
                           assignment: Option[DataFrame] = None): Unit = {
     val spark = g.edges.sparkSession
-    val allIntegral = g.edges.where(
-      coalesce(col("weight"), lit(1.0)) =!=
-        floor(coalesce(col("weight"), lit(1.0)))).isEmpty
-    def wTok(c: org.apache.spark.sql.Column) =
-      if (allIntegral) c.cast("long").cast("string") else c.cast("string")
     // The assignment is consumed twice (edge dst ownership + vertex
     // ownership) and its plan is the LPA/LPT pipeline — persist it once.
     // It is O(V) two-long rows, so when it fits the broadcast budget
@@ -227,24 +222,40 @@ object GraphLoaders {
         "dst", "dpart")
       .groupBy(col("src"))
       .agg(sort_array(collect_list(struct(col("dst"), col("dpart"), col("w")))).as("ns"))
-    val lines = owned(g.vertices.select(col("id")), "id", "part")
+    // Persist the STRUCT skeleton, not the rendered line strings: the
+    // counts pass below also decides the weight-token type (fused
+    // fractional-weight detection — the separate O(E) `allIntegral`
+    // pre-scan was a full extra pass per write, guide §1.2), and the
+    // token type must be known before any string is rendered, so the
+    // strings are built exactly once, inside the write job.
+    val pre = owned(g.vertices.select(col("id")), "id", "part")
       .join(nbrs, col("id") === col("src"), "left_outer")
       .select(col("id"), col("part"),
-        concat_ws(" ",
-          col("id").cast("string"), lit("1"), // vid, vwgt (ncon=1)
-          concat_ws(" ", flatten(transform(
-            coalesce(col("ns"), array().cast("array<struct<dst:bigint,dpart:bigint,w:double>>")),
-            n => array(n.getField("dst").cast("string"),
-              n.getField("dpart").cast("string"),
-              wTok(n.getField("w"))))))).as("line"),
-        coalesce(size(col("ns")), lit(0)).as("ne"))
-    lines.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        coalesce(col("ns"), array().cast("array<struct<dst:bigint,dpart:bigint,w:double>>"))
+          .as("ns"))
+    pre.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val hconf = spark.sparkContext.hadoopConfiguration
       // One grouped pass for every part's header counts (the per-part
-      // agg loop was `parts` extra jobs over the persisted frame).
-      val counts = lines.groupBy(col("part"))
-        .agg(count(lit(1)).as("nv"), sum(col("ne")).as("ne")).collect()
+      // agg loop was `parts` extra jobs over the persisted frame) — the
+      // same pass detects fractional edge weights (`isfewgts`,
+      // graph.h:609-612): every edge record is in exactly one `ns`.
+      val countRows = pre.groupBy(col("part"))
+        .agg(count(lit(1)).as("nv"), sum(size(col("ns"))).as("ne"),
+          max(exists(col("ns"),
+            n => n.getField("w") =!= floor(n.getField("w")))).as("frac"))
+        .collect()
+      val allIntegral = !countRows.exists(r => Option(r.get(3)).contains(true))
+      def wTok(c: org.apache.spark.sql.Column) =
+        if (allIntegral) c.cast("long").cast("string") else c.cast("string")
+      val lines = pre.select(col("id"), col("part"),
+        concat_ws(" ",
+          col("id").cast("string"), lit("1"), // vid, vwgt (ncon=1)
+          concat_ws(" ", flatten(transform(col("ns"),
+            n => array(n.getField("dst").cast("string"),
+              n.getField("dpart").cast("string"),
+              wTok(n.getField("w"))))))).as("line"))
+      val counts = countRows
         .map(r => r.getLong(0) -> (r.getLong(1),
           Option(r.get(2)).map(_.toString.toLong).getOrElse(0L))).toMap
       // An out-of-range owner would emit a part=p directory the header
@@ -308,7 +319,7 @@ object GraphLoaders {
       }
       fs.delete(tmp, true)
     } finally {
-      lines.unpersist(blocking = false)
+      pre.unpersist(blocking = false)
       assignPersisted.foreach(_.unpersist(blocking = false))
     }
   }
@@ -407,34 +418,72 @@ object GraphLoaders {
               .cast("int"))).as("part"))
   }
 
+  /** One-scan reader for a SET of subgraph files PRODUCED BY
+    * [[writeMetisSubgraphs]] — the r22 fast path for the roundtrip
+    * queries (g19/g29) and [[partitionStats]], which used to pay the
+    * general [[metisSubgraph]] machinery per part per consumer: one
+    * RDD zipWithIndex job + one header `first()` job per file at
+    * CONSTRUCTION, plus a full regex-tokenized re-parse of every file
+    * for every consuming aggregate — measured as the dominant leg of
+    * g19 at sf0.1 (10.1 s of its 11.3 s band; guide §1.1/§2.4).
+    *
+    * Contract (narrower than [[metisSubgraph]], and exactly what the
+    * writer emits): fmt=1111, ncon=1, single-space separated tokens,
+    * one `nvtxs nedges 1111 1` header line per file. Data rows carry
+    * `vid vwgt (nbr nbrloc ewgt)*` = 2+3k tokens ≡ 2 (mod 3); the
+    * 4-token header ≡ 1 (mod 3), so the header is dropped structurally
+    * with no line-position bookkeeping — the whole read is ONE
+    * splittable FileScan (no zipWithIndex, no per-file `first()`), one
+    * pass, whole-stage codegen. Reference-format files with other fmt
+    * masks keep using [[metisSubgraph]].
+    *
+    * Returns one row per vertex line: (part, id, ns) with
+    * `ns: array<struct<dst, dst_part, weight>>` in file order. */
+  private[graft] def writtenSubgraphRecords(spark: SparkSession, basePath: String,
+                                            parts: Int): DataFrame = {
+    (0 until parts).map { p =>
+      spark.read.text(s"$basePath.subgraph.$p")
+        .select(lit(p.toLong).as("part"), split(trim(col("value")), " ").as("t"))
+    }.reduce(_ union _)
+      .where(size(col("t")) % 3 === 2) // data rows only; header is ≡ 1 (mod 3)
+      .select(col("part"),
+        element_at(col("t"), 1).cast("long").as("id"),
+        transform(sequence(lit(0), ((size(col("t")) - 2) / 3).cast("int") - 1), g => struct(
+          element_at(col("t"), g * 3 + 3).cast("long").as("dst"),
+          element_at(col("t"), g * 3 + 4).cast("int").as("dst_part"),
+          element_at(col("t"), g * 3 + 5).cast("double").as("weight"))).as("ns"))
+  }
+
+  /** [[partitionStats]] over an already-parsed [[writtenSubgraphRecords]]
+    * frame — callers that also read the graph back (g19) parse the files
+    * once, persist, and share the frame between the stats aggregate and
+    * the edge view. ONE aggregate produces all three counts; the
+    * per-row cut count is a single-level higher-order `filter` over the
+    * neighbor array (no nested-lambda interpretation trap, no exploded
+    * intermediate ahead of the exchange — guide §2.3). */
+  def partitionStatsFromRecords(records: DataFrame): DataFrame =
+    records.groupBy(col("part")).agg(
+        count(lit(1)).as("nvtxs"),
+        coalesce(sum(size(col("ns"))), lit(0L)).cast("long").as("nedges"),
+        coalesce(sum(size(filter(col("ns"),
+          n => n.getField("dst_part").cast("long") =!= col("part")))), lit(0L))
+          .cast("long").as("cut_edges"))
+      .withColumn("cut_pct",
+        round(col("cut_edges") * 100.0 / greatest(col("nedges"), lit(1L)), 2))
+      .orderBy("part")
+
   /** Partition-quality metrics over a set of fmt=1111 subgraph files —
     * the reference's `showGraphPartitions` analog
     * (`/root/reference/partition.h:469-542`), which prints per-part
     * assignment, the edge-cut count, and an object-imbalance measure.
     * One row per part: vertex count, edge-record count, cut edge
     * records (the file's recorded neighbor owner `dst_part` differs
-    * from the part that owns the source), and the cut fraction. Each
-    * part's numbers are one aggregate over its file scan; nothing
-    * per-row reaches the driver. */
-  def partitionStats(spark: SparkSession, basePath: String, parts: Int): DataFrame = {
-    // Two jobs total (vertex counts + edge/cut counts over the unioned
-    // per-part frames) instead of 2·parts — each source file is still
-    // parsed per consumer, but the job-scheduling floor stops scaling
-    // with the part count.
-    val gs = (0 until parts).map(p => p -> metisSubgraph(spark, s"$basePath.subgraph.$p"))
-    val vs = gs.map { case (p, g) =>
-        g.vertices.groupBy(lit(p.toLong).as("part")).agg(count(lit(1)).as("nvtxs")) }
-      .reduce(_ union _)
-    val es = gs.map { case (p, g) =>
-        g.edges.groupBy(lit(p.toLong).as("part")).agg(
-          count(lit(1)).as("nedges"),
-          sum(when(col("dst_part") =!= p, 1L).otherwise(0L)).as("cut_edges")) }
-      .reduce(_ union _)
-    vs.join(es, Seq("part"))
-      .withColumn("cut_pct",
-        round(col("cut_edges") * 100.0 / greatest(col("nedges"), lit(1L)), 2))
-      .orderBy("part")
-  }
+    * from the part that owns the source), and the cut fraction. Since
+    * r22 this is one aggregate over ONE shared file scan
+    * ([[writtenSubgraphRecords]] — every call site reads files this
+    * engine's writer produced); nothing per-row reaches the driver. */
+  def partitionStats(spark: SparkSession, basePath: String, parts: Int): DataFrame =
+    partitionStatsFromRecords(writtenSubgraphRecords(spark, basePath, parts))
 
   /** The reference's imbalance measure over a [[partitionStats]] frame:
     * `max_p(nparts * count_p / sum)` — 1.0 is perfect balance, larger is

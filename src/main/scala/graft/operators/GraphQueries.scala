@@ -1068,15 +1068,24 @@ object GraphQueries {
     val base = s"${sys.props("user.dir")}/target/graft_derived/" +
       s"v$DerivedVersion/${graft.core.Derived.tag(d)}/subgraph_rt"
     new java.io.File(base).getParentFile.mkdirs()
-    graft.io.GraphLoaders.writeMetisSubgraphs(g, parts, base)
+    graft.core.Phase.record("g19.write") {
+      graft.io.GraphLoaders.writeMetisSubgraphs(g, parts, base)
+    }
     // The write is `pairs`' sole consumer — everything below reads the
     // written subgraph files back. Release it (the r8/r9 unpersist
     // discipline, VERDICT r9 item 4; the g29 fix's hash-mode twin).
     pairs.unpersist(blocking = false)
-    val stats = graft.io.GraphLoaders.partitionStats(s, base, parts)
-    val back = (0 until parts)
-      .map(p => graft.io.GraphLoaders.metisSubgraph(s, s"$base.subgraph.$p").edges)
-      .reduce(_ union _)
+    // r22 (guide §1.1/§2.4, the probe-named leg): parse the written
+    // files ONCE into a shared persisted frame — the stats aggregate
+    // and the read-back edge view used to re-run the general
+    // per-part reader (RDD zipWithIndex + header first() + full regex
+    // re-tokenization PER CONSUMER: 10.1 s of g19's 11.3 s band at
+    // sf0.1). Same bytes parsed, same stats/canon/triangle values.
+    val recs = graft.io.GraphLoaders.writtenSubgraphRecords(s, base, parts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = graft.io.GraphLoaders.partitionStatsFromRecords(recs)
+    val back = recs.select(col("id").as("src"), explode(col("ns")).as("e"))
+      .select(col("src"), col("e.dst").as("dst"))
     val canon = back
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
@@ -1137,12 +1146,16 @@ object GraphQueries {
     val sym = PropertyGraph.symmetrize(pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val g = PropertyGraph(vertexDegMaterialized(s, d).select(col("id")), sym)
-    val assign = graft.io.GraphLoaders.localityAssignment(
-      lpaLabelsMaterialized(s, d), parts)
+    val assign = graft.core.Phase.record("g29.assign") {
+      graft.io.GraphLoaders.localityAssignment(
+        lpaLabelsMaterialized(s, d), parts)
+    }
     val base = s"${sys.props("user.dir")}/target/graft_derived/" +
       s"v$DerivedVersion/${graft.core.Derived.tag(d)}/subgraph_loc"
     new java.io.File(base).getParentFile.mkdirs()
-    graft.io.GraphLoaders.writeMetisSubgraphs(g, parts, base, Some(assign))
+    graft.core.Phase.record("g29.write") {
+      graft.io.GraphLoaders.writeMetisSubgraphs(g, parts, base, Some(assign))
+    }
     // The write (the multi-pass consumer the persists exist for) is done:
     // release both frames now (the r8/r9 unpersist discipline, VERDICT r9
     // item 4). The returned plan's hash-baseline leg recomputes the
