@@ -281,10 +281,22 @@ object GraphOps {
     require(k >= 3, s"kTruss is defined for k >= 3 (k=$k is the whole graph)")
     val e0 = canonEdges.select("src", "dst").materialize()
     var e = e0
+    // r22 (the GmrRunner superstep discipline, guide §2.4/§3.1): the
+    // edge frame is O(E) and only shrinks — when it fits the
+    // state-broadcast budget every per-round join (both wedge joins, the
+    // closing-edge join, the support filter join) hints the broadcast
+    // side, leaving the support groupBy as the round's only exchange.
+    // Pre-r22 each round planned checkpointed frames with default size
+    // stats, so the 3-way triangle join re-planned as sort-merge with
+    // fresh exchanges+sorts every cascade round. Shuffle shape beyond
+    // the budget, identical results (the gate bounds on the INITIAL
+    // edge count — an upper bound for every later round).
+    val fits = stateBroadcastFits(e0.sparkSession, e0.count())
+    def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     val snapshots = Seq.newBuilder[DataFrame]
     for (_ <- 1 to rounds) {
-      val tri = e.as("ab").join(e.as("bc"), col("ab.dst") === col("bc.src"))
-        .join(e.as("ac"),
+      val tri = e.as("ab").join(hint(e.as("bc")), col("ab.dst") === col("bc.src"))
+        .join(hint(e.as("ac")),
           col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
         .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))
       val sup = tri.select(explode(array(
@@ -293,7 +305,7 @@ object GraphOps {
           struct(col("a").as("src"), col("c").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("support"))
-      e = e.join(sup, Seq("src", "dst"))
+      e = e.join(hint(sup), Seq("src", "dst"))
         .where(col("support") >= k - 2)
         .select("src", "dst").materialize()
       snapshots += e

@@ -138,6 +138,15 @@ object GmrRunner {
                    earlyStop: Boolean = true): RunResult = {
     val spark = graph.edges.sparkSession
     val nShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // r22 A/B instrument (VERDICT r21 item 2): fixed-mode checkpoint
+    // cadence. The "cadence > 1 is slower" measurement predates the r21
+    // broadcast superstep shape, so it is re-measurable via conf without
+    // a code edit: each skipped checkpoint doubles the lazy recompute
+    // tree (state is referenced by both per-superstep joins), which is
+    // exactly the trade being priced. Convergence/traced modes always
+    // materialize per superstep (the consensus action needs it).
+    val cadence = spark.conf.getOption("spark.graft.checkpointCadence")
+      .map(_.toInt).filter(_ >= 1).getOrElse(checkpointInterval)
     // Break lineage into the (possibly self-referential) source plan so the
     // edges-derived vertex set can be re-joined against edges without
     // ambiguous-self-join resolution issues.
@@ -196,7 +205,7 @@ object GmrRunner {
           program.delta(col("value"), program.updated(col("value"), col("_agg"))).as("_delta") +:
           staticCols.map(col): _*)
       iter += 1
-      val checkpointNow = convergenceCheck || iter % checkpointInterval == 0 || iter == maxIter
+      val checkpointNow = convergenceCheck || iter % cadence == 0 || iter == maxIter
       val next = if (checkpointNow) stepped.materialize() else stepped
       if (convergenceCheck) {
         lastDelta = next.agg(max(col("_delta"))).first().getDouble(0)

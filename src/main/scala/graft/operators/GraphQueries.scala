@@ -183,7 +183,7 @@ object GraphQueries {
     * (bs), back-propagated δ (bl, bct) — the g14 three-phase chain. */
   /** Unrolled multi-source BFS relaxation CTEs (bd1..bd`depth` over the
     * `se`/`sv`/`bq` prefix of [[bfsPrefixSql]]) — shared by the g14 and
-    * g21 oracles, mirroring the engine's shared [[bfsDistances]]. Every
+    * g21 oracles, mirroring the engine's shared [[bfsLevels]]. Every
     * step is AS MATERIALIZED: a step references its predecessor twice
     * (t + p), and DuckDB's default CTE inlining turns that into 2^depth
     * plan copies — EXPLAIN alone blew up at depth 12. */
@@ -551,37 +551,49 @@ object GraphQueries {
     * step, every step materialized (dist references itself twice per
     * relaxation — a lazy chain is a 2^k recompute tree). Shared by g14
     * (Brandes phase 1) and g21 (harmonic closeness). */
-  private def bfsDistances(se: DataFrame, verts: DataFrame, srcs: DataFrame,
+  /** r22 rewrite (guide §1.2/§2.3): level-synchronous frontier BFS that
+    * ALSO carries the shortest-path count σ, replacing the former
+    * min-relaxation distance table plus g14's separate per-level σ
+    * chain. Returns one row per REACHED (q, id): `v` = BFS level,
+    * `sg` = number of shortest q→id paths (exact BIGINT). Equivalence
+    * with the old two-chain form: on unit weights a vertex is first
+    * reached at level l exactly through neighbors at level l−1 (older
+    * senders can never improve a min-relaxation), so "newly reached at
+    * l" ≡ "distance l"; and the σ recurrence sums predecessor σ over
+    * edges from level l−1 — the identical integer sum the old σ chain
+    * computed against the fixed distance table. Unreached (q, id) pairs
+    * are ABSENT instead of null-valued; every caller already left-joins
+    * against the vertex dimension.
+    *
+    * Per level: ONE aggregate exchange (the frontier message groupBy)
+    * and ONE materialize — the old shape paid a second materialize per
+    * level in the σ chain and relaxed from ALL reached rows instead of
+    * the frontier (strictly more join input every level). The per-level
+    * frames keep the r21 budget-gated broadcast hints: the frontier
+    * into the edge join (it is the small side against the O(E) edge
+    * view), the reached set into the freshness anti-join. Shuffle
+    * shape beyond the budget, identical results. */
+  private def bfsLevels(se: DataFrame, verts: DataFrame, srcs: DataFrame,
       depth: Int): DataFrame = {
-    var dist = verts.crossJoin(broadcast(srcs))
-      .select(col("q"), col("id"),
-        when(col("id") === col("q"), lit(0L)).as("v"))
+    var state = srcs
+      .select(col("q"), col("q").as("id"), lit(0L).as("v"), lit(1L).as("sg"))
       .materialize()
-    // r21 (guide §2.4/§3.1, the GmrRunner superstep discipline applied
-    // with its cost asymmetry in mind): the per-level min-frame `m` is
-    // the SMALL side (≤ |srcs|·|V| rows of three BIGINTs) — broadcasting
-    // it into the update join removes that join's exchange+sort of the
-    // O(|srcs|·|V|) distance table every level. The distance table
-    // itself is deliberately NOT broadcast into the relaxation join:
-    // it is the engine's largest state frame, the broadcast would be
-    // rebuilt per level, and the edge view it would save an exchange on
-    // is the THRESHOLDED strong-tie subgraph — measured net-slower at
-    // sf0.1 (Probe ab g21: 2.7-2.9 s vs 2.2-2.6 s with the full-dist
-    // broadcast on vs off; the GmrRunner case is the opposite asymmetry,
-    // 20k-row state vs 1.2M-row edges). Budget-gated: beyond
-    // stateBroadcastBytes everything keeps the shuffle-join shape.
-    val fits = GraphOps.stateBroadcastFits(se.sparkSession, dist.count())
+    // Budget gate on the state's MAXIMUM size |srcs|·|V| (the old code
+    // counted the materialized cross-join of the same cardinality).
+    val fits = GraphOps.stateBroadcastFits(se.sparkSession,
+      srcs.count() * math.max(1L, verts.count()))
     def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
-    for (_ <- 1 to depth) {
-      val m = dist.where(col("v").isNotNull)
-        .join(se, dist("id") === se("src"))
-        .groupBy(col("q"), col("dst")).agg(min(col("v") + 1).as("mv"))
-        .select(col("q"), col("dst").as("id"), col("mv"))
-      dist = dist.join(hint(m), Seq("q", "id"), "left_outer")
-        .select(col("q"), col("id"), least(col("v"), col("mv")).as("v"))
-        .materialize()
+    for (l <- 1 to depth) {
+      val cand = hint(state.where(col("v") === (l - 1)))
+        .join(se, col("id") === col("src"))
+        .groupBy(col("q"), col("dst")).agg(sum(col("sg")).as("sg"))
+        .select(col("q"), col("dst").as("id"), col("sg"))
+      val fresh = cand
+        .join(hint(state.select(col("q"), col("id"))), Seq("q", "id"), "left_anti")
+        .select(col("q"), col("id"), lit(l.toLong).as("v"), col("sg"))
+      state = state.union(fresh).materialize()
     }
-    dist
+    state
   }
 
   def g14Betweenness(s: SparkSession, d: String): DataFrame = {
@@ -591,33 +603,27 @@ object GraphQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = se.select(col("src").as("id")).distinct().materialize()
     val srcs = verts.orderBy("id").limit(BcSources).select(col("id").as("q"))
-    // (1) BFS distances keyed by (q, id)
-    val dist = bfsDistances(se, verts, srcs, BcDepth)
-    val reached = dist.where(col("v").isNotNull)
-    // r21: every σ/δ frame below is bounded by |dist| = |srcs|·|V| rows —
-    // the same budget gate as the BFS phase; hinted frames turn the
+    // (1)+(2) fused (r22): one frontier BFS carries both the level AND
+    // the shortest-path count σ — the separate per-level σ chain (13
+    // more materialize jobs over the same frames) is gone; levels(l) is
+    // now a cheap filter over the ONE checkpointed state frame.
+    val state = bfsLevels(se, verts, srcs, BcDepth)
+    // r21: every σ/δ frame below is bounded by |srcs|·|V| rows — the
+    // same budget gate as the BFS phase; hinted frames turn the
     // per-level joins against the cached O(E) edge view and against each
     // other into broadcast joins (one groupBy exchange per level, no
     // sorts). Identical results; shuffle shape beyond the budget.
-    val bcFits = GraphOps.stateBroadcastFits(s, dist.count())
+    val bcFits = GraphOps.stateBroadcastFits(s,
+      srcs.count() * math.max(1L, verts.count()))
     def hint(df: DataFrame): DataFrame = if (bcFits) broadcast(df) else df
-    // The σ and δ chains below are linear, so a sparser checkpoint cadence is
+    // The δ chain below is linear, so a sparser checkpoint cadence is
     // SEMANTICALLY safe — but measured SLOWER: every level is referenced
-    // 2-3× downstream (σ step l+1, δ contrib, δ join, final union), and
-    // at cadence 3 the re-evaluated join segments cost 13.0 s vs 5.8 s
-    // per-level at sf0.1. Per-level it stays.
+    // 2-3× downstream (δ contrib, δ join, final union), and at cadence 3
+    // the re-evaluated join segments cost 13.0 s vs 5.8 s per-level at
+    // sf0.1. Per-level it stays.
     def mat(df: DataFrame, l: Int): DataFrame = { val _ = l; df.materialize() }
-    // (2) σ per level over the fixed distance table
-    val levels = new Array[DataFrame](BcDepth + 1)
-    levels(0) = reached.where(col("v") === 0)
-      .select(col("q"), col("id"), lit(1L).as("sg")).materialize()
-    for (l <- 1 to BcDepth) {
-      levels(l) = mat(hint(levels(l - 1)).join(se, col("id") === col("src"))
-        .select(col("q"), col("dst").as("id"), col("sg"))
-        .join(hint(reached.where(col("v") === l).select(col("q"), col("id"))),
-          Seq("q", "id"))
-        .groupBy(col("q"), col("id")).agg(sum(col("sg")).as("sg")), l)
-    }
+    def levels(l: Int): DataFrame =
+      state.where(col("v") === l).select(col("q"), col("id"), col("sg"))
     // (3) δ back-propagation: deepest level first, σ-ratio weights
     val deltas = new Array[DataFrame](BcDepth + 1)
     deltas(BcDepth) = levels(BcDepth)
@@ -647,7 +653,7 @@ object GraphQueries {
     * near everything" (the centrality face robust to disconnection:
     * unreached pairs contribute 0 instead of poisoning the mean like
     * classic closeness). Reuses g14's multi-source BFS verbatim
-    * ([[bfsDistances]]); the finish is one map-combinable aggregate over
+    * ([[bfsLevels]]); the finish is one map-combinable aggregate over
     * the reached (q, id) table — harmonic(v) = Σ_q ⌊10⁶ / d(q,v)⌋ in
     * exact integer ppm (no float reciprocal sums, no libm). At scale the
     * sample size is the knob (Eppstein-Wang: O(log V / ε²) sources), and
@@ -660,8 +666,9 @@ object GraphQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = se.select(col("src").as("id")).distinct().materialize()
     val srcs = verts.orderBy("id").limit(BcSources).select(col("id").as("q"))
-    val dist = bfsDistances(se, verts, srcs, BcDepth)
-    val hc = dist.where(col("v").isNotNull && col("v") > 0)
+    // r22: reached rows only (unreached pairs were null-valued before
+    // and filtered out right here — bfsLevels simply never carries them)
+    val hc = bfsLevels(se, verts, srcs, BcDepth).where(col("v") > 0)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000L div v")).as("harmonic_ppm"))
@@ -677,7 +684,7 @@ object GraphQueries {
     * [[BcDepth]] horizon, the reach count, and the min-id farthest
     * vertex; max(ecc) over sources is the standard diameter lower
     * bound a topology health-check reports. Pure reuse of the shared
-    * [[bfsDistances]] frontier machinery — one extra max/count
+    * [[bfsLevels]] frontier machinery — one extra max/count
     * aggregate over the already-computed distance table, O(sources·V)
     * like g21; the farthest-vertex pick is the q33 `max(struct)` hash
     * aggregate, no window. */
@@ -688,8 +695,8 @@ object GraphQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = se.select(col("src").as("id")).distinct().materialize()
     val srcs = verts.orderBy("id").limit(BcSources).select(col("id").as("q"))
-    bfsDistances(se, verts, srcs, BcDepth)
-      .where(col("v").isNotNull && col("v") > 0)
+    bfsLevels(se, verts, srcs, BcDepth)
+      .where(col("v") > 0)
       .groupBy(col("q"))
       .agg(max(col("v")).as("ecc"), count(lit(1)).as("n_reached"),
         max(struct(col("v"), (-col("id")).as("nid"))).as("am"))
