@@ -152,6 +152,39 @@ object GraphOps {
   def broadcastIfFits(df: DataFrame, rows: Long): DataFrame =
     if (stateBroadcastFits(df.sparkSession, rows)) broadcast(df) else df
 
+  /** r22: per-round AQE replanning latency in BROADCAST-FIT loops.
+    *
+    * When a loop's state fits the broadcast budget, every per-round join
+    * is hint-pinned to a broadcast build of a dimension-sized frame and
+    * the round's only exchange is a map-combinable aggregate whose
+    * reduce input is dimension-sized — there is nothing left for AQE to
+    * re-decide (no join-strategy switches, no skew to split: no
+    * sort-merge join exists in these plans), but each materialized round
+    * still pays AQE's stage-by-stage re-optimization round trips.
+    * Measured at sf0.1 (Probe ab, warm pairs): g1 2.42/2.57 AQE-off vs
+    * 2.94/3.19 on; g27 3.10/3.45 vs 3.41/3.85 — 10-20% of whole-query
+    * time, pure driver latency. So broadcast-fit loop bodies run with
+    * AQE disabled, RESTORING the previous value afterwards (and on
+    * failure). This is deliberately NOT a blanket/local-mode tune:
+    * beyond the budget the loops keep the AQE shuffle shape with skew
+    * splitting and partition coalescing fully active, and everything
+    * outside loop bodies (scans, one-shot joins, finish assemblies)
+    * keeps AQE unconditionally. `spark.graft.loopAqeOff=false` is the
+    * kill switch / A/B instrument. */
+  val LoopAqeOffKey = "spark.graft.loopAqeOff"
+  def withLoopAqe[T](spark: org.apache.spark.sql.SparkSession,
+                     disable: Boolean)(f: => T): T = {
+    val enabled = disable &&
+      spark.conf.getOption(LoopAqeOffKey).forall(_.toBoolean)
+    if (!enabled) f
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try f finally spark.conf.set(key, prev)
+    }
+  }
+
   /** Priority composite shift for [[lubyMis]]: hash ∈ [0, P) with
     * P = 1e9+7, so hash·2³¹ + id is a strict total order in BIGINT for
     * id < 2³¹. */
@@ -186,6 +219,7 @@ object GraphOps {
     // exchanges. Shuffle shape beyond the budget, results identical.
     val fits = stateBroadcastFits(edges.sparkSession, state.count())
     def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    withLoopAqe(edges.sparkSession, fits) {
     for (r <- 1 to rounds) {
       val pri = state.where(col("st") === "a")
         .select(col("id"),
@@ -212,6 +246,7 @@ object GraphOps {
           when(col("w"), lit(r.toLong)).otherwise(col("round_joined"))
             .as("round_joined"))
         .materialize()
+    }
     }
     edges.unpersist(blocking = false)
     state.select(col("id"), (col("st") === "m").as("in_mis"),
@@ -241,6 +276,7 @@ object GraphOps {
     def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var surv = s0
     val snapshots = Seq.newBuilder[DataFrame]
+    withLoopAqe(e2.sparkSession, fits) {
     for (_ <- 1 to rounds) {
       val deg = e2
         .join(hint(surv.select(col("id").as("src"))), "src")
@@ -248,6 +284,7 @@ object GraphOps {
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       surv = deg.where(col("deg") >= k).select("id").materialize()
       snapshots += surv
+    }
     }
     val mc = snapshots.result().reduce(_ union _)
       .groupBy("id").agg(count(lit(1)).as("m"))
@@ -294,6 +331,7 @@ object GraphOps {
     val fits = stateBroadcastFits(e0.sparkSession, e0.count())
     def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     val snapshots = Seq.newBuilder[DataFrame]
+    withLoopAqe(e0.sparkSession, fits) {
     for (_ <- 1 to rounds) {
       val tri = e.as("ab").join(hint(e.as("bc")), col("ab.dst") === col("bc.src"))
         .join(hint(e.as("ac")),
@@ -309,6 +347,7 @@ object GraphOps {
         .where(col("support") >= k - 2)
         .select("src", "dst").materialize()
       snapshots += e
+    }
     }
     val mc = snapshots.result().reduce(_ union _)
       .groupBy("src", "dst").agg(count(lit(1)).as("m"))
@@ -645,6 +684,7 @@ object GraphOps {
     var nextCheck = 2
     var checkStep = 2
     var fixed = false
+    withLoopAqe(edges.sparkSession, bcFits) {
     for (i <- 1 to iters if !fixed) {
       val active = frontier match {
         case None => edges
@@ -710,6 +750,7 @@ object GraphOps {
         }
       }
       labels = next
+    }
     }
     labels
   }

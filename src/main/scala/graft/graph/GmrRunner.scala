@@ -191,6 +191,10 @@ object GmrRunner {
     var converged = false
     val timings = Seq.newBuilder[Double]
     val residuals = Seq.newBuilder[Double]
+    // r22: broadcast-fit supersteps skip AQE's per-round replanning
+    // (see GraphOps.withLoopAqe — hint-pinned plans, dimension-sized
+    // exchanges; AQE stays on for the shuffle fallback shape).
+    GraphOps.withLoopAqe(spark, bcastState) {
     while (iter < maxIter && !converged) {
       val tickStart = System.nanoTime()
       val senders = if (program.frontierOnly) state.where(col("_delta") > 0.0) else state
@@ -229,6 +233,7 @@ object GmrRunner {
       }
       state = next
       timings += (System.nanoTime() - tickStart) / 1e9
+    }
     }
     edges.unpersist(blocking = false)
     RunResult(state.drop("_delta"), iter, lastDelta, timings.result(),

@@ -55,6 +55,9 @@ object Mst {
     var liveEdges = edges
     var round = 0
     var done = false
+    // r22: broadcast-fit rounds skip AQE's per-round replanning (see
+    // GraphOps.withLoopAqe); the nested CC fallback manages its own.
+    GraphOps.withLoopAqe(spark, fits) {
     while (round < maxRounds && !done) {
       val labeled = liveEdges
         .join(hint(comp.select(col("id").as("src"), col("comp").as("csrc"))), "src")
@@ -116,6 +119,7 @@ object Mst {
       }
       }
       round += 1
+    }
     }
     edges.unpersist(blocking = false)
     forest

@@ -89,6 +89,9 @@ object Scc {
       // budget the pre-r21 shuffle joins. Results identical either way.
       val fits = GraphOps.stateBroadcastFits(spark, nActive)
       def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+      // r22: the round's own frames skip AQE replanning when broadcast-fit
+      // (GraphOps.withLoopAqe); the nested GmrRunner loops manage theirs.
+      GraphOps.withLoopAqe(spark, fits) {
       val colors = GmrRunner.run(
           PropertyGraph(active, activeEdges.withColumn("weight", lit(1.0))),
           ConnectedComponentsProgram).vertices
@@ -115,6 +118,7 @@ object Scc {
         .join(hint(active.select(col("id").as("src"))), "src")
         .join(hint(active.select(col("id").as("dst"))), "dst")
         .select("src", "dst").materialize()
+      }
       }
       round += 1
     }

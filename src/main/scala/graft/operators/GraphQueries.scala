@@ -104,6 +104,26 @@ object GraphQueries {
     s.read.parquet(path)
   }
 
+  /** The g4 connected-component labels materialized beside the
+    * pair/degree/LPA tables (r22): g4 and g25 run the IDENTICAL
+    * fixed-iteration min-label propagation (CcIters supersteps over the
+    * full co-occurrence graph) — the second run re-paid every superstep
+    * for the same labels. Same derive-once rule as [[lpaLabelsMaterialized]]
+    * (the g8/g16 precedent): first caller pays the cold build, billed
+    * apart under `derived_builds`; the bench wipes the cache at start so
+    * every recorded run is cold-comparable. */
+  def ccLabelsMaterialized(s: SparkSession, d: String): DataFrame = synchronized {
+    val tag = graft.core.Derived.tag(d)
+    val path = s"${sys.props("user.dir")}/target/graft_derived/v$DerivedVersion/$tag/cc_labels"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      graft.core.Derived.recordBuild("cc_labels") {
+        GmrRunner.runFixed(partGraph(s, d), ConnectedComponentsProgram, CcIters)
+          .select(col("id"), col("value").cast("long").as("component"))
+          .write.mode("overwrite").parquet(path)
+      }
+    s.read.parquet(path)
+  }
+
   /** Derived graph from the materialized pair + degree tables: the edge
     * view re-derives from the persisted pairs (no lineitem re-scan) and
     * the vertex set is a 20k-row parquet scan carrying `deg` — programs
@@ -583,6 +603,7 @@ object GraphQueries {
     val fits = GraphOps.stateBroadcastFits(se.sparkSession,
       srcs.count() * math.max(1L, verts.count()))
     def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    GraphOps.withLoopAqe(se.sparkSession, fits) {
     for (l <- 1 to depth) {
       val cand = hint(state.where(col("v") === (l - 1)))
         .join(se, col("id") === col("src"))
@@ -592,6 +613,7 @@ object GraphQueries {
         .join(hint(state.select(col("q"), col("id"))), Seq("q", "id"), "left_anti")
         .select(col("q"), col("id"), lit(l.toLong).as("v"), col("sg"))
       state = state.union(fresh).materialize()
+    }
     }
     state
   }
@@ -628,6 +650,7 @@ object GraphQueries {
     val deltas = new Array[DataFrame](BcDepth + 1)
     deltas(BcDepth) = levels(BcDepth)
       .select(col("q"), col("id"), col("sg"), lit(0.0).as("dl"))
+    GraphOps.withLoopAqe(s, bcFits) {
     for (l <- (BcDepth - 1) to 0 by -1) {
       val succ = deltas(l + 1)
         .select(col("q").as("wq"), col("id").as("wid"),
@@ -640,6 +663,7 @@ object GraphQueries {
       deltas(l) = mat(levels(l).join(hint(contrib), Seq("q", "id"), "left_outer")
         .select(col("q"), col("id"), col("sg"),
           coalesce(col("c"), lit(0.0)).as("dl")), l)
+    }
     }
     val bc = (1 to BcDepth).map(deltas(_).select(col("id"), col("dl")))
       .reduce(_ union _)
@@ -744,9 +768,11 @@ object GraphQueries {
     }
     var hub = verts.select(col("id"), lit(HitsScale).as("h"))
     var auth = verts.select(col("id"), lit(0L).as("a"))
+    GraphOps.withLoopAqe(s, fits) {
     for (_ <- 1 to HitsIters) {
       auth = step(hub, "h", "src", "dst", "a")
       hub = step(auth, "a", "dst", "src", "h")
+    }
     }
     hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub"), col("a").as("auth"))
@@ -797,8 +823,7 @@ object GraphQueries {
     * table (labels → sizes, sizes → histogram) + a broadcast vertex
     * total; output rows = distinct sizes ≪ V. */
   def g25ComponentSizes(s: SparkSession, d: String): DataFrame = {
-    val comp = GmrRunner.runFixed(partGraph(s, d), ConnectedComponentsProgram,
-      CcIters).select(col("value").cast("long").as("component"))
+    val comp = ccLabelsMaterialized(s, d).select(col("component"))
     val cs = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
     val tot = broadcast(cs.agg(sum(col("csize")).as("n_vertices")))
     cs.groupBy(col("csize").as("size")).agg(count(lit(1)).as("n_components"))
@@ -1048,8 +1073,7 @@ object GraphQueries {
   }
 
   def g4Components(s: SparkSession, d: String): DataFrame =
-    GmrRunner.runFixed(partGraph(s, d), ConnectedComponentsProgram, CcIters)
-      .select(col("id"), col("value").cast("long").as("component")).orderBy("id")
+    ccLabelsMaterialized(s, d).orderBy("id")
 
   def g5TriangleCount(s: SparkSession, d: String): DataFrame =
     GraphOps.triangleCountAuto(
